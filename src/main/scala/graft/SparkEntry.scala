@@ -1,13 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.coverage.{OperatorQueries => Q, OracleSql}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The carrier-KPI shape (conditional aggregation + rate + ordering) over
+    * the synthetic events table. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Q.a6ConditionalAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s4_scan_count" -> (Q.s4ScanCount _),
+    "s6_ctas_projection" -> (Q.s6CtasProjection _),
+    "s7_anti_join_dedup" -> (Q.s7AntiJoinDedup _),
+    "s2_json_decode" -> (Q.s2JsonDecode _),
+    "p1_cast_trim" -> (Q.p1CastTrim _),
+    "p2_null_empty_filter" -> (Q.p2NullEmptyFilter _),
+    "p3_conjunctive_filter" -> (Q.p3ConjunctiveFilter _),
+    "p4_flag_projection" -> (Q.p4FlagProjection _),
+    "p6_case_label" -> (Q.p6CaseLabel _),
+    "p8_range_predicate" -> (Q.p8RangePredicate _),
+    "p9_set_membership" -> (Q.p9SetMembership _),
+    "p10_try_cast" -> (Q.p10TryCast _),
+    "p11_inequality_filter" -> (Q.p11InequalityFilter _),
+    "j1_left_join_agg" -> (Q.j1LeftJoinAgg _),
+    "j2_role_playing_join" -> (Q.j2RolePlayingJoin _),
+    "j7_agg_agg_join" -> (Q.j7AggAggJoin _),
+    "j_semi_join" -> (Q.jSemiJoin _),
+    "a1_group_multi_agg" -> (Q.a1GroupMultiAgg _),
+    "a2_distinct" -> (Q.a2Distinct _),
+    "u1_union_dedup" -> (Q.u1UnionDedup _),
+    "a4_daily_count" -> (Q.a4DailyCount _),
+    "a5_two_key_count" -> (Q.a5TwoKeyCount _),
+    "a6_conditional_agg" -> (Q.a6ConditionalAgg _),
+    "a7_avg" -> (Q.a7Avg _),
+    "a8_count_distinct" -> (Q.a8CountDistinct _),
+    "a9_global_scalars" -> (Q.a9GlobalScalars _),
+    "a10_filtered_counts" -> (Q.a10FilteredCounts _),
+    "a11_having_duplicates" -> (Q.a11HavingDuplicates _),
+    "a12_minute_buckets" -> (Q.a12MinuteBuckets _),
+    "o3_top_k" -> (Q.o3TopK _),
+    "f_md5_surrogate_key" -> (Q.fMd5SurrogateKey _),
+    "f_datetime_extract" -> (Q.fDatetimeExtract _),
+    "f_string_compare" -> (Q.fStringCompare _),
+    "f_null_functions" -> (Q.fNullFunctions _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,378 @@
+package graft.coverage
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * SURVEY §2 operator inventory, one query per row, phrased over the
+ * driver-provided synthetic tables (TESTDATA.md: region nation customer
+ * supplier part orders lineitem events documents embeddings).
+ *
+ * Each query here has a matching DuckDB oracle in [[OracleSql]]; the driver
+ * hash-compares results, so every query obeys the determinism rules:
+ *
+ *  - stable total ORDER BY on output keys (ties broken), matching the SQL;
+ *  - double aggregation only via exact paths: COUNT, MIN/MAX, or
+ *    SUM(CAST(x AS DECIMAL(18,2))) cast back to double (fp summation order
+ *    would otherwise diverge between engines);
+ *  - AVG = exact decimal sum / count with a single double division;
+ *  - no raw nanosecond timestamps in output (events.ts is ns parquet; Spark
+ *    truncates to µs) — minute buckets are emitted as formatted strings;
+ *  - ROUND only on non-negative values (both engines round half-up there).
+ *
+ * Scale notes are per-query; the common theme: filters/projections push into
+ * the parquet scan, dims broadcast, aggregates partial-aggregate map-side.
+ */
+object OperatorQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * The events table carries a nanosecond-precision parquet timestamp, which
+   * Spark 4 only reads via `spark.sql.legacy.parquet.nanosAsLong` (set in
+   * Verify/Bench session builders). Normalize to a proper TimestampType at µs
+   * precision with exact long division (double division would lose precision
+   * on epoch-nanos magnitudes).
+   */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Exact double summation: cast to DECIMAL(18,2) first, back to double after. */
+  private def sumDec(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  // ───────────────────────────── §2.1 scans / sources / sinks ──────────────
+
+  /** S4: parquet glob scan + count-only aggregate (scan never materializes columns). */
+  def s4ScanCount(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
+
+  /** S6: CTAS-style projection — scan + derived literal column. */
+  def s6CtasProjection(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "region")
+      .withColumn("load_tag", lit("batch-1"))
+      .orderBy("r_regionkey")
+
+  /**
+   * S7/J11: incremental-load anti-join dedup — `incoming NOT IN existing`.
+   * Existing keys = every third event; left_anti (NOT EXISTS) with non-null
+   * guard reproduces NOT IN on clean keys (SURVEY §2.1 S7 note).
+   */
+  def s7AntiJoinDedup(s: SparkSession, dir: String): DataFrame = {
+    val events = T(s, dir, "events")
+    val existing = events.filter(col("event_id") % 3 === 0).select("event_id")
+    events.join(existing, Seq("event_id"), "left_anti")
+      .agg(count(lit(1)).as("n_new"))
+  }
+
+  /** S2: JSON decode of a message payload column (`props` = `{"k": int}`). */
+  def s2JsonDecode(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  // ─────────────────────── §2.2 projections / filters / predicates ─────────
+
+  /** P1: cast + trim projection (staging shape): string narrow + float32 narrow. */
+  def p1CastTrim(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(
+        col("event_id"),
+        trim(col("event_type").cast("string")).as("status"),
+        col("value").cast("float").as("value_f"))
+      .orderBy("event_id")
+
+  /** P2: null/empty-after-trim filter. */
+  def p2NullEmptyFilter(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select("doc_id").orderBy("doc_id")
+
+  /** P3: 5-rule conjunctive validity filter (int_valid shape). */
+  def p3ConjunctiveFilter(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(
+        col("l_quantity") > 0 &&
+        col("l_discount").between(0, 0.08) &&
+        col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("l_returnflag").isNotNull && col("l_returnflag") =!= "" &&
+        col("l_tax").isNotNull)
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P4/P5: boolean violation-flag projection + disjunctive filter (int_invalid shape). */
+  def p4FlagProjection(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .withColumn("is_low_value", col("value").isNull || col("value") <= 1.0)
+      .withColumn("is_error", col("event_type") === "error")
+      .withColumn("is_missing_props", col("props").isNull || col("props") === "")
+      .filter(col("is_low_value") || col("is_error") || col("is_missing_props"))
+      .select("event_id", "is_low_value", "is_error", "is_missing_props")
+      .orderBy("event_id")
+
+  /** P6: priority CASE labeling (first-true-wins), then rollup. */
+  def p6CaseLabel(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .withColumn("label",
+        when(col("l_quantity") <= 2, "TINY")
+          .when(col("l_discount") > 0.08, "DISCOUNTED")
+          .when(col("l_tax") > 0.06, "TAXED")
+          .otherwise("NORMAL"))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy("label")
+
+  /** P8: range predicates (open + BETWEEN bounds). */
+  def p8RangePredicate(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_extendedprice") > 0 &&
+        col("l_extendedprice") <= 2000 &&
+        col("l_quantity").between(1, 10))
+      .agg(count(lit(1)).as("n"), min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+
+  /** P9: set-membership predicate (literal IN-list and its negation). */
+  def p9SetMembership(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** P10: TRY_CAST validity predicate — parse failures become NULL, never throw. */
+  def p10TryCast(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr("try_cast(substr(source, 4, 10) AS INT)").as("src_num"),
+        expr("try_cast(lang AS DOUBLE)").as("lang_num"))
+      .orderBy("doc_id")
+
+  /** P11: inequality filter on a joined dim attribute. */
+  def p11InequalityFilter(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "nation").as("n")
+      .join(broadcast(T(s, dir, "region").as("r")),
+        col("n.n_regionkey") === col("r.r_regionkey"), "left")
+      .filter(col("r.r_name") =!= "ASIA")
+      .select(col("n.n_name"), col("r.r_name").as("region_name"))
+      .orderBy("n_name")
+
+  // ──────────────────────────────── §2.3 joins ─────────────────────────────
+
+  /** J1/J8: left equi-join fact→dim (broadcast) + grouped rollup with exact sums. */
+  def j1LeftJoinAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").as("o")
+      .join(broadcast(T(s, dir, "customer").as("c")),
+        col("o.o_custkey") === col("c.c_custkey"), "left")
+      .groupBy(col("c.c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"), sumDec(col("o.o_totalprice")).as("total_price"))
+      .orderBy(asc_nulls_first("segment"))
+
+  /**
+   * J2/J4/J5: role-playing dim — nation joined twice through different FK
+   * paths (customer's nation vs supplier's nation), TPC-H Q7 flavor.
+   */
+  def j2RolePlayingJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").as("l")
+    val ord = T(s, dir, "orders").as("o")
+    val cust = broadcast(T(s, dir, "customer")).as("c")
+    val supp = broadcast(T(s, dir, "supplier")).as("s")
+    val n1 = broadcast(T(s, dir, "nation")).as("n1")
+    val n2 = broadcast(T(s, dir, "nation")).as("n2")
+    li.join(ord, col("l.l_orderkey") === col("o.o_orderkey"))
+      .join(cust, col("o.o_custkey") === col("c.c_custkey"))
+      .join(n1, col("c.c_nationkey") === col("n1.n_nationkey"))
+      .join(supp, col("l.l_suppkey") === col("s.s_suppkey"))
+      .join(n2, col("s.s_nationkey") === col("n2.n_nationkey"))
+      .filter(col("n1.n_name") === col("n2.n_name"))
+      .groupBy(col("n1.n_name").as("nation"))
+      .agg(count(lit(1)).as("n_lineitems"))
+      .orderBy("nation")
+  }
+
+  /** J7: agg-to-agg join on a date key (dq-summary shape), single-division rate. */
+  def j7AggAggJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = T(s, dir, "events")
+    val errors = events.filter(col("event_type") === "error")
+      .groupBy(col("ts").cast("date").as("event_date"))
+      .agg(count(lit(1)).as("error_count"))
+    val totals = events
+      .groupBy(col("ts").cast("date").as("event_date"))
+      .agg(count(lit(1)).as("total_events"))
+    errors.join(broadcast(totals), Seq("event_date"), "left")
+      .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("error_count"), col("total_events"),
+        (col("error_count") * 100.0 / col("total_events")).as("error_pct"))
+      .orderBy("event_date")
+  }
+
+  /** Left-semi join (EXISTS) — dbt relationships-test shape. */
+  def jSemiJoin(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey").orderBy("c_custkey")
+
+  // ───────────────────────────── §2.4 aggregations ─────────────────────────
+
+  /** A1: grouped multi-agg per key (dim_order shape): count, exact sum, min/max. */
+  def a1GroupMultiAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sumDec(col("l_quantity")).as("sum_qty"),
+        min("l_shipdate").as("first_ship"),
+        max("l_shipdate").as("last_ship"))
+      .orderBy("l_orderkey")
+
+  /** A2: DISTINCT projection (dim_status shape). */
+  def a2Distinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** U1+A3: UNION ALL then group-dedup with MIN (dim_location shape). */
+  def u1UnionDedup(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+      .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val sup = T(s, dir, "supplier")
+      .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+    c.unionByName(sup)
+      .groupBy("name")
+      .agg(min("acctbal").as("min_acctbal"), count(lit(1)).as("n"))
+      .orderBy("name")
+  }
+
+  /** A4: daily count (non-null counting of a key column). */
+  def a4DailyCount(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(count("event_id").as("n_events"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("event_date"), col("n_events"))
+      .orderBy("event_date")
+
+  /** A5/O1: two-key grouped count + multi-key ORDER BY (dq-summary shape). */
+  def a5TwoKeyCount(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("ts").cast("date").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"), col("n"))
+      .orderBy("event_date", "event_type")
+
+  /** A6: conditional aggregation (carrier-KPI shape) — ROUND on non-negative rate. */
+  def a6ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("total_events"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
+        round(sum(when(col("event_type") =!= "error", 1).otherwise(0)) * 100.0 /
+          nullif(count(lit(1)), lit(0)), 2).as("ok_rate"))
+      .orderBy("user_id")
+
+  /** A7: AVG as exact decimal sum / count (single double division). */
+  def a7Avg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy("event_type")
+      .agg((sumDec(col("value")) / count("value")).as("avg_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** A8: exact COUNT DISTINCT (scalar). */
+  def a8CountDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .agg(countDistinct("user_id").as("n_users"),
+        countDistinct("event_type").as("n_types"))
+
+  /** A9: global scalar aggregates incl. MAX over a timestamp (ms precision). */
+  def a9GlobalScalars(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .agg(count(lit(1)).as("n"), max("o_orderdate").as("latest_order"),
+        min("o_orderdate").as("first_order"))
+
+  /** A10: the 7-check DQ gate as one conditional-aggregation scan. */
+  def a10FilteredCounts(s: SparkSession, dir: String): DataFrame = {
+    def cnt(pred: Column) = sum(when(pred, 1L).otherwise(0L))
+    T(s, dir, "lineitem").agg(
+      cnt(col("l_quantity").isNull || col("l_quantity") <= 0).as("bad_qty"),
+      cnt(col("l_discount") > 0.1).as("high_discount"),
+      cnt(col("l_extendedprice") > 50000).as("high_price"),
+      cnt(!col("l_returnflag").isin("A", "N", "R")).as("bad_flag"))
+  }
+
+  /** A11: duplicate detection — GROUP BY key HAVING count>1, then outer count. */
+  def a11HavingDuplicates(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 20)
+      .agg(count(lit(1)).as("heavy_users"))
+
+  /** A12/O3: per-minute bucketing + top-k (minute emitted as string — ns-safe). */
+  def a12MinuteBuckets(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm")
+        .as("minute"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("minute"))
+      .limit(60)
+
+  // ─────────────────────────── §2.6 sorts / top-k ──────────────────────────
+
+  /** O2/O3: ORDER BY derived metric DESC + LIMIT (TakeOrderedAndProject), ties broken. */
+  def o3TopK(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(20)
+
+  // ─────────────────────────── §2.8 scalar functions ───────────────────────
+
+  /** dbt surrogate key: md5(coalesce(cast(x as string),'…null…')), multi-col with '-'. */
+  def fMd5SurrogateKey(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        graft.functions.surrogateKey(col("o_orderstatus")).as("status_sk"),
+        graft.functions.surrogateKey(col("o_orderkey"), col("o_orderpriority"))
+          .as("order_sk"))
+      .orderBy("o_orderkey")
+
+  /** dim_time shape: calendar extraction with DuckDB DOW convention (Sunday=0). */
+  def fDatetimeExtract(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(col("o_orderdate").cast("date").as("d")).distinct()
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("d"),
+        year(col("d")).cast("long").as("year"),
+        month(col("d")).cast("long").as("month"),
+        dayofmonth(col("d")).cast("long").as("day"),
+        (dayofweek(col("d")) - 1).cast("long").as("day_of_week"))
+      .orderBy("d")
+
+  /** Lexicographic string comparison semantics (the reference's temporal quirk). */
+  def fStringCompare(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        (col("lang") >= "es").as("lang_ge_es"),
+        (col("source") < "src2").as("source_lt_src2"))
+      .orderBy("doc_id")
+
+  /** NULLIF / COALESCE / conditional projection. */
+  def fNullFunctions(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(
+        col("event_id"),
+        coalesce(col("props"), lit("{}")).as("props_c"),
+        nullif(col("event_type"), lit("view")).as("type_or_null"))
+      .orderBy("event_id")
+}

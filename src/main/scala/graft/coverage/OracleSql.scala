@@ -1,0 +1,215 @@
+package graft.coverage
+
+/**
+ * DuckDB oracle SQL for every query in [[OperatorQueries]] (and the
+ * SQL-expressible subset of [[graft.operators]] / [[graft.functions]]).
+ *
+ * Conventions keeping the hash-compare deterministic across engines:
+ *  - identical output column ALIASES as the Spark side (driver sorts columns
+ *    by name before hashing);
+ *  - integer SUMs wrapped in CAST(… AS BIGINT) — DuckDB's SUM(int) is
+ *    HUGEINT, which pandas widens to float;
+ *  - double sums via DECIMAL(18,2) (exact) then CAST back to DOUBLE;
+ *  - ORDER BY mirrors Spark's null ordering (ASC = NULLS FIRST).
+ */
+object OracleSql {
+
+  val sql: Map[String, String] = Map(
+    "s4_scan_count" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+
+    "s6_ctas_projection" ->
+      "SELECT *, 'batch-1' AS load_tag FROM region ORDER BY r_regionkey",
+
+    "s7_anti_join_dedup" ->
+      """SELECT count(*) AS n_new FROM events
+        |WHERE event_id NOT IN (SELECT event_id FROM events WHERE event_id % 3 = 0)""".stripMargin,
+
+    "s2_json_decode" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p1_cast_trim" ->
+      """SELECT event_id, trim(CAST(event_type AS VARCHAR)) AS status,
+        |       CAST(value AS FLOAT) AS value_f
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p2_null_empty_filter" ->
+      "SELECT doc_id FROM documents WHERE text IS NOT NULL AND trim(text) <> '' ORDER BY doc_id",
+
+    "p3_conjunctive_filter" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_quantity > 0 AND l_discount BETWEEN 0 AND 0.08
+        |  AND l_shipdate >= TIMESTAMP '1994-01-01'
+        |  AND l_returnflag IS NOT NULL AND l_returnflag <> '' AND l_tax IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p4_flag_projection" ->
+      """SELECT event_id,
+        |       (value IS NULL OR value <= 1.0) AS is_low_value,
+        |       (event_type = 'error') AS is_error,
+        |       (props IS NULL OR props = '') AS is_missing_props
+        |FROM events
+        |WHERE (value IS NULL OR value <= 1.0) OR event_type = 'error'
+        |   OR (props IS NULL OR props = '')
+        |ORDER BY event_id""".stripMargin,
+
+    "p6_case_label" ->
+      """SELECT CASE WHEN l_quantity <= 2 THEN 'TINY'
+        |            WHEN l_discount > 0.08 THEN 'DISCOUNTED'
+        |            WHEN l_tax > 0.06 THEN 'TAXED'
+        |            ELSE 'NORMAL' END AS label,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "p8_range_predicate" ->
+      """SELECT count(*) AS n, min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |WHERE l_extendedprice > 0 AND l_extendedprice <= 2000
+        |  AND l_quantity BETWEEN 1 AND 10""".stripMargin,
+
+    "p9_set_membership" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_type IN ('click','view','purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "p10_try_cast" ->
+      """SELECT doc_id, TRY_CAST(substr(source, 4, 10) AS INTEGER) AS src_num,
+        |       TRY_CAST(lang AS DOUBLE) AS lang_num
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p11_inequality_filter" ->
+      """SELECT n.n_name, r.r_name AS region_name
+        |FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name <> 'ASIA' ORDER BY n.n_name""".stripMargin,
+
+    "j1_left_join_agg" ->
+      """SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY segment NULLS FIRST""".stripMargin,
+
+    "j2_role_playing_join" ->
+      """SELECT n1.n_name AS nation, count(*) AS n_lineitems
+        |FROM lineitem l
+        |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        |WHERE n1.n_name = n2.n_name
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    "j7_agg_agg_join" ->
+      """WITH err AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, count(*) AS error_count
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, count(*) AS total_events
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(e.event_date, '%Y-%m-%d') AS event_date,
+        |       e.error_count, t.total_events,
+        |       e.error_count * 100.0 / t.total_events AS error_pct
+        |FROM err e LEFT JOIN tot t ON e.event_date = t.event_date
+        |ORDER BY event_date""".stripMargin,
+
+    "j_semi_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "a1_group_multi_agg" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "a2_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "u1_union_dedup" ->
+      """SELECT name, min(acctbal) AS min_acctbal, count(*) AS n
+        |FROM (SELECT c_name AS name, c_acctbal AS acctbal FROM customer
+        |      UNION ALL
+        |      SELECT s_name AS name, s_acctbal AS acctbal FROM supplier)
+        |GROUP BY name ORDER BY name""".stripMargin,
+
+    "a4_daily_count" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+        |       count(event_id) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
+
+    "a5_two_key_count" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date, event_type,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_date, event_type""".stripMargin,
+
+    "a6_conditional_agg" ->
+      """SELECT user_id, count(*) AS total_events,
+        |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |       ROUND(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) * 100.0
+        |             / NULLIF(count(*), 0), 2) AS ok_rate
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a7_avg" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a8_count_distinct" ->
+      """SELECT count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT event_type) AS n_types FROM events""".stripMargin,
+
+    "a9_global_scalars" ->
+      """SELECT count(*) AS n, max(o_orderdate) AS latest_order,
+        |       min(o_orderdate) AS first_order FROM orders""".stripMargin,
+
+    "a10_filtered_counts" ->
+      """SELECT CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+        |       CAST(SUM(CASE WHEN l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS high_discount,
+        |       CAST(SUM(CASE WHEN l_extendedprice > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS high_price,
+        |       CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag
+        |FROM lineitem""".stripMargin,
+
+    "a11_having_duplicates" ->
+      """SELECT count(*) AS heavy_users FROM (
+        |  SELECT user_id FROM events GROUP BY user_id HAVING count(*) > 20)""".stripMargin,
+
+    "a12_minute_buckets" ->
+      """SELECT strftime(CAST(date_trunc('minute', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M') AS minute,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY minute DESC LIMIT 60""".stripMargin,
+
+    "o3_top_k" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "f_md5_surrogate_key" ->
+      """SELECT o_orderkey,
+        |       md5(coalesce(CAST(o_orderstatus AS VARCHAR), '_dbt_utils_surrogate_key_null_')) AS status_sk,
+        |       md5(coalesce(CAST(o_orderkey AS VARCHAR), '_dbt_utils_surrogate_key_null_')
+        |           || '-' ||
+        |           coalesce(CAST(o_orderpriority AS VARCHAR), '_dbt_utils_surrogate_key_null_')) AS order_sk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f_datetime_extract" ->
+      """SELECT strftime(d, '%Y-%m-%d') AS d,
+        |       EXTRACT(year FROM d) AS year, EXTRACT(month FROM d) AS month,
+        |       EXTRACT(day FROM d) AS day, EXTRACT(dow FROM d) AS day_of_week
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |ORDER BY d""".stripMargin,
+
+    "f_string_compare" ->
+      """SELECT doc_id, (lang >= 'es') AS lang_ge_es,
+        |       (source < 'src2') AS source_lt_src2
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f_null_functions" ->
+      """SELECT event_id, coalesce(props, '{}') AS props_c,
+        |       nullif(event_type, 'view') AS type_or_null
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

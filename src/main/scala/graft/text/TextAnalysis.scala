@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, quality scoring, language identification, and document
+ * fingerprinting. All pure `Column` expressions (whole-stage codegen'd, no
+ * UDFs) — each scales as a narrow per-row map over the corpus.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lower-cased text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(trim(text) === "" || text.isNull, 0).otherwise(size(tokens(text)))
+
+  /**
+   * BPE-ish token count: word pieces + standalone punctuation
+   * (`\w+|[^\w\s]` occurrences) — the usual cheap proxy for LLM token counts.
+   */
+  def bpeIshTokenCount(text: Column): Column =
+    coalesce(regexp_count(text, lit("[\\w]+|[^\\w\\s]")), lit(0))
+
+  /** English-ish stopwords used by the quality score (deterministic literal set). */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this")
+
+  /**
+   * Quality metrics: char/token counts, mean token length, stopword ratio,
+   * punctuation ratio, uppercase ratio — the length/punct/stopword heuristics
+   * of C4/Gopher-style filters, plus a combined [0,1] score.
+   */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nToks = size(toks)
+    val stopArr = array(stopwords.map(lit): _*)
+    df
+      .withColumn("n_chars", length(t))
+      .withColumn("n_tokens", nToks)
+      .withColumn("mean_token_len",
+        when(nToks > 0, (length(regexp_replace(trim(t), "\\s+", "")).cast("double")) / nToks)
+          .otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nToks > 0,
+          size(filter(toks, tk => array_contains(stopArr, tk))).cast("double") / nToks)
+          .otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(length(t) > 0,
+          coalesce(regexp_count(t, lit("[^\\w\\s]")), lit(0)).cast("double") / length(t))
+          .otherwise(0.0))
+      .withColumn("upper_ratio",
+        when(length(t) > 0,
+          coalesce(regexp_count(t, lit("[A-Z]")), lit(0)).cast("double") / length(t))
+          .otherwise(0.0))
+      .withColumn("quality_score",
+        // in-range indicators, Gopher-flavored: each contributes 0.25
+        (when(col("n_tokens").between(10, 100000), 0.25).otherwise(0.0) +
+         when(col("mean_token_len").between(2.0, 12.0), 0.25).otherwise(0.0) +
+         when(col("stopword_ratio") > 0.01, 0.25).otherwise(0.0) +
+         when(col("punct_ratio") < 0.3, 0.25).otherwise(0.0)))
+  }
+
+  /**
+   * n-gram-heuristic language ID: score each candidate language by its
+   * marker-token hit count; argmax wins, ties broken by language code order.
+   * Markers are tiny high-frequency function-word sets — the classic cheap
+   * n-gram/stopword language detector. Returns 'und' when nothing matches.
+   */
+  val languageMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por", "con", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "dans", "que", "une", "pour", "sur"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "für", "von"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "中", "不"))
+
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    // struct(score DESC via negation, lang ASC) → array_min = best
+    val scored = languageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct(
+        (-size(filter(toks, tk => array_contains(arr, tk)))).as("neg_score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_min(array(scored: _*))
+    when(best.getField("neg_score") < 0, best.getField("lang")).otherwise("und")
+  }
+
+  /**
+   * Document fingerprint: content-defined rolling-hash flavor — the minimum
+   * 64-bit hash over 3-token shingles (a 1-permutation MinHash). Two documents
+   * sharing their rarest shingle collide; robust to small edits at the ends.
+   */
+  def fingerprint(text: Column): Column = {
+    val toks = tokens(text)
+    val shingleIdx = sequence(lit(1), greatest(size(toks) - 2, lit(1)))
+    val shingles = transform(shingleIdx, i => concat_ws(" ", slice(toks, i, lit(3))))
+    array_min(transform(shingles, sh => xxhash64(sh)))
+  }
+
+  /** All analyses as one projection over (idCol, textCol). */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityMetrics(df, textCol)
+      .withColumn("bpe_ish_tokens", bpeIshTokenCount(col(textCol)))
+      .withColumn("lang_id", languageId(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+      .select(col(idCol), col("n_chars"), col("n_tokens"), col("bpe_ish_tokens"),
+        col("mean_token_len"), col("stopword_ratio"), col("punct_ratio"),
+        col("upper_ratio"), col("quality_score"), col("lang_id"), col("fingerprint"))
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+
+Registers each parquet table by basename in DuckDB, runs every oracle SQL from
+<verifyOutDir>/oracle_sql.json, loads the matching Spark parquet result, sorts
+columns by name and rows by value, and reports per-query match status.
+(Driver-side tooling only; the engine itself is pure Scala/Spark.)
+"""
+import sys, json, glob, os, math
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: float(v) if isinstance(v, __import__("decimal").Decimal) else v)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def eq(a: pd.DataFrame, b: pd.DataFrame) -> str:
+    if list(a.columns) != list(b.columns):
+        return f"COLS {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        for i in range(len(av)):
+            x, y = av[i], bv[i]
+            xn = x is None or (isinstance(x, float) and math.isnan(x)) or x is pd.NA or x is pd.NaT
+            yn = y is None or (isinstance(y, float) and math.isnan(y)) or y is pd.NA or y is pd.NaT
+            if xn and yn:
+                continue
+            if xn != yn or x != y:
+                return f"VAL col={c} row={i}: {x!r} vs {y!r}"
+    return "OK"
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for f in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(f)[:-8]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        spark_path = f"{out_dir}/{name}"
+        if not os.path.isdir(spark_path):
+            print(f"{name:28s} MISSING spark output")
+            n_bad += 1
+            continue
+        try:
+            d = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"{name:28s} ORACLE FAIL: {e}")
+            n_bad += 1
+            continue
+        s = canon(pd.read_parquet(spark_path))
+        r = eq(d, s)
+        print(f"{name:28s} {r}")
+        if r == "OK":
+            n_ok += 1
+        else:
+            n_bad += 1
+    print(f"\n{n_ok} OK / {n_bad} BAD")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
