@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.coverage.{OperatorQueries => Q, OracleSql}
+import graft.coverage.{LlmOpQueries => L, OperatorQueries => Q, OracleSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -47,7 +47,20 @@ object SparkEntry {
     "f_md5_surrogate_key" -> (Q.fMd5SurrogateKey _),
     "f_datetime_extract" -> (Q.fDatetimeExtract _),
     "f_string_compare" -> (Q.fStringCompare _),
-    "f_null_functions" -> (Q.fNullFunctions _)
+    "f_null_functions" -> (Q.fNullFunctions _),
+    // LLM-training-data operators (documents / embeddings tables)
+    "t_token_count" -> (L.tTokenCount _),
+    "t_quality_score" -> (L.tQualityScore _),
+    "t_language_id" -> (L.tLanguageId _),
+    "t_fingerprint" -> (L.tFingerprint _),
+    "dedup_exact_clusters" -> (L.dedupExactClusters _),
+    "dedup_exact_count" -> (L.dedupExactCount _),
+    "dedup_minhash_pairs" -> (L.dedupMinhashPairs _),
+    "dedup_simhash_pairs" -> (L.dedupSimhashPairs _),
+    "dedup_ngram_jaccard" -> (L.dedupNgramJaccard _),
+    "sim_brute_force_topk" -> (L.simBruteForceTopK _),
+    "sim_lsh_recall" -> (L.simLshRecall _),
+    "mm_decode_featurize" -> (L.mmDecodeFeaturize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,160 @@
+package graft.coverage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SimilaritySearch}
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+
+/**
+ * The LLM-training-data operators as driver queries over `documents` /
+ * `embeddings` (TESTDATA.md). SQL-expressible ones (token counts, quality
+ * ratios, exact dedup) carry DuckDB oracles in [[OracleSql]]; the sketch-based
+ * ones (MinHash, SimHash, LSH ANN) are non-SQL-expressible → rows-only driver
+ * check + ScalaTest self-consistency against their exact counterparts.
+ *
+ * The testdata corpus has no natural duplicates, so dedup queries construct
+ * them deterministically: a mutated copy of every 10th document unioned under
+ * shifted ids. That makes the positive path (pairs found) part of the check.
+ */
+object LlmOpQueries {
+
+  // The testdata parquet files are single-row-group → Spark scans them as ONE
+  // partition, serializing every narrow per-row stage onto one core. The
+  // sketch/vector operators are compute-bound, so fan the scan out to the
+  // session's parallelism first (at real scale the source is many splits and
+  // this is a no-op decision).
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  /** Whitespace + BPE-ish token counts per document (oracle-checked). */
+  def tTokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.bpeIshTokenCount(col("text")).as("n_bpe_ish"),
+      col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Stopword/punct quality ratios (oracle-checked; single-division doubles). */
+  def tQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(filter(toks, t => array_contains(stopArr, t))).as("n_stopwords"),
+      (size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+        size(toks)).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID distribution (marker-word heuristic; rows-only check). */
+  def tLanguageId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(TextAnalysis.languageId(col("text")).as("lang_id"))
+      .groupBy("lang_id").agg(count(lit(1)).as("n"))
+      .orderBy("lang_id")
+
+  /** Document fingerprints: distinct count + collision stats (rows-only). */
+  def tFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .select(TextAnalysis.fingerprintOfTokens(col("toks")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("fp").as("n_distinct_fps"))
+
+  /** Documents ∪ mutated copies — the deterministic duplicate-bearing corpus. */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val copies = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    d.unionByName(copies)
+  }
+
+  /** Exact dedup: duplicate clusters over the constructed corpus (oracle-checked). */
+  def dedupExactClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDuplicateClusters(dupCorpus(s, dir), "doc_id", "text")
+      .orderBy("fp")
+
+  /** Exact dedup keep-first: surviving row count (oracle-checked). */
+  def dedupExactCount(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(dupCorpus(s, dir), "doc_id", "text")
+      .agg(count(lit(1)).as("n_after_dedup"))
+
+  /** Near-dup corpus: every 10th doc gets a copy with one token appended. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val mutated = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+    d.unionByName(mutated)
+  }
+
+  /** MinHash-LSH near-duplicate pairs, Jaccard-verified (rows-only). */
+  def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicatePairs(nearDupCorpus(s, dir), "doc_id", "text",
+        threshold = 0.7)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
+          .as("n_planted_found"))
+
+  /** SimHash near-duplicate pairs within Hamming ≤ 3 (rows-only). */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicates(nearDupCorpus(s, dir), "doc_id", "text")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
+          .as("n_planted_found"))
+
+  /** n-gram Jaccard on the planted pairs directly (rows-only, deterministic). */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ta"),
+        TextAnalysis.tokens(concat(col("text"), lit(" extraword"))).as("tb"))
+      .select(col("doc_id"), Dedup.shinglesOfTokens(col("ta")).as("sh_a"),
+        Dedup.shinglesOfTokens(col("tb")).as("sh_b"))
+    d.select(col("doc_id"), Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min("jaccard").as("min_jaccard"),
+        sum(when(col("jaccard") > 0.5, 1L).otherwise(0L)).as("n_above_half"))
+  }
+
+  /** Brute-force cosine top-5 for the first 10 vectors (rows-only). */
+  def simBruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    SimilaritySearch.bruteForceTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH ANN vs brute force: recall@5 for the same queries (rows-only). */
+  def simLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5).select("query_id", "corpus_id")
+    val approx = SimilaritySearch.lshTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nTables = 16, nBits = 6)
+      .select("query_id", "corpus_id")
+    exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+      .agg((count(lit(1)).cast("double") / 50.0).as("recall_at_5"))
+  }
+
+  /** Multimodal plumbing: decode+featurize the synthetic blobs (rows-only). */
+  def mmDecodeFeaturize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAndFeaturize(Multimodal.syntheticMedia(s, 999))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n"),
+        max("width").as("max_width"),
+        max("n_frames").as("max_frames"),
+        sum(element_at(col("feature"), 1).cast("double")).as("f0_sum_unchecked"))
+      .drop("f0_sum_unchecked") // exercised, not asserted (float sum order)
+      .orderBy("media_type")
+}

@@ -210,6 +210,39 @@ object OracleSql {
     "f_null_functions" ->
       """SELECT event_id, coalesce(props, '{}') AS props_c,
         |       nullif(event_type, 'view') AS type_or_null
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "t_token_count" ->
+      """SELECT doc_id,
+        |       CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+        |            ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens,
+        |       len(regexp_extract_all(text, '[\w]+|[^\w\s]')) AS n_bpe_ish,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_quality_score" ->
+      """SELECT doc_id,
+        |       len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+        |       len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |           x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+        |                      'that','for','on','with','as','at','by','this'))) AS n_stopwords,
+        |       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |           x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+        |                      'that','for','on','with','as','at','by','this'))) AS DOUBLE)
+        |         / len(string_split_regex(trim(lower(text)), '\s+')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact_clusters" ->
+      """SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keeper_id
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+
+    "dedup_exact_count" ->
+      """SELECT count(DISTINCT md5(text)) AS n_after_dedup
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
   )
 }

@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Deduplication operators for training-data pipelines, each designed around
+ * its 100 TB shuffle shape:
+ *
+ *  - exact:      one hash-shuffle on a 16-byte fingerprint (not the payload);
+ *  - MinHash:    per-row signature (narrow) → band explosion (k small rows)
+ *                → shuffle on (band, band_hash) buckets only — candidate
+ *                pairs never require an all-pairs join;
+ *  - SimHash:    per-row 64-bit sketch (narrow) → shuffle on 16-bit chunk
+ *                buckets (4 rows/doc) → Hamming verify inside buckets;
+ *  - n-gram Jaccard: exact verification measure, evaluated only on LSH
+ *                candidates (never all pairs).
+ *
+ * All pure Column expressions — codegen'd, no UDFs, no driver loops.
+ */
+object Dedup {
+
+  import graft.text.TextAnalysis.tokens
+
+  /** Stable 128-bit content fingerprint (hash the fingerprint, shuffle 16
+    * bytes instead of multi-KB documents). */
+  def contentFingerprint(text: Column): Column = md5(text)
+
+  /**
+   * Exact duplicate clusters: fingerprint → groupBy → clusters with count>1.
+   * The groupBy shuffles only (fp, id) pairs; map-side partial agg collapses
+   * per-partition duplicates first.
+   */
+  def exactDuplicateClusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(contentFingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"), min(idCol).as("keeper_id"))
+      .filter(col("n_copies") > 1)
+
+  /**
+   * Exact dedup: keep the lowest id per fingerprint. Window over the
+   * fingerprint hash — one shuffle, no self-join.
+   */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(contentFingerprint(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * 3-token shingles from a PRECOMPUTED token-array column.
+   *
+   * The tokens column must be a materialized attribute (its own projection),
+   * never an inline `split(...)` expression: higher-order functions evaluate
+   * interpreted, so an inline subtree would re-split the full text once per
+   * shingle index — O(len²) per document (observed as a single task pinning
+   * a core for minutes at sf0.1). Callers stage with
+   * `df.select(..., tokens(text).as("toks"))` first; `CollapseProject`
+   * keeps multi-referenced non-cheap aliases staged.
+   */
+  def shinglesOfTokens(toks: Column, k: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
+
+  /** Convenience for tiny frames / tests. Prefer the staged path for scale. */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesOfTokens(tokens(text), k)
+
+  /**
+   * MinHash signature over a precomputed shingle array: for each of
+   * `numHashes` hash functions (xxhash64 seeded by the function index), the
+   * minimum over the shingle set. Base shingle hashes are computed ONCE and
+   * re-seeded per function with a cheap avalanche mix, so the per-row cost is
+   * O(|shingles| + numHashes·|shingles|) long-ops, not numHashes string
+   * hashes of the whole array.
+   */
+  def minhashSignatureOfShingles(sh: Column, numHashes: Int = 64): Column = {
+    val baseHashes = transform(sh, x => xxhash64(x))
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(baseHashes,
+        h => xxhash64(h, i))))   // re-seed by hashing (base, i) — long input, cheap
+  }
+
+  /** MinHash signature from raw text (convenience; one shingle pass). */
+  def minhashSignature(text: Column, numHashes: Int = 64): Column =
+    minhashSignatureOfShingles(shingles(text), numHashes)
+
+  /**
+   * MinHash LSH candidate pairs: band the signature (bands × rowsPerBand =
+   * numHashes), bucket-join on (band_index, band_hash), emit each unordered
+   * id pair once. Shuffle volume: numBands small rows per document — the
+   * scale path; an all-pairs join never materializes.
+   *
+   * Returns (id_a, id_b, est_jaccard) where est_jaccard is the signature
+   * agreement fraction, computed on the collided pair only.
+   */
+  def minhashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 256): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    // The sketch projection feeds two consumers (bucket stats + the pair
+    // join) — persist it once; the banded stream itself carries only
+    // (id, band, band_hash), never the 64-long signature.
+    val sig = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
+      .select(col("id"), minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val banded0 = sig.select(col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val banded = pruneFullBuckets(banded0, Seq("band", "band_hash"), maxBucketSize)
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    val sigOnly = sig.select(col("id"), col("sig"))
+    candidates
+      .join(sigOnly.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a")), Seq("id_a"))
+      .join(sigOnly.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        sigAgreement(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+  }
+
+  /**
+   * Skew guard for LSH bucket self-joins: drop buckets larger than
+   * `maxBucketSize`. Over-full buckets are low-information bands (everything
+   * collides) and quadratic in cost; skipping them is the standard
+   * production trade — bounded work per bucket, recall loss only where the
+   * band carried no signal anyway. The bucket-size aggregation is tiny and
+   * broadcast back onto the banded stream.
+   */
+  private def pruneFullBuckets(banded: DataFrame, keys: Seq[String],
+                               maxBucketSize: Int): DataFrame = {
+    val sizes = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+    banded.join(broadcast(sizes), keys)
+  }
+
+  /** Signature agreement fraction between two minhash signature arrays. */
+  private def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
+  /**
+   * n-gram Jaccard similarity between two shingle-set columns:
+   * |A ∩ B| / |A ∪ B|.
+   */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, 0.0)
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+                 size(array_union(a, b)))
+
+  /**
+   * Near-duplicate pairs: MinHash-LSH candidates verified with exact n-gram
+   * Jaccard over the shingle sets, thresholded. The verify join re-attaches
+   * shingles only for candidate ids (semi-joined), so the wide arrays travel
+   * for candidates only.
+   */
+  def nearDuplicatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 256): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
+      .select(col("id"), col("sh"),
+        minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val banded0 = sig.select(col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val banded = pruneFullBuckets(banded0, Seq("band", "band_hash"), maxBucketSize)
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    val shOnly = sig.select(col("id"), col("sh"))
+    candidates
+      .join(shOnly.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(shOnly.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * 64-bit SimHash: per-token xxhash64; bit b of the sketch is 1 when more
+   * than half the tokens have bit b set. Pure expressions (bitwise ops over
+   * an exploded bit sequence folded back with aggregate).
+   */
+  /** SimHash sketch from a precomputed token-hash array (one hash pass). */
+  def simhashOfHashes(hashes: Column): Column = {
+    val n = size(hashes)
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val ones = size(filter(hashes,
+          h => call_function("shiftright", h, b).bitwiseAND(1L) === 1L))
+        acc.bitwiseOR(
+          when(ones * 2 > n, call_function("shiftleft", lit(1L), b)).otherwise(0L))
+      })
+  }
+
+  /** Token hashes for [[simhashOfHashes]]. */
+  def tokenHashes(text: Column): Column =
+    transform(array_distinct(tokens(text)), t => xxhash64(t))
+
+  def simhash(text: Column): Column = simhashOfHashes(tokenHashes(text))
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-duplicate pairs: bucket by each of the four 16-bit chunks
+   * (two sketches within Hamming distance ≤ 3 of each other must agree on at
+   * least one chunk — pigeonhole), then verify Hamming inside buckets.
+   * Shuffle: 4 small rows per document.
+   */
+  def simhashNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame = {
+    val sk = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
+      .select(col("id"), simhashOfHashes(col("th")).as("sk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val chunked0 = sk.select(col("id"), col("sk"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("sk"), c * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    val chunked = pruneFullBuckets(chunked0, Seq("chunk", "chunk_val"), maxBucketSize)
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sk"), col("b.sk")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ *  - Brute-force cosine top-k: exact baseline. Query set broadcast against
+ *    the corpus — one pass, no corpus shuffle; cost O(|corpus|·|queries|·d)
+ *    but embarrassingly parallel. The right tool when |queries| is small.
+ *  - LSH-bucketed ANN (random hyperplane / sign-LSH): per-vector sketch of
+ *    `nBits` sign bits from pseudo-random hyperplanes (hash-derived, seeded,
+ *    deterministic — no stored model needed), then candidates = bucket
+ *    collisions in any of `nTables` independent tables. Shuffles only
+ *    (bucket, id) pairs — the 100 TB path.
+ *
+ * Vector math uses `zip_with` + `aggregate` expressions (codegen'd); vectors
+ * are normalized once so cosine = dot product.
+ */
+object SimilaritySearch {
+
+  /** Dot product of two float-array columns (double accumulator). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(aggregate(
+    transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  /** Cosine similarity (0 where either side has zero norm). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
+  /** Normalize to unit length so downstream cosine = dot. */
+  def normalized(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0.0, v).otherwise(transform(v, x => x / n))
+  }
+
+  /**
+   * Exact brute-force cosine top-k: for each query vector, the k nearest
+   * corpus vectors. `queries` should be small (it is broadcast).
+   */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      normalized(col(vecCol)).as("cv"))
+    val q = broadcast(queries.select(col(qIdCol).as("query_id"),
+      normalized(col(qVecCol)).as("qv")))
+    val scored = c.crossJoin(q)
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplane component for (table, bit, dim):
+   * xxhash64 mapped to [-1, 1]. No fitted model, reproducible across runs.
+   */
+  private def planeComponent(table: Int, bit: Column, dim: Column): Column =
+    (xxhash64(lit(table), bit, dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** `nBits` sign bits of projections onto hash-derived hyperplanes. */
+  def lshSketch(vec: Column, table: Int, nBits: Int = 16): Column =
+    aggregate(
+      sequence(lit(0), lit(nBits - 1)),
+      lit(0L),
+      (acc, b) => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, d) => x * planeComponent(table, b, d)),
+          lit(0.0d), (a2, v) => a2 + v)
+        acc.bitwiseOR(
+          when(proj >= 0.0, call_function("shiftleft", lit(1L), b)).otherwise(0L))
+      })
+
+  /**
+   * ANN top-k via sign-LSH bucket collisions across `nTables` tables,
+   * cosine-verified and ranked inside the candidate set. Recall grows with
+   * nTables; shuffle volume is nTables·(bucket, id) rows per vector.
+   */
+  def lshTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int = 5, nTables: Int = 16, nBits: Int = 6): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      normalized(col(vecCol)).as("cv"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      normalized(col(qVecCol)).as("qv"))
+
+    def buckets(df: DataFrame, vc: String): DataFrame =
+      df.select(df.columns.map(col) :+
+        posexplode(array((0 until nTables).map(t =>
+          lshSketch(col(vc), t, nBits)): _*)): _*)
+        .withColumnRenamed("pos", "table")
+        .withColumnRenamed("col", "bucket")
+
+    val cb = buckets(c, "cv")
+    val qb = buckets(q, "qv")
+    val candidates = cb.join(qb, Seq("table", "bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "qv", "corpus_id", "cv")
+      .distinct()
+      .withColumn("cosine", dot(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("corpus_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs over one corpus: LSH buckets
+   * (all tables), pair within buckets, verify cosine ≥ threshold.
+   */
+  def cosineNearDuplicates(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nTables: Int = 16, nBits: Int = 6): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), normalized(col(vecCol)).as("v"))
+    val cb = c.select(col("id"), col("v"),
+      posexplode(array((0 until nTables).map(t =>
+        lshSketch(col("v"), t, nBits)): _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    cb.as("a").join(cb.as("b"),
+        col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .withColumn("cosine", dot(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

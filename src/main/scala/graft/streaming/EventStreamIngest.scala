@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model.LogisticsEvent
+
+/**
+ * Structured-Streaming ingest — the Spark analogue of the reference's
+ * Kafka → parquet micro-batch consumer (`src/stream/consumer_to_minio.py`).
+ *
+ * Shape (SURVEY §2.9):
+ *  - T1 poll loop            → micro-batch engine (ProcessingTime trigger)
+ *  - T2 count-based batching → `maxOffsetsPerTrigger` (approximate; nothing
+ *                              downstream depends on exact-50 files — the
+ *                              loader globs `*.parquet`)
+ *  - T3 graceful drain       → checkpointed sink; `query.stop()` commits the
+ *                              in-flight batch via the WAL
+ *  - T4 bounded run          → `Trigger.AvailableNow` (the hourly Airflow
+ *                              drain), or `awaitTermination(timeout)`
+ *  - T5 at-least-once + dedup→ checkpointing makes the file sink exactly-once;
+ *                              the event_id anti-join at load stays as the
+ *                              safety net, with `dropDuplicatesWithinWatermark`
+ *                              as the streaming-native variant
+ *
+ * At 100 TB/day the sink must partition by ingest date/hour (partition
+ * pruning downstream + bounded file listing) and be compacted asynchronously;
+ * `bronzeSink` writes `ingest_date=/ingest_hour=` directories for exactly
+ * that reason — a deliberate deviation from the reference's flat bucket
+ * (SURVEY §7.4.5).
+ */
+object EventStreamIngest {
+
+  /** Kafka source → typed event frame (S1+S2). Requires a reachable broker. */
+  def fromKafka(spark: SparkSession, bootstrap: String,
+                topic: String = "logistics-events",
+                maxOffsetsPerTrigger: Long = 50L): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+      .select(from_json(col("value").cast("string"), LogisticsEvent.schema).as("e"))
+      .select("e.*")
+
+  /** File-drop source with the same downstream contract (used by tests and
+    * object-store landing zones; one file ≈ one producer batch). */
+  def fromFiles(spark: SparkSession, dir: String,
+                maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(LogisticsEvent.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Streaming-native dedup (T5 alternative): event-time watermark bounds the
+    * dedup state; duplicates beyond the lateness horizon fall through to the
+    * load-time anti-join safety net. */
+  def withStreamingDedup(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_time",
+        coalesce(try_to_timestamp(col("timestamp")), current_timestamp()))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+      .drop("event_time")
+
+  /**
+   * Bronze sink: parquet + checkpoint, partitioned by ingest date/hour.
+   * `availableNow = true` reproduces the Airflow-style bounded drain: process
+   * everything pending, then stop.
+   */
+  def bronzeSink(events: DataFrame, outDir: String, checkpointDir: String,
+                 availableNow: Boolean = true,
+                 processingInterval: String = "1 second"): StreamingQuery = {
+    val stamped = events
+      .withColumn("ingestion_timestamp", current_timestamp())
+      .withColumn("ingest_date", to_date(col("ingestion_timestamp")))
+      .withColumn("ingest_hour", hour(col("ingestion_timestamp")))
+    val trigger =
+      if (availableNow) Trigger.AvailableNow()
+      else Trigger.ProcessingTime(processingInterval)
+    stamped.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("ingest_date", "ingest_hour")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Per-minute event counts as a streaming aggregation (the streaming
+    * analogue of the monitoring dashboard's A12, with watermarked state). */
+  def minuteCounts(events: DataFrame, lateness: String = "10 minutes"): DataFrame = {
+    val timed = events.withColumn("event_time",
+      coalesce(try_to_timestamp(col("timestamp")), current_timestamp()))
+    val marked = if (timed.isStreaming) timed.withWatermark("event_time", lateness)
+                 else timed   // batch runs have no state to bound
+    marked
+      .groupBy(window(col("event_time"), "1 minute"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(col("window.start").as("minute"), col("event_count"))
+  }
+}

@@ -97,19 +97,23 @@ object TextAnalysis {
    * 64-bit hash over 3-token shingles (a 1-permutation MinHash). Two documents
    * sharing their rarest shingle collide; robust to small edits at the ends.
    */
-  def fingerprint(text: Column): Column = {
-    val toks = tokens(text)
+  def fingerprintOfTokens(toks: Column): Column = {
     val shingleIdx = sequence(lit(1), greatest(size(toks) - 2, lit(1)))
-    val shingles = transform(shingleIdx, i => concat_ws(" ", slice(toks, i, lit(3))))
-    array_min(transform(shingles, sh => xxhash64(sh)))
+    val sh = transform(shingleIdx, i => concat_ws(" ", slice(toks, i, lit(3))))
+    array_min(transform(sh, x => xxhash64(x)))
   }
+
+  /** Convenience for tiny frames. For scale, stage `tokens(text)` into its
+    * own column first (see [[graft.operators.Dedup.shinglesOfTokens]]). */
+  def fingerprint(text: Column): Column = fingerprintOfTokens(tokens(text))
 
   /** All analyses as one projection over (idCol, textCol). */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     qualityMetrics(df, textCol)
       .withColumn("bpe_ish_tokens", bpeIshTokenCount(col(textCol)))
       .withColumn("lang_id", languageId(col(textCol)))
-      .withColumn("fingerprint", fingerprint(col(textCol)))
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("fingerprint", fingerprintOfTokens(col("__toks")))
       .select(col(idCol), col("n_chars"), col("n_tokens"), col("bpe_ish_tokens"),
         col("mean_token_len"), col("stopword_ratio"), col("punct_ratio"),
         col("upper_ratio"), col("quality_score"), col("lang_id"), col("fingerprint"))

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+      (4L, "completely different content about spark shuffle partitions and broadcast joins here"),
+      (5L, "another unrelated document discussing minhash signatures and locality sensitive hashing")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact duplicate clusters find the planted dup and nothing else") {
+    val clusters = Dedup.exactDuplicateClusters(docs, "doc_id", "text").collect()
+    assert(clusters.length == 1)
+    assert(clusters.head.getAs[Long]("n_copies") == 2L)
+    assert(clusters.head.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("exactDedup keeps the lowest id per content") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("jaccard is exact on known sets") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("minhash near-duplicate pairs find (1,2) and (1,3)-style pairs only") {
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))   // exact dup always collides
+    assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L || p._1 == 4L || p._1 == 5L))
+  }
+
+  test("minhash est_jaccard is 1.0 for identical docs") {
+    val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .filter(col("id_a") === 1L && col("id_b") === 2L).collect()
+    assert(cand.length == 1)
+    assert(cand.head.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("simhash: identical docs have distance 0; near-dups small; unrelated large") {
+    val s = spark
+    import s.implicits._
+    val sk = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) == sk(2L))
+    val near = java.lang.Long.bitCount(sk(1L) ^ sk(3L))
+    val far = java.lang.Long.bitCount(sk(1L) ^ sk(4L))
+    assert(near < far)
+  }
+
+  test("simhashNearDuplicates finds the exact pair") {
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

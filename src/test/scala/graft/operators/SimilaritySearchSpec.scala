@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SimilaritySearchSpec extends SparkSuite {
+
+  test("cosine/dot/norm are exact on known vectors") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 0.0f), Seq(2.0f, 0.0f)))
+      .toDF("a", "b")
+    val cos = df.select(SimilaritySearch.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(cos(0) == 0.0)
+    assert(math.abs(cos(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks the known nearest neighbour first") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),   // closest to 0
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 0L)
+    val top = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 2).collect()
+    assert(top.length == 2)
+    assert(top.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("corpus_id") == 1L)
+  }
+
+  test("LSH ANN achieves usable recall against brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5).select("query_id", "corpus_id")
+    val approx = SimilaritySearch.lshTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nTables = 16, nBits = 6)
+      .select("query_id", "corpus_id")
+    val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.4, s"recall@5 = $recall")   // 16 tables × 6 bits; neighbours are weak (cos≈0.3)
+  }
+
+  test("cosineNearDuplicates finds a planted duplicate vector") {
+    val s = spark
+    import s.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val planted = e.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val pairs = SimilaritySearch.cosineNearDuplicates(
+      e.unionByName(planted), "vec_id", "embedding", threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 100000L)))
+  }
+}

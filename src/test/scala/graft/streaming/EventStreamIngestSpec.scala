@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.ingest.RawLoader
+import graft.model.LogisticsEvent
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/**
+ * Drives the file-source streaming ingest end to end: drop bronze parquet
+ * files → AvailableNow drain → partitioned sink → loader glob, including a
+ * replayed (duplicate) file to exercise the dedup safety net.
+ */
+class EventStreamIngestSpec extends SparkSuite {
+
+  private def ev(id: Int): LogisticsEvent = LogisticsEvent(
+    Some(s"e$id"), Some(s"o${id % 7}"),
+    Some(f"2026-02-23T01:${id % 60}%02d:00+00:00"), Some("In Transit"),
+    Some("A, AA"), Some("B, BB"), Some("DHL"),
+    Some(10.0), Some(20.0), Some(5.5), Some("2026-03-01"))
+
+  /** Write one parquet FILE (not a directory) — the shape a producer drops. */
+  private def writeBatchFile(events: Seq[LogisticsEvent], destFile: String): Unit = {
+    val tmp = Files.createTempDirectory("graft-batch").toString
+    spark.createDataFrame(events).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(destFile)
+    dest.getParentFile.mkdirs()
+    Files.move(part.toPath, dest.toPath)
+  }
+
+  test("AvailableNow drain: files → partitioned bronze → loader, exactly once") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val srcDir = s"$tmp/landing"; val outDir = s"$tmp/bronze"; val ckpt = s"$tmp/ckpt"
+    val s = spark
+    import s.implicits._
+
+    // producer batch 1 (50 events) and 2 (30 events)
+    writeBatchFile((1 to 50).map(ev), s"$srcDir/batch1.parquet")
+    writeBatchFile((51 to 80).map(ev), s"$srcDir/batch2.parquet")
+
+    val q = EventStreamIngest.bronzeSink(
+      EventStreamIngest.fromFiles(spark, srcDir), outDir, ckpt)
+    q.awaitTermination(120000)
+
+    val bronze = spark.read.parquet(outDir)
+    assert(bronze.count() == 80)
+    // partitioned layout exists (ingest_date=...)
+    assert(bronze.columns.contains("ingest_date"))
+    assert(bronze.select("event_id").distinct().count() == 80)
+
+    // restart with a replayed file: checkpoint must not reprocess old files
+    writeBatchFile((81 to 90).map(ev), s"$srcDir/batch3.parquet")
+    val q2 = EventStreamIngest.bronzeSink(
+      EventStreamIngest.fromFiles(spark, srcDir), outDir, ckpt)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(outDir).count() == 90)
+
+    // loader-side anti-join dedup still guards re-delivered payloads
+    val raw = spark.read.parquet(outDir)
+      .select(LogisticsEvent.schema.fieldNames.map(col): _*)
+    val replay = spark.createDataFrame((86 to 95).map(ev))  // 5 dup + 5 new
+    val fresh = RawLoader.dedupAgainst(replay, raw)
+    assert(fresh.count() == 5)
+  }
+
+  test("streaming minute counts aggregate with watermark (batch-checked)") {
+    val s = spark
+    import s.implicits._
+    // static-frame semantics check of the same expression tree
+    val df = spark.createDataFrame((1 to 120).map(ev))
+    val counts = EventStreamIngest.minuteCounts(df)
+    assert(counts.agg(sum("event_count")).head().getLong(0) == 120L)
+  }
+
+  test("streaming dedup drops in-watermark duplicates") {
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-dedup").toString
+    val srcDir = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
+    writeBatchFile((1 to 20).map(ev) ++ (11 to 20).map(ev), s"$srcDir/b.parquet")
+    val deduped = EventStreamIngest.withStreamingDedup(
+      EventStreamIngest.fromFiles(spark, srcDir))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedup_out").count() == 20)
+  }
+}
