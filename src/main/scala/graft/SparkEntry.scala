@@ -48,6 +48,10 @@ object SparkEntry {
     "f_datetime_extract" -> (Q.fDatetimeExtract _),
     "f_string_compare" -> (Q.fStringCompare _),
     "f_null_functions" -> (Q.fNullFunctions _),
+    "w_row_number_latest" -> (Q.wRowNumberLatest _),
+    "w_running_sum" -> (Q.wRunningSum _),
+    "w_lag_rank" -> (Q.wLagRank _),
+    "a8_approx_count_distinct" -> (Q.a8ApproxCountDistinct _),
     // LLM-training-data operators (documents / embeddings tables)
     "t_token_count" -> (L.tTokenCount _),
     "t_quality_score" -> (L.tQualityScore _),

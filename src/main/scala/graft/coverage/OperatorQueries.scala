@@ -367,6 +367,56 @@ object OperatorQueries {
         (col("source") < "src2").as("source_lt_src2"))
       .orderBy("doc_id")
 
+  // ─────────────────── §2.5 windows (the idiomatic alternative) ────────────
+  // The reference expresses "latest per key" as groupBy+rejoin; these expose
+  // the window forms Spark makes native. Ordering keys are integral
+  // (event_id) — ns-vs-µs timestamp truncation must not decide rank ties.
+
+  /** Latest event per user via row_number (the dim_order groupBy+rejoin idiom). */
+  def wRowNumberLatest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(desc("event_id"))
+    T(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type")
+      .orderBy("user_id")
+  }
+
+  /** Running per-user sum (exact decimal accumulation) + event index. */
+  def wRunningSum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"),
+        row_number().over(w).as("event_idx"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** lag/lead + dense_rank over per-user event sequences. */
+  def wLagRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        lag("event_type", 1).over(w).as("prev_type"),
+        lead("event_type", 1).over(w).as("next_type"),
+        dense_rank().over(Window.partitionBy("user_id")
+          .orderBy(col("event_type"))).as("type_rank"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** A8's 100 TB variant: approximate distinct (HLL) next to the exact count.
+    * Sketch values are engine-specific → rows-only check; the ScalaTest
+    * asserts the approximation lands within rsd of exact. */
+  def a8ApproxCountDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .agg(approx_count_distinct("user_id", 0.02).as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+
   /** NULLIF / COALESCE / conditional projection. */
   def fNullFunctions(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")

@@ -212,6 +212,27 @@ object OracleSql {
         |       nullif(event_type, 'view') AS type_or_null
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "w_row_number_latest" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "w_running_sum" ->
+      """SELECT user_id, event_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS event_idx
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "w_lag_rank" ->
+      """SELECT user_id, event_id,
+        |       lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+        |       lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type,
+        |       dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
     "t_token_count" ->
       """SELECT doc_id,
         |       CASE WHEN trim(text) = '' OR text IS NULL THEN 0

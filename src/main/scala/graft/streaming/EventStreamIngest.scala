@@ -45,6 +45,25 @@ object EventStreamIngest {
       .select(from_json(col("value").cast("string"), LogisticsEvent.schema).as("e"))
       .select("e.*")
 
+  /**
+   * Kafka sink, keyed by order_id (S11 — the producer side of the reference's
+   * generator, `src/api/generator.py:104-117`): JSON value, `order_id` key so
+   * a partition sees each order's events in order. Requires a broker;
+   * compile-checked here, driven in environments that have one.
+   */
+  def toKafkaSink(events: DataFrame, bootstrap: String,
+                  topic: String = "logistics-events",
+                  checkpointDir: String): StreamingQuery =
+    events
+      .selectExpr("CAST(order_id AS STRING) AS key",
+        "to_json(struct(*)) AS value")
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** File-drop source with the same downstream contract (used by tests and
     * object-store landing zones; one file ≈ one producer batch). */
   def fromFiles(spark: SparkSession, dir: String,

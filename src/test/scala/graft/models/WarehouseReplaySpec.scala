@@ -90,6 +90,25 @@ class WarehouseReplaySpec extends SparkSuite {
     assert(r.getAs[String]("latest_event").startsWith("2026-"))
   }
 
+  test("remaining dashboard queries: map, weights, trend, dq rollup, recent-20") {
+    val map = DashboardQueries.activeShipments(w)
+    assert(map.count() > 0)
+    assert(map.filter(col("status") === "Delivered").count() == 0)
+
+    assert(DashboardQueries.weightDistribution(w).count() == 617)
+
+    val trend = DashboardQueries.ingestionTrend(w).collect()
+    assert(trend.nonEmpty && trend.length <= 60)
+    assert(trend.map(_.getAs[Long]("event_count")).forall(_ > 0))
+
+    val dq = DashboardQueries.dqIssues(w).collect()
+    assert(dq.length == 1 &&
+      dq.head.getAs[String]("invalid_reason") == "INVALID_ESTIMATED_DELIVERY" &&
+      dq.head.getAs[Long]("total_invalid") == 73L)
+
+    assert(DashboardQueries.recentRaw(w).count() == 20)
+  }
+
   test("dbt-style schema test suite passes end to end") {
     val failures = DbtStyleTests.suite(w).filterNot(_.passed)
     assert(failures.isEmpty, s"failing tests: $failures")
