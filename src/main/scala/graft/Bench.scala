@@ -20,9 +20,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle width: bench datasets are ≤1M rows — 8 post-shuffle partitions
+    // keep every core busy without paying 32 tasks' scheduling overhead per
+    // sub-second stage. (Production sessions size this to cluster cores.)
+    val shufflePartitions = math.min(cpus.toInt, 8).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "false")

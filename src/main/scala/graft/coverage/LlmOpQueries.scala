@@ -23,14 +23,20 @@ object LlmOpQueries {
   // partition, serializing every narrow per-row stage onto one core. The
   // sketch/vector operators are compute-bound, so fan the scan out to the
   // session's parallelism first (at real scale the source is many splits and
-  // this is a no-op decision).
+  // this is a no-op decision). Readers are memoized: re-building one re-lists
+  // the path and re-reads the footer on every call.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
-      .repartition(s.sparkContext.defaultParallelism)
+    cache.getOrElseUpdate((s, dir, "documents"),
+      s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism))
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
-      .repartition(s.sparkContext.defaultParallelism)
+    cache.getOrElseUpdate((s, dir, "embeddings"),
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .repartition(s.sparkContext.defaultParallelism))
 
   /** Whitespace + BPE-ish token counts per document (oracle-checked). */
   def tTokenCount(s: SparkSession, dir: String): DataFrame =

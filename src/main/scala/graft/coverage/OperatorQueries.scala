@@ -26,9 +26,16 @@ import org.apache.spark.sql.types.DecimalType
  */
 object OperatorQueries {
 
+  // Memoized per-(session, dir) readers: re-building a reader re-lists the
+  // path and re-reads the parquet footer on every query — pure fixed overhead
+  // when the same 10 tables serve dozens of queries per run.
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(s, dir)
-    else s.read.parquet(s"$dir/$name.parquet")
+    tableCache.getOrElseUpdate((s, dir, name),
+      if (name == "events") events(s, dir)
+      else s.read.parquet(s"$dir/$name.parquet"))
 
   /**
    * The events table carries a nanosecond-precision parquet timestamp, which

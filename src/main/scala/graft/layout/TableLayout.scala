@@ -1,0 +1,66 @@
+package graft.layout
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical table layout for scale: small-file compaction and bucketing.
+ *
+ * The reference's ingest writes one parquet file per 50-event micro-batch
+ * (`consumer_to_minio.py:33`) — at 100 TB/day that is millions of files/day:
+ * unbounded listing time, footer-read amplification, and scheduler pressure.
+ * SURVEY §7.4.5 flags compaction as the deliberate deviation; this module is
+ * that deviation.
+ *
+ * Bucketing pre-shuffles a table ONCE at write time so every later
+ * equi-join/aggregation on the bucket key runs shuffle-free — the standard
+ * trade for fact tables that are joined on the same key by many queries.
+ */
+object TableLayout {
+
+  /**
+   * Rewrite a directory of many small parquet files into ~targetBytes files.
+   * Reads once, writes once; the repartition count is derived from actual
+   * on-disk size. Output lands in `outDir` (callers swap directories
+   * atomically — never compact in place).
+   */
+  def compactSmallFiles(spark: SparkSession, inDir: String, outDir: String,
+                        targetBytes: Long = 128L << 20): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inDir)).getLength
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(outDir)
+    parts.toLong
+  }
+
+  /**
+   * Write `df` as a bucketed+sorted managed table on `key`. Joins and
+   * aggregations on `key` between tables bucketed with the same count then
+   * plan WITHOUT an Exchange on either side (verified by `TableLayoutSpec`).
+   */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 32): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Count parquet data files under a directory (compaction observability). */
+  def dataFileCount(spark: SparkSession, dir: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+}

@@ -40,6 +40,9 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("fact_event: six left joins, every one broadcast, fact side never shuffles") {
+    // other suites may have cached this same plan — a CacheManager hit would
+    // render an InMemoryRelation (whose stored plan double-counts the joins)
+    spark.catalog.clearCache()
     val raw = spark.read.parquet(fixturePath("raw_logistics.parquet"))
     val w = Warehouse.fromRaw(raw)
     val p = plan(w.factEvent)
