@@ -54,6 +54,8 @@ object SparkEntry {
     "w_running_sum" -> (Q.wRunningSum _),
     "w_lag_rank" -> (Q.wLagRank _),
     "a8_approx_count_distinct" -> (Q.a8ApproxCountDistinct _),
+    "a_rollup" -> (Q.aRollup _),
+    "a_pivot" -> (Q.aPivot _),
     // LLM-training-data operators (documents / embeddings tables)
     "t_token_count" -> (L.tTokenCount _),
     "t_quality_score" -> (L.tQualityScore _),

@@ -336,6 +336,22 @@ object OperatorQueries {
       .orderBy(desc("minute"))
       .limit(60)
 
+  /** ROLLUP hierarchy totals (beyond-reference; grouping-set machinery). */
+  def aRollup(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Pivot with explicit values (beyond-reference; compiled to conditional aggs). */
+  def aPivot(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("l_returnflag")
+
   // ─────────────────────────── §2.6 sorts / top-k ──────────────────────────
 
   /** O2/O3: ORDER BY derived metric DESC + LIMIT (TakeOrderedAndProject), ties broken. */

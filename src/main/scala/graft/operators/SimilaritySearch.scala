@@ -99,23 +99,29 @@ object SimilaritySearch {
     val q = queries.select(col(qIdCol).as("query_id"),
       normalized(col(qVecCol)).as("qv"))
 
-    def buckets(df: DataFrame, vc: String): DataFrame =
-      df.select(df.columns.map(col) :+
+    // (id, table, bucket) streams only — a distinct over the wide vector
+    // columns would shuffle 2×64 floats per candidate row; vectors re-attach
+    // after the id-level dedup (corpus side by join, query side broadcast).
+    def buckets(df: DataFrame, idName: String, vc: String): DataFrame =
+      df.select(col(idName),
         posexplode(array((0 until nTables).map(t =>
-          lshSketch(col(vc), t, nBits)): _*)): _*)
+          lshSketch(col(vc), t, nBits)): _*)))
         .withColumnRenamed("pos", "table")
         .withColumnRenamed("col", "bucket")
 
-    val cb = buckets(c, "cv")
-    val qb = buckets(q, "qv")
+    val cb = buckets(c, "corpus_id", "cv")
+    val qb = buckets(q, "query_id", "qv")
     val candidates = cb.join(qb, Seq("table", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .select("query_id", "qv", "corpus_id", "cv")
+      .select("query_id", "corpus_id")
       .distinct()
+    val scored = candidates
+      .join(c, Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", dot(col("cv"), col("qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cosine"), asc("corpus_id"))
-    candidates.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
   }
@@ -128,18 +134,20 @@ object SimilaritySearch {
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nTables: Int = 16, nBits: Int = 6): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), normalized(col(vecCol)).as("v"))
-    val cb = c.select(col("id"), col("v"),
+    val cb = c.select(col("id"),
       posexplode(array((0 until nTables).map(t =>
         lshSketch(col("v"), t, nBits)): _*)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
-    cb.as("a").join(cb.as("b"),
+    val candidates = cb.as("a").join(cb.as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    candidates
+      .join(c.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(c.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cosine", dot(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
