@@ -102,10 +102,13 @@ object LlmOpQueries {
     d.unionByName(mutated)
   }
 
-  /** MinHash-LSH near-duplicate pairs, Jaccard-verified (rows-only). */
+  /** MinHash-LSH near-duplicate pairs, Jaccard-verified (rows-only).
+    * 32 hashes × 8 bands: the small-sketch config — near-dup detection at
+    * 0.7 Jaccard needs band rows of ~4 (collision prob ≈ j^4 per band), and
+    * halving the signature halves the dominant per-row cost. */
   def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicatePairs(nearDupCorpus(s, dir), "doc_id", "text",
-        threshold = 0.7)
+        threshold = 0.7, numHashes = 32, bands = 8)
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
           .as("n_planted_found"))
