@@ -71,20 +71,15 @@ object Dedup {
     shinglesOfTokens(tokens(text), k)
 
   /**
-   * MinHash signature over a precomputed shingle array: for each of
-   * `numHashes` hash functions (xxhash64 seeded by the function index), the
-   * minimum over the shingle set. Base shingle hashes are computed ONCE and
-   * re-seeded per function with a cheap avalanche mix, so the per-row cost is
-   * O(|shingles| + numHashes·|shingles|) long-ops, not numHashes string
-   * hashes of the whole array.
+   * One-permutation MinHash signature over a precomputed shingle array:
+   * shingles are hashed once, bucketed into `numHashes` slots, slot minima
+   * form the signature (rotation-densified). Single pass per row via the
+   * custom Catalyst expression [[graft.expressions.MinHashSignatureExpr]] —
+   * numHashes× cheaper than evaluating k independent hash functions.
    */
-  def minhashSignatureOfShingles(sh: Column, numHashes: Int = 64): Column = {
-    val baseHashes = transform(sh, x => xxhash64(x))
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(baseHashes,
-        h => xxhash64(h, i))))   // re-seed by hashing (base, i) — long input, cheap
-  }
+  def minhashSignatureOfShingles(sh: Column, numHashes: Int = 64): Column =
+    graft.expressions.SketchExpressions.minhash_signature(
+      transform(sh, x => xxhash64(x)), numHashes)
 
   /** MinHash signature from raw text (convenience; one shingle pass). */
   def minhashSignature(text: Column, numHashes: Int = 64): Column =
@@ -219,19 +214,10 @@ object Dedup {
    * than half the tokens have bit b set. Pure expressions (bitwise ops over
    * an exploded bit sequence folded back with aggregate).
    */
-  /** SimHash sketch from a precomputed token-hash array (one hash pass). */
-  def simhashOfHashes(hashes: Column): Column = {
-    val n = size(hashes)
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => {
-        val ones = size(filter(hashes,
-          h => call_function("shiftright", h, b).bitwiseAND(1L) === 1L))
-        acc.bitwiseOR(
-          when(ones * 2 > n, call_function("shiftleft", lit(1L), b)).otherwise(0L))
-      })
-  }
+  /** SimHash sketch from a precomputed token-hash array (one imperative pass,
+    * [[graft.expressions.SimHash64Expr]]). */
+  def simhashOfHashes(hashes: Column): Column =
+    graft.expressions.SketchExpressions.simhash64(hashes)
 
   /** Token hashes for [[simhashOfHashes]]. */
   def tokenHashes(text: Column): Column =

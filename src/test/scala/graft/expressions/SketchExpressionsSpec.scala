@@ -1,0 +1,60 @@
+package graft.expressions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SketchExpressionsSpec extends SparkSuite {
+
+  test("minhash_signature: fixed length, deterministic, equal for equal sets") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(10L, 20L, 30L, 40L)),
+      (2L, Seq(40L, 30L, 20L, 10L)),   // same SET, different order
+      (3L, Seq(10L, 20L, 30L, 41L))).toDF("id", "hashes")
+    val sigs = df.select(col("id"),
+      SketchExpressions.minhash_signature(col("hashes"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length == 8)
+    assert(sigs(1L) == sigs(2L))           // order-insensitive
+    assert(sigs(1L) != sigs(3L))           // one element differs
+    // densification filled every slot (4 elements into 8 buckets)
+    assert(!sigs(1L).contains(Long.MaxValue))
+  }
+
+  test("minhash_signature agreement tracks Jaccard on larger random-ish sets") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 200).map(i => i.toLong * 2654435761L)
+    val near = base.drop(10) ++ (1 to 10).map(i => i.toLong * 97531L)  // j≈0.9
+    val far = (1 to 200).map(i => (i + 10000).toLong * 2654435761L)    // j≈0
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "hashes")
+    val sig = df.select(col("id"),
+      SketchExpressions.minhash_signature(col("hashes"), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(agree(sig(1L), sig(2L)) > 0.6)
+    assert(agree(sig(1L), sig(3L)) < 0.2)
+  }
+
+  test("simhash64 equals the reference bit-majority computation") {
+    val s = spark
+    import s.implicits._
+    val hashes = Seq(0x0F0FL, 0x0F00L, 0x000FL)
+    val df = Seq((1L, hashes)).toDF("id", "hashes")
+    val sk = df.select(SketchExpressions.simhash64(col("hashes"))).head().getLong(0)
+    // bit b set iff >1 of the 3 inputs have it: 0x0F0F&0x0F00 bits → 0x0F00,
+    // 0x0F0F&0x000F → 0x000F, 0x0F00&0x000F → 0 ⇒ majority = 0x0F0F
+    assert(sk == 0x0F0FL)
+  }
+
+  test("SQL registration exposes both functions") {
+    SketchExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT simhash64(array(1L, 3L, 3L)) AS sk, minhash_signature(array(5L, 9L), 4) AS sig")
+      .head()
+    assert(r.getLong(0) == 3L)             // majority of {1,3,3} bits = 3
+    assert(r.getSeq[Long](1).length == 4)
+  }
+}
