@@ -106,6 +106,55 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * Sign-LSH sketch of an `array<float>` vector: `nBits` sign bits of
+ * projections onto pseudo-random hyperplanes derived from a splitmix64 mix of
+ * (table, bit, dim) — deterministic, no fitted model. One imperative pass over
+ * dims × bits replaces nBits × dim interpreted `zip_with` lambda evals.
+ */
+case class SignLshSketchExpr(child: Expression, table: Int, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_lsh_sketch"
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private lazy val elementIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false   // array<double> (e.g. post-normalization)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    var sk = 0L
+    var b = 0
+    while (b < nBits) {
+      val seed = table.toLong * 0x100000001B3L + b
+      var proj = 0.0
+      var d = 0
+      while (d < dim) {
+        val comp = mix(seed * 0x9E3779B1L + d).toDouble / Long.MaxValue
+        val x = if (elementIsFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        proj += x * comp
+        d += 1
+      }
+      if (proj >= 0.0) sk |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sk)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -117,6 +166,11 @@ object SketchExpressions {
   /** Column wrapper: 64-bit SimHash of an array<long> hash column. */
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(hashes)))
+
+  /** Column wrapper: sign-LSH sketch of an array<float> vector column. */
+  def sign_lsh_sketch(vec: Column, table: Int, nBits: Int): Column =
+    ColumnBridge.column(
+      SignLshSketchExpr(ColumnBridge.expression(vec), table, nBits))
 
   /** SQL registration: `SELECT minhash_signature(hashes, 32), simhash64(hashes)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

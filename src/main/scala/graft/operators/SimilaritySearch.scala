@@ -64,26 +64,12 @@ object SimilaritySearch {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
-  /**
-   * Deterministic pseudo-random hyperplane component for (table, bit, dim):
-   * xxhash64 mapped to [-1, 1]. No fitted model, reproducible across runs.
-   */
-  private def planeComponent(table: Int, bit: Column, dim: Column): Column =
-    (xxhash64(lit(table), bit, dim).cast("double") / lit(Long.MaxValue.toDouble))
-
-  /** `nBits` sign bits of projections onto hash-derived hyperplanes. */
+  /** `nBits` sign bits of projections onto hash-derived hyperplanes — one
+    * imperative pass via [[graft.expressions.SignLshSketchExpr]] (the
+    * higher-order-function formulation evaluated nBits × dim interpreted
+    * lambdas per vector). */
   def lshSketch(vec: Column, table: Int, nBits: Int = 16): Column =
-    aggregate(
-      sequence(lit(0), lit(nBits - 1)),
-      lit(0L),
-      (acc, b) => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, d) => x * planeComponent(table, b, d)),
-          lit(0.0d), (a2, v) => a2 + v)
-        acc.bitwiseOR(
-          when(proj >= 0.0, call_function("shiftleft", lit(1L), b)).otherwise(0L))
-      })
+    graft.expressions.SketchExpressions.sign_lsh_sketch(vec, table, nBits)
 
   /**
    * ANN top-k via sign-LSH bucket collisions across `nTables` tables,
