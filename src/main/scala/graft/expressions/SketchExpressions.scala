@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -155,6 +155,162 @@ case class SignLshSketchExpr(child: Expression, table: Int, nBits: Int)
     copy(child = newChild)
 }
 
+/**
+ * Marker-token language ID over an `array<string>` token column: each
+ * candidate language scores the number of tokens (with repeats) found in its
+ * marker set; argmax wins, ties broken by language-code order, zero score →
+ * "und". One pass over the tokens with hash-set probes — the
+ * `filter(toks, array_contains(markers, t))`-per-language formulation
+ * evaluates interpreted (|langs| × |toks| × |markers| tree walks per row).
+ */
+case class LanguageIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "language_id"
+
+  // langs in code order (the tie-break), each with a hashed marker set
+  @transient private lazy val langs: Array[(UTF8String, Set[UTF8String])] =
+    markers.sortBy(_._1).map { case (lang, ms) =>
+      (UTF8String.fromString(lang), ms.map(UTF8String.fromString).toSet)
+    }.toArray
+  @transient private lazy val und = UTF8String.fromString("und")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val scores = new Array[Int](langs.length)
+    var i = 0
+    while (i < n) {
+      val tok = arr.getUTF8String(i)
+      var l = 0
+      while (l < langs.length) {
+        if (langs(l)._2.contains(tok)) scores(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < langs.length) {
+      if (scores(l) > scores(best)) best = l // strict: ties keep first (code order)
+      l += 1
+    }
+    if (scores(best) == 0) und else langs(best)._1
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Element accessor shared by the vector expressions: arrays arrive as
+  * `array<float>` (raw embeddings) or `array<double>` (post-normalization). */
+private[expressions] object VectorElem {
+  def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @inline def get(arr: ArrayData, i: Int, float: Boolean): Double =
+    if (float) arr.getFloat(i).toDouble else arr.getDouble(i)
+}
+
+/**
+ * Dot product of two numeric-array vectors — one imperative pass with a
+ * double accumulator. Replaces `aggregate(zip_with(a, b, _*_), 0.0, _+_)`,
+ * whose lambdas evaluate INTERPRETED per element (dim × 2 tree walks per
+ * pair; the dominant cost of brute-force cosine top-k at bench scale).
+ */
+case class VectorDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  private lazy val lFloat = VectorElem.isFloat(left.dataType)
+  private lazy val rFloat = VectorElem.isFloat(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += VectorElem.get(x, i, lFloat) * VectorElem.get(y, i, rFloat)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of a numeric-array vector (one pass, double accumulator). */
+case class VectorNormExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_norm"
+
+  private lazy val isFloat = VectorElem.isFloat(child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = VectorElem.get(arr, i, isFloat)
+      acc += x * x
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(acc))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Unit-normalize a numeric-array vector → `array<double>`; zero vectors pass
+ * through unchanged (cosine against them is defined as 0 downstream).
+ */
+case class NormalizeVectorExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "normalize_vector"
+
+  private lazy val isFloat = VectorElem.isFloat(child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = VectorElem.get(arr, i, isFloat)
+      out(i) = x
+      acc += x * x
+      i += 1
+    }
+    val norm = math.sqrt(acc)
+    if (norm > 0.0) {
+      var j = 0
+      while (j < n) { out(j) /= norm; j += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -172,12 +328,53 @@ object SketchExpressions {
     ColumnBridge.column(
       SignLshSketchExpr(ColumnBridge.expression(vec), table, nBits))
 
+  /** Column wrapper: dot product of two numeric-array vector columns. */
+  def vector_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      VectorDotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: L2 norm of a numeric-array vector column. */
+  def vector_norm(v: Column): Column =
+    ColumnBridge.column(VectorNormExpr(ColumnBridge.expression(v)))
+
+  /** Column wrapper: unit-normalize a numeric-array vector column. */
+  def normalize_vector(v: Column): Column =
+    ColumnBridge.column(NormalizeVectorExpr(ColumnBridge.expression(v)))
+
+  /** Column wrapper: marker-set language ID of an array<string> token column. */
+  def language_id(tokens: Column, markers: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(LanguageIdExpr(ColumnBridge.expression(tokens), markers))
+
   /** SQL registration: `SELECT minhash_signature(hashes, 32), simhash64(hashes)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature",
-      exprs => MinHashSignatureExpr(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+      exprs => {
+        // The numHashes argument configures the expression at plan time — it
+        // must be a literal; evaluating a non-foldable expression here would
+        // run it against a null row with a confusing NPE. Integral literals
+        // of any width are accepted (SQL integer literals default to INT, but
+        // `32L` is legal and means the same thing).
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"minhash_signature(hashes, numHashes) takes 2 arguments, got ${exprs.length}")
+        if (!exprs(1).foldable)
+          throw new IllegalArgumentException(
+            "minhash_signature: numHashes must be a literal integer, got non-foldable " +
+              exprs(1).sql)
+        val k = exprs(1).eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long if l >= 1 && l <= Int.MaxValue => l.intValue()
+          case s: java.lang.Short => s.intValue()
+          case b: java.lang.Byte => b.intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature: numHashes must be an integral literal, got $other " +
+              s"of type ${exprs(1).dataType.simpleString}")
+        }
+        if (k < 1) throw new IllegalArgumentException(
+          s"minhash_signature: numHashes must be >= 1, got $k")
+        MinHashSignatureExpr(exprs.head, k)
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
   }

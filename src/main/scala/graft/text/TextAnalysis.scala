@@ -79,18 +79,13 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "für", "von"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "中", "不"))
 
-  def languageId(text: Column): Column = {
-    val toks = tokens(text)
-    // struct(score DESC via negation, lang ASC) → array_min = best
-    val scored = languageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      val arr = array(markers.map(lit): _*)
-      struct(
-        (-size(filter(toks, tk => array_contains(arr, tk)))).as("neg_score"),
-        lit(lang).as("lang"))
-    }
-    val best = array_min(array(scored: _*))
-    when(best.getField("neg_score") < 0, best.getField("lang")).otherwise("und")
-  }
+  /** One pass over the tokens via [[graft.expressions.LanguageIdExpr]]: the
+    * per-language `filter(toks, array_contains(markers, tk))` formulation
+    * evaluated interpreted — |langs| × |tokens| × |markers| expression-tree
+    * walks per document. */
+  def languageId(text: Column): Column =
+    graft.expressions.SketchExpressions.language_id(
+      tokens(text), languageMarkers.toSeq)
 
   /**
    * Document fingerprint: content-defined rolling-hash flavor — the minimum

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc timing probe (not part of the library surface): runs a handful of
+  * queries many times and prints min/median, to separate host-steal noise
+  * from real per-query cost while tuning the bench floor. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "a4_daily_count", "a8_count_distinct", "p8_range_predicate",
+      "a2_distinct", "p6_case_label", "j2_role_playing_join",
+      "w_row_number_latest", "a1_group_multi_agg")
+    // warmup
+    names.foreach(n => graft.SparkEntry.queries(n)(spark, sfDir).count())
+    for (n <- names) {
+      val fn = graft.SparkEntry.queries(n)
+      val ts = (1 to 10).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"$n%-28s min=${ts.head}%.3f p50=${ts(4)}%.3f max=${ts.last}%.3f")
+    }
+    spark.stop()
+  }
+}
