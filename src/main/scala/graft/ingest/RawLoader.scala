@@ -58,6 +58,13 @@ object RawLoader {
   /**
    * Full incremental load: create-or-append into a parquet table directory.
    * First run = CTAS; subsequent runs = anti-join append (`_init_duckdb.py:43-69`).
+   *
+   * The loaded-row count rides the write itself via `observe()` — counting
+   * first and then writing would evaluate the incoming-scan + anti-join
+   * twice, i.e. two full passes over the load at scale (round-1 verdict
+   * finding #2). The trade: an empty increment still performs the (empty)
+   * append, which may leave a zero-row part file — semantically invisible
+   * to readers.
    */
   def load(spark: SparkSession, bronzeGlob: String, tableDir: String): Long = {
     val incoming = withIngestionTs(readBronze(spark, bronzeGlob))
@@ -68,8 +75,9 @@ object RawLoader {
       if (!exists) incoming
       else dedupAgainst(incoming,
         spark.read.schema(LogisticsEvent.rawSchema).parquet(tableDir))
-    val n = toWrite.count()
-    if (n > 0) toWrite.write.mode("append").parquet(tableDir)
-    n
+    val obs = org.apache.spark.sql.Observation("raw_load")
+    toWrite.observe(obs, count(lit(1)).as("n_loaded"))
+      .write.mode("append").parquet(tableDir)
+    obs.get("n_loaded").asInstanceOf[Long]
   }
 }

@@ -16,11 +16,20 @@ import graft.functions.surrogateKey
  * — another lexicographic string comparison (SURVEY §1.4.1); NULL comparison
  * yields false via the CASE's ELSE branch.
  *
- * Scale notes (100 TB): dims are orders of magnitude smaller than the fact, so
- * every join is an explicit `broadcast()` — the fact side never shuffles.
- * dim_order is the largest (≈ distinct orders); if it outgrew broadcast
- * range, the fallback is a sort-merge join on `order_id` with the fact
- * pre-bucketed by `order_id` — noted, not needed at reference scale.
+ * Scale notes (100 TB): the broadcasts are SIZE-GATED by what each dim can
+ * grow to. `dim_status` (enumerated statuses), `dim_carrier` (carriers), and
+ * `dim_location` (origins/destinations) are bounded small-cardinality
+ * dimensions — explicit `broadcast()` so the fact side never shuffles for
+ * them. `dim_order` and `dim_time` are LINEAR-ISH IN THE FACT (≈ one row per
+ * distinct order / per distinct event timestamp — dim_time is keyed on the
+ * full ISO string): an unconditional broadcast hint on them is a
+ * driver/executor OOM at 100× the reference scale, so they carry NO hint.
+ * The planner then picks: auto-broadcast when runtime stats say they fit
+ * (`spark.sql.autoBroadcastJoinThreshold`, or AQE's runtime conversion), and
+ * a shuffle join otherwise — which becomes an Exchange-free sort-merge join
+ * when fact and dim are bucketed on `order_id` via
+ * [[graft.layout.TableLayout.writeBucketed]] (PlanShapeSpec proves both the
+ * SMJ fallback and the zero-shuffle bucketed plan).
  */
 object Facts {
 
@@ -33,8 +42,8 @@ object Facts {
       dimCarrier: DataFrame): DataFrame = {
 
     val e = valid.as("e")
-    val ord = broadcast(dimOrder.select("order_sk", "order_id", "latest_event_timestamp")).as("ord")
-    val tim = broadcast(dimTime.select("time_sk", "full_timestamp")).as("tim")
+    val ord = dimOrder.select("order_sk", "order_id", "latest_event_timestamp").as("ord")
+    val tim = dimTime.select("time_sk", "full_timestamp").as("tim")
     val sta = broadcast(dimStatus.select("status_sk", "status_name")).as("sta")
     val loc = dimLocation.select("location_sk", "location_name")
     val locOrig = broadcast(loc).as("loc_orig")

@@ -39,18 +39,74 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("fact_event: six left joins, every one broadcast, fact side never shuffles") {
+  test("fact_event: six left joins, every one broadcast at reference scale") {
     // other suites may have cached this same plan — a CacheManager hit would
     // render an InMemoryRelation (whose stored plan double-counts the joins)
     spark.catalog.clearCache()
     val raw = spark.read.parquet(fixturePath("raw_logistics.parquet"))
     val w = Warehouse.fromRaw(raw)
     val p = plan(w.factEvent)
+    // status/carrier/location×2 are hinted; order/time carry no hint but
+    // auto-broadcast here because planner stats say they fit the threshold
     assert(!p.contains("SortMergeJoin"), "a dim join fell back to SMJ: " + p)
-    // all six dim joins broadcast (the dims' internal aggregations may
-    // hash-partition — that's the dim build, not the fact side)
     val bhj = "BroadcastHashJoin".r.findAllIn(p).size
     assert(bhj == 6, s"expected 6 broadcast joins, got $bhj: " + p)
+  }
+
+  test("fact_event: outgrown order/time dims degrade to SMJ, bounded dims stay broadcast") {
+    // Simulate dim_order/dim_time outgrowing broadcast range (they are
+    // linear-ish in the fact) by disabling auto-broadcast: the unhinted joins
+    // must fall back to a shuffle join, while the size-gated explicit hints
+    // on status/location×2/carrier keep those broadcast regardless.
+    spark.catalog.clearCache()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val raw = spark.read.parquet(fixturePath("raw_logistics.parquet"))
+      val w = Warehouse.fromRaw(raw)
+      val p = plan(w.factEvent)
+      val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+      val smj = "SortMergeJoin".r.findAllIn(p).size
+      assert(bhj == 4, s"expected the 4 hinted broadcasts to survive, got $bhj: " + p)
+      assert(smj >= 2, s"expected order+time joins to shuffle-join, got $smj: " + p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("fact_event: bucketed fact+dim_order join is SMJ with zero shuffle") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.catalog.clearCache()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val raw = spark.read.parquet(fixturePath("raw_logistics.parquet"))
+      val w = Warehouse.fromRaw(raw)
+      graft.layout.TableLayout.writeBucketed(w.valid, "valid_b", "order_id", buckets = 8)
+      graft.layout.TableLayout.writeBucketed(
+        w.dimOrder, "dim_order_b", "order_id", buckets = 8)
+      val fact = graft.models.Facts.factEvent(
+        spark.table("valid_b"), spark.table("dim_order_b"),
+        w.dimTime, w.dimStatus, w.dimLocation, w.dimCarrier)
+      // unwrap AQE's root (its wrapped plan is not a child for collect)
+      val root = fact.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      val orderJoins = root.collect {
+        case smj: SortMergeJoinExec
+            if smj.leftKeys.exists(_.references.exists(_.name == "order_id")) => smj
+      }
+      assert(orderJoins.nonEmpty, "order join did not plan as SMJ:\n" + root)
+      val shuffles = orderJoins.head.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        "bucketed order join still shuffles:\n" + orderJoins.head)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS valid_b")
+      spark.sql("DROP TABLE IF EXISTS dim_order_b")
+    }
   }
 
   test("anti-join dedup broadcasts the key set (no full shuffle of incoming)") {
