@@ -122,10 +122,16 @@ object LlmOpQueries {
           sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
             .as("n_planted_found")))
 
-  /** SimHash near-duplicate pairs within Hamming ≤ 3 (rows-only, memoized). */
+  /** SimHash (128-bit, tf-weighted) near-duplicate pairs (rows-only,
+    * memoized). maxHamming 12: the testdata docs are short (~30 tokens), so
+    * the one-token planted mutation shifts up to ~12 of 128 bits — measured
+    * planted-pair distances span 1-12 on this corpus; 12/128 is the radius
+    * that captures all 50 planted pairs (recall beyond the 8-chunk pigeonhole
+    * guarantee of 7 is probabilistic, and complete here). */
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "__q_simhash_pairs"),
-      Dedup.simhashNearDuplicates(nearDupCorpus(s, dir), "doc_id", "text")
+      Dedup.simhashNearDuplicates(nearDupCorpus(s, dir), "doc_id", "text",
+          maxHamming = 12)
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
             .as("n_planted_found")))

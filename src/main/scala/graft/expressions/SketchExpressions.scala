@@ -107,6 +107,56 @@ case class SimHash64Expr(child: Expression)
 }
 
 /**
+ * 128-bit SimHash from an `array<long>` of element hashes: the sketch is two
+ * 64-bit words; word 0 votes with the element hash itself, word 1 with a
+ * splitmix64 remix of it (a second independent hash stream without a second
+ * tokenization pass). Doubling the sketch width halves the bit-collision
+ * density that makes 64-bit SimHash chunks collide broadly on small-vocab
+ * corpora (round-1 verdict: precision weak, buckets tripping the skew guard).
+ */
+case class SimHash128Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash128"
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](128)
+    var i = 0
+    while (i < n) {
+      val h0 = arr.getLong(i)
+      val h1 = mix(h0)
+      var b = 0
+      while (b < 64) {
+        if (((h0 >>> b) & 1L) == 1L) counts(b) += 1
+        if (((h1 >>> b) & 1L) == 1L) counts(64 + b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    val words = new Array[Long](2)
+    var b = 0
+    while (b < 128) {
+      if (counts(b) * 2 > n) words(b >>> 6) |= (1L << (b & 63))
+      b += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Sign-LSH sketch of an `array<float>` vector: `nBits` sign bits of
  * projections onto pseudo-random hyperplanes derived from a splitmix64 mix of
  * (table, bit, dim) — deterministic, no fitted model. One imperative pass over
@@ -322,6 +372,11 @@ object SketchExpressions {
   /** Column wrapper: 64-bit SimHash of an array<long> hash column. */
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(hashes)))
+
+  /** Column wrapper: 128-bit SimHash (array<long> of 2 words) of an
+    * array<long> hash column. */
+  def simhash128(hashes: Column): Column =
+    ColumnBridge.column(SimHash128Expr(ColumnBridge.expression(hashes)))
 
   /** Column wrapper: sign-LSH sketch of an array<float> vector column. */
   def sign_lsh_sketch(vec: Column, table: Int, nBits: Int): Column =

@@ -68,4 +68,31 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("simhash128 on a shuffled small-vocab corpus: all 50 planted pairs, bounded FPs") {
+    // The round-1 weakness: with a tiny vocabulary every document contains
+    // most of the vocabulary, so DISTINCT-token sketches collapse together.
+    // This fixture is that stress case — 500 docs of 120 tokens drawn from a
+    // 40-word vocab with per-doc deterministic shuffling, 50 planted
+    // near-dups (one appended token). tf-weighted 128-bit sketches must
+    // recover every planted pair and stay precise.
+    val s = spark
+    import s.implicits._
+    val vocab = (0 until 40).map(i => s"w$i")
+    def docText(d: Int): String = {
+      val rnd = new scala.util.Random(d)
+      Seq.fill(120)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val base = (0 until 500).map(d => (d.toLong, docText(d)))
+    val planted = (0 until 500 by 10).map(d => (d + 1000000L, docText(d) + " extraword"))
+    val corpus = (base ++ planted).toDF("doc_id", "text")
+
+    val pairs = Dedup.simhashNearDuplicates(corpus, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val plantedFound = pairs.count(p => p._2 == p._1 + 1000000L)
+    val falsePositives = pairs.length - plantedFound
+    assert(plantedFound == 50, s"found $plantedFound of 50 planted pairs")
+    assert(falsePositives <= 5, s"$falsePositives false positives: " +
+      pairs.filterNot(p => p._2 == p._1 + 1000000L).take(10).mkString(", "))
+  }
 }

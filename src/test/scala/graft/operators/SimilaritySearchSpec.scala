@@ -30,7 +30,7 @@ class SimilaritySearchSpec extends SparkSuite {
     assert(top.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("corpus_id") == 1L)
   }
 
-  test("LSH ANN achieves usable recall against brute force on real embeddings") {
+  test("LSH ANN achieves high recall against brute force on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
     val exact = SimilaritySearch.bruteForceTopK(e, "vec_id", "embedding",
@@ -40,7 +40,21 @@ class SimilaritySearchSpec extends SparkSuite {
       .select("query_id", "corpus_id")
     val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi").count()
     val recall = hits.toDouble / exact.count()
-    assert(recall >= 0.4, s"recall@5 = $recall")   // 16 tables × 6 bits; neighbours are weak (cos≈0.3)
+    // 16 tables × 6 bits with 2-bit multi-probe; neighbours are weak (cos≈0.3)
+    assert(recall >= 0.9, s"recall@5 = $recall")
+  }
+
+  test("multi-probe off still finds exact-bucket collisions (subset of probed)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val strict = SimilaritySearch.lshTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nTables = 8, nBits = 6, multiProbeBits = 0)
+      .select("query_id", "corpus_id")
+    val probed = SimilaritySearch.lshTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nTables = 8, nBits = 6, multiProbeBits = 2)
+    // every strict candidate that survives ranking is drawn from a candidate
+    // set the probed variant also contains — spot-check it returns ≥ as many
+    assert(probed.count() >= strict.count())
   }
 
   test("cosineNearDuplicates finds a planted duplicate vector") {
