@@ -72,11 +72,17 @@ object LlmOpQueries {
       .groupBy("lang_id").agg(count(lit(1)).as("n"))
       .orderBy("lang_id")
 
-  /** Document fingerprints: distinct count + collision stats (rows-only). */
+  /** Document fingerprints: distinct count + collision stats. The canonical
+    * fingerprint here is the lexicographic MIN 3-shingle (engine-independent,
+    * hence DuckDB-oracle-checkable); the production rolling-hash variant
+    * ([[TextAnalysis.fingerprintOfTokens]], xxhash64-min — same robustness,
+    * 8 bytes instead of a string) has no cross-engine twin because which
+    * shingle attains the hash minimum depends on the hash function; it is
+    * covered by `TextAnalysisSpec` instead. */
   def tFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(TextAnalysis.tokens(col("text")).as("toks"))
-      .select(TextAnalysis.fingerprintOfTokens(col("toks")).as("fp"))
+      .select(array_min(Dedup.shinglesOfTokens(col("toks"))).as("fp"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct("fp").as("n_distinct_fps"))
 

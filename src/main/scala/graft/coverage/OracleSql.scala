@@ -14,7 +14,58 @@ package graft.coverage
  */
 object OracleSql {
 
+  /** Language-marker lists as DuckDB array literals, sourced from the same
+    * map the Spark expression uses — no drift between engine and oracle. */
+  private val markers: Map[String, String] =
+    graft.text.TextAnalysis.languageMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
+    }
+
+  /** 3-token shingle set of a token-list column (mirror of
+    * `Dedup.shinglesOfTokens`: positions 1..max(len-2,1), short docs fold
+    * into one truncated shingle, distinct). */
+  private def shingleSql(toks: String): String =
+    s"list_distinct([array_to_string($toks[i:i+2], ' ') " +
+      s"FOR i IN range(1, greatest(len($toks)-2, 1) + 1)])"
+
   val sql: Map[String, String] = Map(
+    "t_language_id" ->
+      s"""WITH tk AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+         |s AS (SELECT
+         |  len(list_filter(t, x -> list_contains(${markers("en")}, x))) AS en,
+         |  len(list_filter(t, x -> list_contains(${markers("es")}, x))) AS es,
+         |  len(list_filter(t, x -> list_contains(${markers("fr")}, x))) AS fr,
+         |  len(list_filter(t, x -> list_contains(${markers("de")}, x))) AS de,
+         |  len(list_filter(t, x -> list_contains(${markers("zh")}, x))) AS zh
+         |FROM tk)
+         |SELECT lang_id, count(*) AS n FROM (
+         |  SELECT CASE WHEN greatest(en, es, fr, de, zh) = 0 THEN 'und'
+         |              WHEN en >= es AND en >= fr AND en >= de AND en >= zh THEN 'en'
+         |              WHEN es >= fr AND es >= de AND es >= zh THEN 'es'
+         |              WHEN fr >= de AND fr >= zh THEN 'fr'
+         |              WHEN de >= zh THEN 'de'
+         |              ELSE 'zh' END AS lang_id
+         |  FROM s)
+         |GROUP BY lang_id ORDER BY lang_id""".stripMargin,
+
+    "t_fingerprint" ->
+      s"""WITH tk AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+         |fp AS (SELECT list_min(${shingleSql("toks")}) AS fp FROM tk)
+         |SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fps FROM fp""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |tk AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ta,
+         |              string_split_regex(trim(lower(text || ' extraword')), '\\s+') AS tb
+         |       FROM d),
+         |sh AS (SELECT ${shingleSql("ta")} AS sa, ${shingleSql("tb")} AS sb FROM tk),
+         |j AS (SELECT CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0
+         |                  ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+         |                       / len(list_distinct(list_concat(sa, sb))) END AS jaccard
+         |      FROM sh)
+         |SELECT count(*) AS n_pairs, min(jaccard) AS min_jaccard,
+         |       CAST(sum(CASE WHEN jaccard > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_half
+         |FROM j""".stripMargin,
     "s4_scan_count" ->
       "SELECT count(*) AS n_rows FROM lineitem",
 
@@ -249,7 +300,7 @@ object OracleSql {
       """SELECT doc_id,
         |       CASE WHEN trim(text) = '' OR text IS NULL THEN 0
         |            ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens,
-        |       len(regexp_extract_all(text, '[\w]+|[^\w\s]')) AS n_bpe_ish,
+        |       COALESCE(len(regexp_extract_all(text, '[\w]+|[^\w\s]')), 0) AS n_bpe_ish,
         |       n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -42,33 +42,59 @@ object DbtStyleTests {
   }
 
   /**
-   * The schema.yml test suite over a built warehouse (SURVEY §5.1.2): keys
-   * not_null+unique on every model, accepted_values on enumerations, and the
-   * six fact→dim relationship tests.
+   * The FULL schema.yml test roster over a built warehouse, mirrored
+   * declaration by declaration from
+   * `logistics_pipeline/models/layer/schema.yml:1-192` (51 tests), plus one
+   * beyond-schema bonus (status_name accepted_values against the conformed
+   * status enumeration). Test names are `kind:column` per model, so the
+   * suite output reads like `dbt test`'s.
    */
   def suite(w: graft.models.Warehouse): Seq[TestResult] = {
     import graft.model.LogisticsEvent.validStatuses
-    val keyTests = Seq(
-      ("stg_logistics_events", w.stg, "event_id"),
-      ("dim_order", w.dimOrder, "order_sk"),
-      ("dim_time", w.dimTime, "time_sk"),
-      ("dim_status", w.dimStatus, "status_sk"),
-      ("dim_location", w.dimLocation, "location_sk"),
-      ("dim_carrier", w.dimCarrier, "carrier_sk"),
-      ("fact_event", w.factEvent, "event_sk")
-    ).flatMap { case (m, df, k) => Seq(
-      TestResult(m, s"not_null:$k", notNull(df, k)),
-      TestResult(m, s"unique:$k", unique(df, k)))
+
+    // (model, frame, not_null columns, unique columns) — schema.yml order
+    val columnTests: Seq[(String, DataFrame, Seq[String], Seq[String])] = Seq(
+      ("stg_logistics_events", w.stg,
+        Seq("event_id", "order_id", "timestamp", "ingestion_timestamp"),
+        Seq("event_id")),
+      ("int_valid_logistics_events", w.valid,
+        Seq("event_id"), Seq("event_id")),
+      ("int_invalid_logistics_events", w.invalid,
+        Seq("event_id", "invalid_reason"), Seq.empty),
+      ("dq_invalid_delivery_summary", w.dqInvalidDeliverySummary,
+        Seq("event_date", "invalid_reason", "invalid_count"), Seq.empty),
+      ("dim_order", w.dimOrder,
+        Seq("order_sk", "order_id"), Seq("order_sk", "order_id")),
+      ("dim_time", w.dimTime,
+        Seq("time_sk", "full_timestamp"), Seq("time_sk", "full_timestamp")),
+      ("dim_status", w.dimStatus,
+        Seq("status_sk", "status_name"), Seq("status_sk", "status_name")),
+      ("dim_location", w.dimLocation,
+        Seq("location_sk", "location_name"), Seq("location_sk", "location_name")),
+      ("dim_carrier", w.dimCarrier,
+        Seq("carrier_sk", "carrier_name"), Seq("carrier_sk", "carrier_name")),
+      ("fact_event", w.factEvent,
+        Seq("event_sk", "event_id", "order_sk", "time_sk", "status_sk",
+          "origin_location_sk", "destination_location_sk", "carrier_sk",
+          "is_late_delivery"),
+        Seq("event_sk", "event_id")))
+
+    val keyTests = columnTests.flatMap { case (m, df, nn, uq) =>
+      nn.map(c => TestResult(m, s"not_null:$c", notNull(df, c))) ++
+        uq.map(c => TestResult(m, s"unique:$c", unique(df, c)))
     }
+
     val enumTests = Seq(
       TestResult("int_invalid_logistics_events", "accepted_values:invalid_reason",
         acceptedValues(w.invalid, "invalid_reason", Seq(
           "INVALID_WEIGHT", "MISSING_COORDINATES", "INVALID_ESTIMATED_DELIVERY",
           "MISSING_STATUS", "MISSING_LOCATION"))),
-      TestResult("dim_status", "accepted_values:status_name",
-        acceptedValues(w.dimStatus, "status_name", validStatuses)),
       TestResult("fact_event", "accepted_values:is_late_delivery",
-        acceptedValues(w.factEvent, "is_late_delivery", Seq(true, false))))
+        acceptedValues(w.factEvent, "is_late_delivery", Seq(true, false))),
+      // beyond schema.yml: the conformed status enumeration
+      TestResult("dim_status", "accepted_values:status_name",
+        acceptedValues(w.dimStatus, "status_name", validStatuses)))
+
     val relTests = Seq(
       ("order_sk", w.dimOrder), ("time_sk", w.dimTime),
       ("status_sk", w.dimStatus), ("carrier_sk", w.dimCarrier)
@@ -80,6 +106,7 @@ object DbtStyleTests {
         relationships(w.factEvent, "origin_location_sk", w.dimLocation, "location_sk")),
       TestResult("fact_event", "relationships:destination_location_sk",
         relationships(w.factEvent, "destination_location_sk", w.dimLocation, "location_sk")))
+
     keyTests ++ enumTests ++ relTests
   }
 }

@@ -31,37 +31,72 @@ import graft.model.LogisticsEvent
  */
 object EventStreamIngest {
 
+  /**
+   * Kafka source options, assembled as a pure map so the option surface is
+   * unit-testable without a broker (none exists in this environment — no
+   * connector jar, no embedded broker, zero egress; `EventStreamIngestSpec`
+   * executes everything around the socket).
+   *
+   * Mirrors the reference consumer's config (`consumer_to_minio.py:18-31`):
+   * `auto_offset_reset='earliest'` → `startingOffsets`; its consumer group →
+   * `groupIdPrefix` (Spark manages epoch-suffixed groups itself); the
+   * 50-message poll batch (T2) → `maxOffsetsPerTrigger`; at-least-once
+   * tolerance of aged-out offsets → `failOnDataLoss=false` (the load-time
+   * anti-join is the dedup net).
+   */
+  def kafkaSourceOptions(bootstrap: String,
+                         topic: String = "logistics-events",
+                         maxOffsetsPerTrigger: Long = 50L,
+                         groupIdPrefix: String = "graft-ingest"): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> "earliest",
+      "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString,
+      "groupIdPrefix" -> groupIdPrefix,
+      "failOnDataLoss" -> "false")
+
+  /** Kafka sink options (S11 producer side, `generator.py:104-117`). */
+  def kafkaSinkOptions(bootstrap: String,
+                       topic: String = "logistics-events",
+                       checkpointDir: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "topic" -> topic,
+      "checkpointLocation" -> checkpointDir)
+
+  /** Kafka wire value → typed event frame: the S2 decode contract, shared by
+    * [[fromKafka]] and batch tests (round-trips [[toKafkaRecords]]). */
+  def decodeKafkaValue(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), LogisticsEvent.schema).as("e"))
+      .select("e.*")
+
+  /** Typed events → Kafka wire records: JSON value, `order_id` key so a
+    * partition sees each order's events in order (the producer contract,
+    * `generator.py:110-116`). Batch-testable. */
+  def toKafkaRecords(events: DataFrame): DataFrame =
+    events.selectExpr("CAST(order_id AS STRING) AS key",
+      "to_json(struct(*)) AS value")
+
   /** Kafka source → typed event frame (S1+S2). Requires a reachable broker. */
   def fromKafka(spark: SparkSession, bootstrap: String,
                 topic: String = "logistics-events",
                 maxOffsetsPerTrigger: Long = 50L): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
-      .load()
-      .select(from_json(col("value").cast("string"), LogisticsEvent.schema).as("e"))
-      .select("e.*")
+    decodeKafkaValue(
+      spark.readStream
+        .format("kafka")
+        .options(kafkaSourceOptions(bootstrap, topic, maxOffsetsPerTrigger))
+        .load())
 
-  /**
-   * Kafka sink, keyed by order_id (S11 — the producer side of the reference's
-   * generator, `src/api/generator.py:104-117`): JSON value, `order_id` key so
-   * a partition sees each order's events in order. Requires a broker;
-   * compile-checked here, driven in environments that have one.
-   */
+  /** Kafka sink, keyed by order_id (S11). Requires a broker; the record
+    * encoding and options are test-covered, the socket itself is not. */
   def toKafkaSink(events: DataFrame, bootstrap: String,
                   topic: String = "logistics-events",
                   checkpointDir: String): StreamingQuery =
-    events
-      .selectExpr("CAST(order_id AS STRING) AS key",
-        "to_json(struct(*)) AS value")
+    toKafkaRecords(events)
       .writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpointDir)
+      .options(kafkaSinkOptions(bootstrap, topic, checkpointDir))
       .start()
 
   /** File-drop source with the same downstream contract (used by tests and

@@ -110,7 +110,10 @@ class WarehouseReplaySpec extends SparkSuite {
   }
 
   test("dbt-style schema test suite passes end to end") {
-    val failures = DbtStyleTests.suite(w).filterNot(_.passed)
+    val results = DbtStyleTests.suite(w)
+    // the full schema.yml roster (51 declared tests) + 1 beyond-schema
+    assert(results.length == 52, s"expected 52 tests, got ${results.length}")
+    val failures = results.filterNot(_.passed)
     assert(failures.isEmpty, s"failing tests: $failures")
   }
 }

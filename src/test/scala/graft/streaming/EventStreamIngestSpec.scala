@@ -88,4 +88,38 @@ class EventStreamIngestSpec extends SparkSuite {
     q.awaitTermination(120000)
     assert(spark.table("dedup_out").count() == 20)
   }
+
+  // ── Kafka contract (S1/S11) — no broker or connector jar exists in this
+  // environment, so the socket itself cannot be driven; everything around it
+  // is: the option surface and the wire encode/decode round-trip.
+
+  test("kafka source options mirror the reference consumer config") {
+    val opts = EventStreamIngest.kafkaSourceOptions(
+      "broker:9092", "logistics-events", maxOffsetsPerTrigger = 50L)
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("subscribe") == "logistics-events")
+    assert(opts("startingOffsets") == "earliest")       // auto_offset_reset
+    assert(opts("maxOffsetsPerTrigger") == "50")        // T2: 50-message batches
+    assert(opts("groupIdPrefix") == "graft-ingest")     // consumer group
+    assert(opts("failOnDataLoss") == "false")           // at-least-once net
+    val sink = EventStreamIngest.kafkaSinkOptions("broker:9092",
+      "logistics-events", checkpointDir = "/tmp/ckpt")
+    assert(sink("topic") == "logistics-events")
+    assert(sink("checkpointLocation") == "/tmp/ckpt")
+  }
+
+  test("kafka wire records round-trip: encode keys by order_id, decode restores events") {
+    val events = spark.createDataFrame((1 to 25).map(ev))
+    val records = EventStreamIngest.toKafkaRecords(events)
+    assert(records.columns.toSeq == Seq("key", "value"))
+    // producer contract: key is the order id (per-order ordering)
+    val keys = records.select("key").collect().map(_.getString(0)).toSet
+    assert(keys == (1 to 25).map(i => s"o${i % 7}").toSet)
+    // the consumer decode restores the full typed rows
+    val decoded = EventStreamIngest.decodeKafkaValue(records)
+    assert(decoded.schema == events.schema)
+    val before = events.orderBy("event_id").collect().toSeq
+    val after = decoded.orderBy("event_id").collect().toSeq
+    assert(after == before)
+  }
 }
