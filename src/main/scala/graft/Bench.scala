@@ -92,6 +92,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    graft.coverage.OperatorQueries.clearCache()
+    graft.coverage.LlmOpQueries.clearCache()
     spark.stop()
   }
 }

@@ -28,6 +28,16 @@ object LlmOpQueries {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Drop every memoized frame (tables, exact top-k, query plans), release
+    * persisted storage, and clear the dedup operators' sketch caches. Called
+    * by the Verify/Bench mains before session stop (memoization scope = one
+    * run). */
+  def clearCache(): Unit = {
+    cache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    cache.clear()
+    Dedup.unpersistSketches()
+  }
+
   // Persisted like OperatorQueries.T: the docs/embeddings tables serve ~10
   // sketch queries per session; the buffer-pool copy is populated in the
   // untimed warmup pass (warm methodology, BASELINE.md §d).

@@ -28,9 +28,19 @@ object OperatorQueries {
 
   // Memoized per-(session, dir) readers: re-building a reader re-lists the
   // path and re-reads the parquet footer on every query — pure fixed overhead
-  // when the same 10 tables serve dozens of queries per run.
+  // when the same 10 tables serve dozens of queries per run. Scope: one
+  // Verify/Bench run — the mains call clearCache() before session stop; a
+  // long-lived embedding JVM should do the same between corpora (the map
+  // holds session-keyed persisted frames and would otherwise serve stale
+  // file listings if the directory changes).
   private val tableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Drop every memoized reader and release its persisted storage. */
+  def clearCache(): Unit = {
+    tableCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    tableCache.clear()
+  }
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     tableCache.getOrElseUpdate((s, dir, name), {

@@ -24,6 +24,29 @@ object Dedup {
 
   import graft.text.TextAnalysis.tokens
 
+  // Sketch frames are persisted because each feeds two consumers (bucket
+  // pruning + the pair join / verify re-attach); every persisted handle is
+  // tracked here so long-lived sessions can release executor storage between
+  // corpora — at 100 TB a leaked sketch cache pins real memory.
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(p)
+    p
+  }
+
+  /** Release every sketch frame persisted by the dedup operators. Call after
+    * the consuming actions complete (e.g. once per corpus in a service). */
+  def unpersistSketches(): Unit = {
+    var df = persistedFrames.poll()
+    while (df != null) {
+      try df.unpersist() catch { case _: Throwable => () }
+      df = persistedFrames.poll()
+    }
+  }
+
   /** Stable 128-bit content fingerprint (hash the fingerprint, shuffle 16
     * bytes instead of multi-KB documents). */
   def contentFingerprint(text: Column): Column = md5(text)
@@ -103,10 +126,10 @@ object Dedup {
     // The sketch projection feeds two consumers (bucket stats + the pair
     // join) — persist it once; the banded stream itself carries only
     // (id, band, band_hash), never the 64-long signature.
-    val sig = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
-      .select(col("id"), minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = persistTracked(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+        .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
+        .select(col("id"), minhashSignatureOfShingles(col("sh"), numHashes).as("sig")))
 
     val banded0 = sig.select(col("id"),
       posexplode(transform(
@@ -177,11 +200,11 @@ object Dedup {
       maxBucketSize: Int = 256): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
-      .select(col("id"), col("sh"),
-        minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = persistTracked(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+        .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
+        .select(col("id"), col("sh"),
+          minhashSignatureOfShingles(col("sh"), numHashes).as("sig")))
 
     val banded0 = sig.select(col("id"),
       posexplode(transform(
@@ -263,8 +286,8 @@ object Dedup {
   def simhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 7, maxBucketSize: Int = 256): DataFrame = {
-    val sk = df.select(col(idCol).as("id"), simhash128(col(textCol)).as("sk"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sk = persistTracked(
+      df.select(col(idCol).as("id"), simhash128(col(textCol)).as("sk")))
     val chunkCols = (0 until 8).map { c =>
       call_function("shiftright", element_at(col("sk"), c / 4 + 1),
         lit((c % 4) * 16)).bitwiseAND(0xFFFFL)

@@ -63,6 +63,16 @@ class DedupSpec extends SparkSuite {
     assert(near < far)
   }
 
+  test("unpersistSketches releases tracked sketch storage and is idempotent") {
+    Dedup.unpersistSketches() // drain anything left by earlier tests
+    Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5).count()
+    val cachedAfterRun = spark.sparkContext.getRDDStorageInfo.length
+    Dedup.unpersistSketches()
+    val cachedAfterRelease = spark.sparkContext.getRDDStorageInfo.length
+    assert(cachedAfterRelease <= cachedAfterRun)
+    Dedup.unpersistSketches() // second call is a no-op
+  }
+
   test("simhashNearDuplicates finds the exact pair") {
     val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
