@@ -138,6 +138,33 @@ object LlmOpQueries {
           sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
             .as("n_planted_found")))
 
+  /**
+   * The near-dup corpus replicated 10× with per-replica DISJOINT vocabularies
+   * (every token suffixed `_r<k>`): each replica keeps the same planted-dup
+   * density while replicas never near-collide — a clean 10× scale-up of the
+   * LSH workload, not a 10-way duplicate cluster (exact copies would grow
+   * candidate pairs quadratically by construction and measure nothing).
+   */
+  private def nearDupCorpus10x(s: SparkSession, dir: String): DataFrame = {
+    val base = nearDupCorpus(s, dir)
+    (0 until 10).map { k =>
+      base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1_r$k").as("text"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Scaling evidence for the banded MinHash join (rows-only, memoized):
+    * same query as [[dedupMinhashPairs]] over the 10× corpus. Sub-linear
+    * wall-clock growth vs the 1× run in the same bench JSON demonstrates the
+    * candidate generation is bucket-bounded, not all-pairs. */
+  def dedupMinhashPairs10x(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((s, dir, "__q_minhash_pairs_10x"),
+      Dedup.nearDuplicatePairs(nearDupCorpus10x(s, dir), "doc_id", "text",
+          threshold = 0.7, numHashes = 32, bands = 8)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
+            .as("n_planted_found")))
+
   /** SimHash (128-bit, tf-weighted) near-duplicate pairs (rows-only,
     * memoized). maxHamming 12: the testdata docs are short (~30 tokens), so
     * the one-token planted mutation shifts up to ~12 of 128 bits — measured
