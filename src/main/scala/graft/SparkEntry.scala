@@ -33,6 +33,8 @@ object SparkEntry {
     "j2_role_playing_join" -> (Q.j2RolePlayingJoin _),
     "j7_agg_agg_join" -> (Q.j7AggAggJoin _),
     "j_semi_join" -> (Q.jSemiJoin _),
+    "j_asof_join" -> (Q.jAsofJoin _),
+    "j_range_join" -> (Q.jRangeJoin _),
     "a1_group_multi_agg" -> (Q.a1GroupMultiAgg _),
     "a2_distinct" -> (Q.a2Distinct _),
     "u1_union_dedup" -> (Q.u1UnionDedup _),

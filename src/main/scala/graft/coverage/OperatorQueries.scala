@@ -269,6 +269,43 @@ object OperatorQueries {
       .orderBy("event_date")
   }
 
+  /**
+   * As-of join (beyond-reference): each event picks up the customer's most
+   * recent order at-or-before the event time. Right-side ties are
+   * pre-aggregated per (key, time) — max order key — so the match is
+   * deterministic in both engines (DuckDB oracle: native ASOF LEFT JOIN).
+   */
+  def jAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val o = T(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("last_order_key"))
+    graft.operators.AsOfJoin.asofBackward(
+        e, "user_id", "ts", o, "user_id", "o_orderdate",
+        rightCols = Seq("last_order_key"))
+      .select("event_id", "user_id", "last_order_key")
+      .orderBy("event_id")
+  }
+
+  /**
+   * Range join (beyond-reference): lineitem prices bucketed into the 50
+   * price bands derived from the largest orders. Binned equi-join plan — the
+   * raw BETWEEN join would be a BroadcastNestedLoopJoin (RangeJoinSpec pins
+   * the plan shape).
+   */
+  def jRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = T(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val bands = T(s, dir, "orders")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(50)
+      .select(col("o_orderkey").as("band_key"),
+        (col("o_totalprice") * 0.05).as("lo"),
+        (col("o_totalprice") * 0.055).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+        pts, "l_extendedprice", bands, "lo", "hi", binWidth = 500.0)
+      .groupBy("band_key").agg(count(lit(1)).as("n_in_band"))
+      .orderBy("band_key")
+  }
+
   /** Left-semi join (EXISTS) — dbt relationships-test shape. */
   def jSemiJoin(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "customer")

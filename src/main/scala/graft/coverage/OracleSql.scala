@@ -29,6 +29,24 @@ object OracleSql {
       s"FOR i IN range(1, greatest(len($toks)-2, 1) + 1)])"
 
   val sql: Map[String, String] = Map(
+    "j_range_join" ->
+      """WITH bands AS (SELECT o_orderkey AS band_key,
+        |                      o_totalprice * 0.05 AS lo,
+        |                      o_totalprice * 0.055 AS hi
+        |               FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50)
+        |SELECT band_key, count(*) AS n_in_band
+        |FROM bands JOIN lineitem ON l_extendedprice BETWEEN lo AND hi
+        |GROUP BY band_key ORDER BY band_key""".stripMargin,
+
+    "j_asof_join" ->
+      """WITH o AS (SELECT o_custkey AS user_id, o_orderdate,
+        |                  max(o_orderkey) AS last_order_key
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.last_order_key
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
     "t_language_id" ->
       s"""WITH tk AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
          |s AS (SELECT

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSuite {
+
+  // trades (left) ← quotes (right), the canonical as-of shape
+  private lazy val trades = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("A", 10L, "t1"), ("A", 20L, "t2"), ("A", 25L, "t3"),
+      ("B", 15L, "t4"), ("C", 99L, "t5")
+    ).toDF("sym", "t", "trade_id")
+  }
+
+  private lazy val quotes = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("A", 10L, 1.0, Some("x")),   // equal-time quote for t1
+      ("A", 18L, 2.0, None),        // latest before t2/t3 — null side field
+      ("B", 10L, 3.0, Some("y"))
+      // C has no quotes at all
+    ).toDF("sym", "t", "px", "src")
+  }
+
+  test("backward as-of: inclusive match, latest-before wins, unmatched stays null") {
+    val out = AsOfJoin.asofBackward(trades, "sym", "t", quotes, "sym", "t")
+      .orderBy("trade_id")
+      .collect().map(r => (r.getAs[String]("trade_id"),
+        Option(r.getAs[java.lang.Double]("px")).map(_.doubleValue)))
+    assert(out.toSeq == Seq(
+      ("t1", Some(1.0)),   // equal time matches (<=)
+      ("t2", Some(2.0)),   // 18 < 20, latest
+      ("t3", Some(2.0)),
+      ("t4", Some(3.0)),
+      ("t5", None)))       // no quote for C
+  }
+
+  test("strict mode excludes the equal-time right row") {
+    val out = AsOfJoin.asofBackward(trades, "sym", "t", quotes, "sym", "t",
+        strict = true)
+      .filter(col("trade_id") === "t1").collect()
+    assert(out.head.getAs[java.lang.Double]("px") == null)
+  }
+
+  test("a NULL field inside the matched right row stays NULL (no row mixing)") {
+    // t2 matches the (A, 18) quote whose src is NULL — src must NOT borrow
+    // the older (A, 10) quote's 'x'
+    val out = AsOfJoin.asofBackward(trades, "sym", "t", quotes, "sym", "t")
+      .filter(col("trade_id") === "t2").collect()
+    assert(out.head.getAs[java.lang.Double]("px") == 2.0)
+    assert(out.head.getAs[String]("src") == null)
+  }
+
+  test("plans one shuffle on the key — no cartesian/nested-loop range join") {
+    val p = AsOfJoin.asofBackward(trades, "sym", "t", quotes, "sym", "t")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

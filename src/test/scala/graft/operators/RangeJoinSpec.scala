@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSuite {
+
+  private lazy val points = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 5.0), (2L, 10.0), (3L, 19.9), (4L, 25.0), (5L, 100.0))
+      .toDF("pid", "x")
+  }
+
+  private lazy val intervals = {
+    val s = spark
+    import s.implicits._
+    Seq(("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", 24.0, 26.0), ("d", 90.0, 95.0))
+      .toDF("iid", "lo", "hi")
+  }
+
+  test("binned range join equals the brute-force BETWEEN join") {
+    val fast = RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi",
+        binWidth = 7.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val brute = points.crossJoin(intervals)
+      .filter(col("x").between(col("lo"), col("hi")))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fast == brute)
+    // boundary inclusivity: x=10 is in both [0,10] and [10,20]
+    assert(fast.contains((2L, "a")) && fast.contains((2L, "b")))
+    // 100.0 matches nothing
+    assert(!fast.exists(_._1 == 5L))
+  }
+
+  test("no duplicate pairs even when an interval spans many bins") {
+    val out = RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi",
+      binWidth = 0.5) // every interval spans many bins
+    assert(out.count() == out.select("pid", "iid").distinct().count())
+  }
+
+  test("plans an equi-join on the bin — no nested-loop/cartesian") {
+    val p = RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi", 7.0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
