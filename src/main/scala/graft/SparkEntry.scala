@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (L.dedupNgramJaccard _),
     "sim_brute_force_topk" -> (L.simBruteForceTopK _),
     "sim_lsh_recall" -> (L.simLshRecall _),
+    "sim_ivf_recall" -> (L.simIvfRecall _),
     "mm_decode_featurize" -> (L.mmDecodeFeaturize _)
   )
 

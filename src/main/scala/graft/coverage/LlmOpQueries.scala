@@ -226,6 +226,21 @@ object LlmOpQueries {
       .agg((count(lit(1)).cast("double") / 50.0).as("recall_at_5"))
   }
 
+  /** IVF ANN vs brute force: recall@5 for the same queries (rows-only).
+    * nProbe=6 of 16 lists; this corpus's neighbours are weak and scattered
+    * (worst case for coarse quantization — see SimilaritySearchSpec). */
+  def simIvfRecall(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((s, dir, "__q_ivf_recall"), {
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = exactTopK(s, dir).select("query_id", "corpus_id")
+      val approx = SimilaritySearch.ivfTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 6)
+        .select("query_id", "corpus_id")
+      exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .agg((count(lit(1)).cast("double") / 50.0).as("recall_at_5"))
+    })
+
   /** Multimodal plumbing: decode+featurize the synthetic blobs (rows-only). */
   def mmDecodeFeaturize(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAndFeaturize(Multimodal.syntheticMedia(s, 999))

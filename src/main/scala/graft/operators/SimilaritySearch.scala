@@ -138,6 +138,102 @@ object SimilaritySearch {
   }
 
   /**
+   * IVF-style ANN top-k: coarse quantization into `nLists` inverted lists,
+   * queries probe the `nProbe` nearest lists, exact cosine ranks inside the
+   * probed lists only.
+   *
+   * The "training" step is a deterministic pseudo-random corpus sample
+   * (distributed top-`nLists` by id hash — a `TakeOrderedAndProject`, no
+   * global sort, no k-means job) collected to the driver, exactly how a
+   * trained IVF model's centroids live driver-side. Assignment is then a
+   * NARROW per-row argmax over centroid-literal dot products — the corpus
+   * never explodes or shuffles for quantization; the only shuffle is the
+   * (list_id) equi-join of assignments against the probed query lists, the
+   * same scale shape as the LSH path but with data-adaptive cells.
+   */
+  /** [v·c0, v·c1, …] as one array column — the centroids ride as literals. */
+  private def centroidDots(v: Column, centroids: Array[Seq[Double]]): Column =
+    array(centroids.map(ctr => dot(v, typedLit(ctr))): _*)
+
+  /** 0-based index of the nearest centroid; ties → lowest index. */
+  private def nearestList(v: Column, centroids: Array[Seq[Double]]): Column = {
+    val d = centroidDots(v, centroids)
+    (array_position(d, array_max(d)) - 1).cast("int")
+  }
+
+  /**
+   * IVF coarse-quantizer training: deterministic pseudo-random seed sample
+   * (distributed top-`nLists` by id hash — a TakeOrderedAndProject, no
+   * global sort) + `iters` Lloyd rounds. Each round is one narrow
+   * assignment pass and a 64-way mean aggregation per list (map-side
+   * partial aggs reduce to nLists rows before the shuffle); the tiny
+   * centroid table is collected back to the driver, where a trained IVF
+   * model's centroids live. At 100 TB you would train on a corpus sample —
+   * pass `corpus.sample(...)` as the training frame.
+   */
+  private def trainIvfCentroids(c: DataFrame, nLists: Int,
+                                iters: Int): Array[Seq[Double]] = {
+    var centroids: Array[Seq[Double]] = c
+      .select(col("cv"), col("corpus_id"), xxhash64(col("corpus_id")).as("__h"))
+      .orderBy("__h", "corpus_id").limit(nLists)
+      .select("cv").collect()
+      .map(_.getSeq[Double](0))
+    require(centroids.nonEmpty, "corpus is empty")
+    val dim = centroids(0).size
+    for (_ <- 0 until iters) {
+      val means = c
+        .withColumn("list_id", nearestList(col("cv"), centroids))
+        .groupBy("list_id")
+        .agg(array((0 until dim).map(i =>
+          avg(element_at(col("cv"), i + 1))): _*).as("m"))
+        .collect()
+      val next = centroids.clone()
+      means.foreach { r =>
+        val m = r.getSeq[Double](1)
+        val norm = math.sqrt(m.map(x => x * x).sum)
+        if (norm > 0) next(r.getInt(0)) = m.map(_ / norm)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int = 5, nLists: Int = 16, nProbe: Int = 4,
+      trainIters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      normalized(col(vecCol)).as("cv"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      normalized(col(qVecCol)).as("qv"))
+
+    val centroids = trainIvfCentroids(c, nLists, trainIters)
+
+    // top-nProbe centroid indices: sort (−dot, idx) structs, slice, unpack
+    def probeLists(v: Column): Column = {
+      val d = centroidDots(v, centroids)
+      val tagged = transform(sequence(lit(0), lit(centroids.length - 1)),
+        i => struct((-element_at(d, i + 1)).as("nd"), i.as("idx")))
+      transform(slice(array_sort(tagged), 1, math.min(nProbe, centroids.length)),
+        s => s.getField("idx"))
+    }
+
+    val assigned = c.withColumn("list_id", nearestList(col("cv"), centroids))
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(probeLists(col("qv"))).as("list_id"))
+
+    val scored = assigned.join(probes, Seq("list_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs over one corpus: LSH buckets
    * (all tables), pair within buckets, verify cosine ≥ threshold.
    */
