@@ -400,37 +400,73 @@ object SketchExpressions {
   def language_id(tokens: Column, markers: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(LanguageIdExpr(ColumnBridge.expression(tokens), markers))
 
-  /** SQL registration: `SELECT minhash_signature(hashes, 32), simhash64(hashes)`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_signature",
-      exprs => {
-        // The numHashes argument configures the expression at plan time — it
-        // must be a literal; evaluating a non-foldable expression here would
-        // run it against a null row with a confusing NPE. Integral literals
-        // of any width are accepted (SQL integer literals default to INT, but
-        // `32L` is legal and means the same thing).
-        if (exprs.length != 2)
-          throw new IllegalArgumentException(
-            s"minhash_signature(hashes, numHashes) takes 2 arguments, got ${exprs.length}")
-        if (!exprs(1).foldable)
-          throw new IllegalArgumentException(
-            "minhash_signature: numHashes must be a literal integer, got non-foldable " +
-              exprs(1).sql)
-        val k = exprs(1).eval() match {
-          case i: java.lang.Integer => i.intValue()
-          case l: java.lang.Long if l >= 1 && l <= Int.MaxValue => l.intValue()
-          case s: java.lang.Short => s.intValue()
-          case b: java.lang.Byte => b.intValue()
-          case other => throw new IllegalArgumentException(
-            s"minhash_signature: numHashes must be an integral literal, got $other " +
-              s"of type ${exprs(1).dataType.simpleString}")
-        }
-        if (k < 1) throw new IllegalArgumentException(
-          s"minhash_signature: numHashes must be >= 1, got $k")
-        MinHashSignatureExpr(exprs.head, k)
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
+  /**
+   * Plan-time integral-literal argument (e.g. numHashes, nBits): these
+   * configure the expression shape, so they must be foldable; evaluating a
+   * non-foldable expression here would run it against a null row with a
+   * confusing NPE. Integral literals of any width are accepted (SQL integer
+   * literals default to INT, but `32L` is legal and means the same thing).
+   */
+  private def intLitArg(fname: String, argName: String, e: Expression,
+                        min: Int = 1): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fname: $argName must be a literal integer, got non-foldable ${e.sql}")
+    val k = e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long if l >= Int.MinValue && l <= Int.MaxValue => l.intValue()
+      case s: java.lang.Short => s.intValue()
+      case b: java.lang.Byte => b.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fname: $argName must be an integral literal, got $other " +
+          s"of type ${e.dataType.simpleString}")
+    }
+    if (k < min) throw new IllegalArgumentException(
+      s"$fname: $argName must be >= $min, got $k")
+    k
   }
+
+  private def arity(fname: String, n: Int)(exprs: Seq[Expression]): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$fname takes $n arguments, got ${exprs.length}")
+
+  /** The SQL-callable function surface, shared by [[register]] (temp
+    * functions on an existing session) and [[graft.GraftExtensions]]
+    * (session-extension injection at build time). */
+  private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_signature" -> { exprs =>
+      arity("minhash_signature", 2)(exprs)
+      MinHashSignatureExpr(exprs.head,
+        intLitArg("minhash_signature", "numHashes", exprs(1)))
+    },
+    "simhash64" -> { exprs =>
+      arity("simhash64", 1)(exprs); SimHash64Expr(exprs.head)
+    },
+    "simhash128" -> { exprs =>
+      arity("simhash128", 1)(exprs); SimHash128Expr(exprs.head)
+    },
+    "sign_lsh_sketch" -> { exprs =>
+      arity("sign_lsh_sketch", 3)(exprs)
+      SignLshSketchExpr(exprs.head,
+        intLitArg("sign_lsh_sketch", "table", exprs(1), min = 0),
+        intLitArg("sign_lsh_sketch", "nBits", exprs(2)))
+    },
+    "vector_dot" -> { exprs =>
+      arity("vector_dot", 2)(exprs); VectorDotExpr(exprs.head, exprs(1))
+    },
+    "vector_norm" -> { exprs =>
+      arity("vector_norm", 1)(exprs); VectorNormExpr(exprs.head)
+    },
+    "normalize_vector" -> { exprs =>
+      arity("normalize_vector", 1)(exprs); NormalizeVectorExpr(exprs.head)
+    })
+
+  /** SQL registration on an existing session:
+    * `SELECT minhash_signature(hashes, 32), simhash64(hashes), …`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }

@@ -49,12 +49,42 @@ class SketchExpressionsSpec extends SparkSuite {
     assert(sk == 0x0F0FL)
   }
 
-  test("SQL registration exposes both functions") {
+  test("SQL registration exposes the full function surface") {
     SketchExpressions.register(spark)
     val r = spark.sql(
-      "SELECT simhash64(array(1L, 3L, 3L)) AS sk, minhash_signature(array(5L, 9L), 4) AS sig")
+      """SELECT simhash64(array(1L, 3L, 3L)) AS sk,
+        |       minhash_signature(array(5L, 9L), 4) AS sig,
+        |       simhash128(array(1L, 3L, 3L)) AS sk128,
+        |       sign_lsh_sketch(array(1.0F, -2.0F), 0, 8) AS lsh,
+        |       vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       vector_norm(array(3.0D, 4.0D)) AS n,
+        |       normalize_vector(array(3.0D, 4.0D)) AS u""".stripMargin)
       .head()
     assert(r.getLong(0) == 3L)             // majority of {1,3,3} bits = 3
     assert(r.getSeq[Long](1).length == 4)
+    assert(r.getSeq[Long](2).length == 2)
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Double]("n") == 5.0)
+    assert(r.getSeq[Double](6) == Seq(0.6, 0.8))
+  }
+
+  test("literal-argument validation raises descriptive errors") {
+    SketchExpressions.register(spark)
+    val e1 = intercept[Exception](
+      spark.sql("SELECT minhash_signature(array(1L), id) FROM range(1)").collect())
+    assert(e1.getMessage.contains("must be a literal"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT minhash_signature(array(1L), 0)").collect())
+    assert(e2.getMessage.contains(">= 1"), e2.getMessage)
+    // a BIGINT literal widens cleanly instead of ClassCastException
+    assert(spark.sql("SELECT minhash_signature(array(5L, 9L), 4L) AS s")
+      .head().getSeq[Long](0).length == 4)
+  }
+
+  test("GraftExtensions injects the same surface at session build time") {
+    // a second SparkSession cannot be built in this JVM-wide suite, so
+    // assert the injection wiring directly against a fresh extensions object
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // must not throw; builders shared
   }
 }
