@@ -38,6 +38,20 @@ object OracleSql {
         |FROM bands JOIN lineitem ON l_extendedprice BETWEEN lo AND hi
         |GROUP BY band_key ORDER BY band_key""".stripMargin,
 
+    "sim_brute_force_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, c.vec_id AS corpus_id,
+        |             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                    CAST(q.qe AS DOUBLE[])) AS cos
+        |      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, corpus_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY cos DESC, corpus_id) AS rank
+        |      FROM s)
+        |SELECT query_id, corpus_id, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "j_asof_join" ->
       """WITH o AS (SELECT o_custkey AS user_id, o_orderdate,
         |                  max(o_orderkey) AS last_order_key
