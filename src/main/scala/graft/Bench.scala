@@ -74,17 +74,23 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val times = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    for (_ <- 1 to 5; name <- names) {
-      val t0 = System.nanoTime()
-      val ok = try {
-        prepared(name) match {
-          case Some(df) => df.count(); true
-          case None => failed += name; false
-        }
-      } catch { case _: Throwable => failed += name; false }
-      val t = (System.nanoTime() - t0) / 1e9
-      // a crash-path timing is not a latency — only record successful runs
-      if (ok && (!times.contains(name) || t < times(name))) times(name) = t
+    for (pass <- 1 to 5; name <- names) {
+      // multi-second queries (the 10× scaling run) get 2 timed passes, not
+      // 5 — steal noise is proportionally small on them, and the repeats
+      // would dominate the bench's wall-clock budget
+      val skip = pass > 2 && times.get(name).exists(_ >= 5.0)
+      if (!skip) {
+        val t0 = System.nanoTime()
+        val ok = try {
+          prepared(name) match {
+            case Some(df) => df.count(); true
+            case None => failed += name; false
+          }
+        } catch { case _: Throwable => failed += name; false }
+        val t = (System.nanoTime() - t0) / 1e9
+        // a crash-path timing is not a latency — only record successful runs
+        if (ok && (!times.contains(name) || t < times(name))) times(name) = t
+      }
     }
     val results = names.map(n => n -> times.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
