@@ -35,6 +35,7 @@ object SparkEntry {
     "j_semi_join" -> (Q.jSemiJoin _),
     "j_asof_join" -> (Q.jAsofJoin _),
     "j_range_join" -> (Q.jRangeJoin _),
+    "j_skew_salted" -> (Q.jSkewSalted _),
     "a1_group_multi_agg" -> (Q.a1GroupMultiAgg _),
     "a2_distinct" -> (Q.a2Distinct _),
     "u1_union_dedup" -> (Q.u1UnionDedup _),
@@ -55,8 +56,10 @@ object SparkEntry {
     "w_row_number_latest" -> (Q.wRowNumberLatest _),
     "w_running_sum" -> (Q.wRunningSum _),
     "w_lag_rank" -> (Q.wLagRank _),
+    "w_sessionize" -> (Q.wSessionize _),
     "a8_approx_count_distinct" -> (Q.a8ApproxCountDistinct _),
     "a_rollup" -> (Q.aRollup _),
+    "a_percentile" -> (Q.aPercentile _),
     "a_pivot" -> (Q.aPivot _),
     // LLM-training-data operators (documents / embeddings tables)
     "t_token_count" -> (L.tTokenCount _),
@@ -69,6 +72,7 @@ object SparkEntry {
     "dedup_minhash_pairs_10x" -> (L.dedupMinhashPairs10x _),
     "dedup_simhash_pairs" -> (L.dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (L.dedupNgramJaccard _),
+    "dedup_embedding_cosine" -> (L.dedupEmbeddingCosine _),
     "sim_brute_force_topk" -> (L.simBruteForceTopK _),
     "sim_lsh_recall" -> (L.simLshRecall _),
     "sim_ivf_recall" -> (L.simIvfRecall _),

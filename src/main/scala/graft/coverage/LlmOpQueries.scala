@@ -193,6 +193,38 @@ object LlmOpQueries {
   }
 
   /**
+   * Embedding near-dup corpus: every 10th vector gets a copy under a shifted
+   * id with deterministic per-dimension multiplicative noise
+   * (`x · (1 + 0.001·((i mod 5) − 2))`, i 0-based). All arithmetic is double
+   * with the same operation order the DuckDB oracle uses, so the constructed
+   * corpus is bit-identical across engines; planted-pair cosines land at
+   * ≈ 0.999999 vs a natural max pairwise cosine of ≈ 0.51 — both engines'
+   * ≥ 0.99 decisions agree with ~0.49 of margin.
+   */
+  private def nearDupEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val base = embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pert = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * (lit(1.0) + lit(0.001) * (i % lit(5) - lit(2)))).as("v"))
+    base.unionByName(pert)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (oracle-checked): LSH-bucketed
+    * candidates, exact-cosine verified at ≥ 0.99. The oracle is the exact
+    * all-pairs join — hash-match therefore also certifies the bucketed
+    * candidate generation reached full recall on the planted pairs (a
+    * planted pair at cosine 0.999999 misses a 6-bit table with p ≈ 0.003;
+    * all 16 tables with p ≈ 1e-41 — and the sketch hyperplanes are
+    * hash-derived and deterministic, so the result is reproducible). */
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.cosineNearDuplicates(nearDupEmbeddings(s, dir),
+        "vec_id", "v", threshold = 0.99, nTables = 16, nBits = 6)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+
+  /**
    * Exact cosine top-5 for the first 10 vectors, computed ONCE per
    * (session, dir) and persisted: it is both a query result
    * ([[simBruteForceTopK]]) and the ground truth for [[simLshRecall]] —

@@ -306,6 +306,24 @@ object OperatorQueries {
       .orderBy("band_key")
   }
 
+  /**
+   * Salted skew join (beyond-reference): the fact side carries a per-row
+   * salt, the dim side replicates `saltFactor`×, the join key becomes
+   * (key, salt) — a hot key spreads over `saltFactor` reducers instead of
+   * stalling one. Result ≡ the plain join (the DuckDB oracle IS the plain
+   * join); the salt never reaches the output.
+   */
+  def jSkewSalted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewJoin.saltedJoin(
+        T(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "l_orderkey",
+        T(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderkey", saltFactor = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sumDec(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
   /** Left-semi join (EXISTS) — dbt relationships-test shape. */
   def jSemiJoin(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "customer")
@@ -418,6 +436,24 @@ object OperatorQueries {
       .orderBy(desc("minute"))
       .limit(60)
 
+  /**
+   * Exact interpolated percentiles per group (beyond-reference). Both engines
+   * compute `lower + frac·(higher − lower)` over the sorted group with
+   * frac from `p·(n−1)` — identical double arithmetic on this integer-valued
+   * column. The 100 TB variant is `approx_percentile` (KLL-style sketch, one
+   * pass, mergeable) — covered rows-only via [[ApproxDistinctSpec]]'s twin in
+   * PercentileSpec since sketch internals are engine-specific.
+   */
+  def aPercentile(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** ROLLUP hierarchy totals (beyond-reference; grouping-set machinery). */
   def aRollup(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
@@ -517,6 +553,24 @@ object OperatorQueries {
           .orderBy(col("event_type"))).as("type_rank"))
       .orderBy("user_id", "event_id")
   }
+
+  /**
+   * Gap-based sessionization (beyond-reference; the canonical clickstream /
+   * training-data shaping operator): 4-hour gap sessions per user, rolled up
+   * to per-user session stats. One shuffle on user_id; both stacked window
+   * functions share a single sort (see [[graft.operators.Sessionize]]).
+   * All-integer output → exact cross-engine hash.
+   */
+  def wSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize
+      .sessionStats(T(s, dir, "events"), "user_id", "ts", "event_id",
+        gapSeconds = 4L * 3600)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"),
+        max("duration_us").as("max_session_duration_us"))
+      .orderBy("user_id")
 
   /** A8's 100 TB variant: approximate distinct (HLL) next to the exact count.
     * Sketch values are engine-specific → rows-only check; the ScalaTest

@@ -52,6 +52,54 @@ object OracleSql {
         |SELECT query_id, corpus_id, rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "a_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "j_skew_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "w_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |x AS (SELECT user_id, event_id, t,
+        |             lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+        |      FROM e),
+        |n AS (SELECT user_id, event_id, t,
+        |             CASE WHEN prev IS NULL OR t - prev >= 14400000000 THEN 1
+        |                  ELSE 0 END AS is_new
+        |      FROM x),
+        |sid AS (SELECT user_id, t,
+        |               SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        |        FROM n),
+        |sess AS (SELECT user_id, session_seq, count(*) AS n_events,
+        |                max(t) - min(t) AS duration_us
+        |         FROM sid GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       CAST(max(n_events) AS BIGINT) AS max_session_events,
+        |       CAST(max(duration_us) AS BIGINT) AS max_session_duration_us
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pert AS (SELECT vec_id + 1000000 AS vec_id,
+        |                list_transform(range(len(v)),
+        |                               i -> v[i+1] * (1 + 0.001*((i % 5) - 2))) AS v
+        |         FROM base WHERE vec_id % 10 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "j_asof_join" ->
       """WITH o AS (SELECT o_custkey AS user_id, o_orderdate,
         |                  max(o_orderkey) AS last_order_key

@@ -85,4 +85,16 @@ class SimilaritySearchSpec extends SparkSuite {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((0L, 100000L)))
   }
+
+  test("dedup_embedding_cosine driver query returns exactly the planted pairs") {
+    // The exact-all-pairs oracle at sf0.01 is the real gate — this pins the
+    // no-false-positive / no-missed-planted property at sf0.001 too.
+    val planted = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    val rows = graft.coverage.LlmOpQueries
+      .dedupEmbeddingCosine(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(rows.toSeq == planted.toSeq.map(i => (i, i + 1000000L)))
+  }
 }

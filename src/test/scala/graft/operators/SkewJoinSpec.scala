@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkSuite {
+
+  test("salted join result equals the plain join on a skewed corpus") {
+    val s = spark
+    import s.implicits._
+    // one hot key (0) with 2000 rows, 100 cold keys with 1 row each
+    val large = ((1 to 2000).map(i => (0L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong, i.toLong * 10))).toDF("k", "payload")
+    val small = (0 to 100).map(i => (i.toLong, s"dim_$i")).toDF("dk", "attr")
+    val salted = SkewJoin.saltedJoin(large, "k", small, "dk", saltFactor = 8)
+      .select("k", "payload", "attr")
+    val plain = large.join(small, col("k") === col("dk"))
+      .select("k", "payload", "attr")
+    assert(salted.count() == 2100)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("the hot key's rows spread across multiple salt partitions") {
+    val s = spark
+    import s.implicits._
+    val large = (1 to 2000).map(i => (0L, i.toLong)).toDF("k", "payload")
+    val nSalts = large.withColumn("__salt",
+        pmod(xxhash64(large.columns.map(col): _*), lit(8)))
+      .select("__salt").distinct().count()
+    assert(nSalts >= 6, s"hot key only hit $nSalts of 8 salts")
+  }
+
+  test("join condition carries the salt (the key no longer decides the reducer alone)") {
+    val s = spark
+    import s.implicits._
+    val large = Seq((0L, 1L)).toDF("k", "payload")
+    val small = Seq((0L, "x")).toDF("dk", "attr")
+    val plan = SkewJoin.saltedJoin(large, "k", small, "dk", saltFactor = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"))
+  }
+
+  test("matches plain join on the real lineitem/orders tables") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    val salted = SkewJoin.saltedJoin(li, "l_orderkey", ord, "o_orderkey")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
