@@ -215,12 +215,13 @@ object LlmOpQueries {
     * candidates, exact-cosine verified at ≥ 0.99. The oracle is the exact
     * all-pairs join — hash-match therefore also certifies the bucketed
     * candidate generation reached full recall on the planted pairs (a
-    * planted pair at cosine 0.999999 misses a 6-bit table with p ≈ 0.003;
-    * all 16 tables with p ≈ 1e-41 — and the sketch hyperplanes are
-    * hash-derived and deterministic, so the result is reproducible). */
+    * planted pair at cosine 0.999999 misses an 8-bit table with p ≈ 0.004;
+    * all 8 tables with p ≈ 1e-20 — and the sketch hyperplanes are
+    * hash-derived and deterministic, so the result is reproducible; 8-bit
+    * buckets quarter the candidate volume vs the ANN default 16×6). */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.cosineNearDuplicates(nearDupEmbeddings(s, dir),
-        "vec_id", "v", threshold = 0.99, nTables = 16, nBits = 6)
+        "vec_id", "v", threshold = 0.99, nTables = 8, nBits = 8)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
 

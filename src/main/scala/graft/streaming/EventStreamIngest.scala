@@ -143,6 +143,21 @@ object EventStreamIngest {
       .start()
   }
 
+  /** Per-order event sessions as a streaming aggregation: `session_window`
+    * under a watermark, so a session closes (and its state is freed) once
+    * the watermark passes its last event + gap. Batch twin and gap semantics:
+    * [[graft.operators.Sessionize]] (SessionizeSpec proves the partitioning
+    * equivalence and drives this shape through a real stream). */
+  def sessionCounts(events: DataFrame, gapSeconds: Long = 1800,
+                    lateness: String = "10 minutes"): DataFrame = {
+    val timed = events.withColumn("event_time",
+      coalesce(try_to_timestamp(col("timestamp")), current_timestamp()))
+    val marked = if (timed.isStreaming) timed.withWatermark("event_time", lateness)
+                 else timed
+    graft.operators.Sessionize.sessionWindowAgg(
+      marked, "order_id", "event_time", gapSeconds)
+  }
+
   /** Per-minute event counts as a streaming aggregation (the streaming
     * analogue of the monitoring dashboard's A12, with watermarked state). */
   def minuteCounts(events: DataFrame, lateness: String = "10 minutes"): DataFrame = {

@@ -74,6 +74,26 @@ class EventStreamIngestSpec extends SparkSuite {
     assert(counts.agg(sum("event_count")).head().getLong(0) == 120L)
   }
 
+  test("streaming session counts: session_window closes sessions at the gap") {
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-sess-stream").toString
+    val srcDir = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
+    // ev(m·7+1) keeps every event on order o1 at minute (m·7+1) % 60:
+    // minutes 1, 8, 15, 31 → gaps 7, 7, 16 min → a 10-min gap splits 3 | 1
+    writeBatchFile(Seq(0, 1, 2, 30).map(m => ev(m * 7 + 1)), s"$srcDir/b.parquet")
+    val sessions = EventStreamIngest.sessionCounts(
+      EventStreamIngest.fromFiles(spark, srcDir), gapSeconds = 600)
+    val q = sessions.writeStream.format("memory").queryName("sess_counts")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("sess_counts")
+      .select("order_id", "n_events").as[(String, Long)].collect().sorted
+    assert(out.toSeq == Seq(("o1", 1L), ("o1", 3L)))
+  }
+
   test("streaming dedup drops in-watermark duplicates") {
     val s = spark
     import s.implicits._
