@@ -97,7 +97,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // 1-min loadavg: this container shares a host with heavy CPU steal and
+    // totals swing ~2× with it (NOTES_r2) — stamp the load so any reader can
+    // judge whether a number came from a quiet or a stormy window.
+    val load1 = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","loadavg1":$load1}""")
     graft.coverage.OperatorQueries.clearCache()
     graft.coverage.LlmOpQueries.clearCache()
     spark.stop()

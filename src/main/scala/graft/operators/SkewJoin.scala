@@ -44,8 +44,14 @@ object SkewJoin {
     // independent, unlike monotonically_increasing_id).
     val salted = large.withColumn("__salt",
       pmod(xxhash64(large.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    // shuffle_hash on the replicated dim: a sort-merge join would sort BOTH
+    // shuffled sides; hashing the (still small·saltFactor) side skips both
+    // sorts. Broadcast would defeat the exercise — a broadcast join never
+    // skews in the first place; this operator exists for dims past the
+    // broadcast threshold.
     val replicated = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
+      .hint("shuffle_hash")
     salted.join(replicated,
         salted("__salt") === replicated("__salt") &&
           salted(largeKey) === replicated(smallKey))

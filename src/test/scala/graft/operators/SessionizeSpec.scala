@@ -44,6 +44,20 @@ class SessionizeSpec extends SparkSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("both stacked windows share ONE exchange and ONE sort") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val plan = Sessionize
+      .withSessionIds(e, "user_id", "ts", "event_id", gapSeconds = 3600)
+      .queryExecution.executedPlan.toString
+    def count(marker: String): Int = marker.r.findAllIn(plan).length
+    // lag + running sum use the same partitioning and ordering; Catalyst must
+    // plan them over a single shuffle + sort — the property that makes
+    // sessionizing 100 TB a one-exchange operator.
+    assert(count("Exchange hashpartitioning") == 1, s"plan:\n$plan")
+    assert(count("\\[Sort ") + count("\\bSort \\[") <= 2, s"plan:\n$plan")
+  }
+
   test("session_window sessionizes a stream incrementally under a watermark") {
     val s = spark
     import s.implicits._

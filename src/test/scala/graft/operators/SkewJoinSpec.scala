@@ -40,6 +40,17 @@ class SkewJoinSpec extends SparkSuite {
     assert(plan.contains("__salt"))
   }
 
+  test("plans a shuffled hash join — no sort-merge sorts, no broadcast") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    val plan = SkewJoin.saltedJoin(li, "l_orderkey", ord, "o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected SHJ in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+  }
+
   test("matches plain join on the real lineitem/orders tables") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_extendedprice")
