@@ -73,6 +73,9 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (L.dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (L.dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (L.dedupEmbeddingCosine _),
+    "samp_deterministic" -> (L.sampDeterministic _),
+    "samp_stratified" -> (L.sampStratified _),
+    "samp_split_counts" -> (L.sampSplitCounts _),
     "sim_brute_force_topk" -> (L.simBruteForceTopK _),
     "sim_lsh_recall" -> (L.simLshRecall _),
     "sim_ivf_recall" -> (L.simIvfRecall _),

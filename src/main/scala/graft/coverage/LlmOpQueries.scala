@@ -274,6 +274,31 @@ object LlmOpQueries {
         .agg((count(lit(1)).cast("double") / 50.0).as("recall_at_5"))
     })
 
+  /** Reproducible 10% sample by doc_id (oracle-checked row-for-row: the
+    * hash-threshold selection is a pure md5-hex string comparison both
+    * engines compute identically — see [[graft.operators.Sampling]]). */
+  def sampDeterministic(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .deterministicSample(docs(s, dir), "doc_id", fraction = 0.1)
+      .select("doc_id").orderBy("doc_id")
+
+  /** Per-language stratified sample: different keep-rates per stratum in one
+    * narrow pass (oracle-checked counts). */
+  def sampStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .stratifiedSample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.1))
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+
+  /** Train/valid/test split, stable under corpus appends (oracle-checked). */
+  def sampSplitCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .withSplit(docs(s, dir), "doc_id",
+        trainFraction = 0.8, validFraction = 0.1)
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+
   /** Multimodal plumbing: decode+featurize the synthetic blobs (rows-only). */
   def mmDecodeFeaturize(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAndFeaturize(Multimodal.syntheticMedia(s, 999))

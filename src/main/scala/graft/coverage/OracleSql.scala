@@ -28,7 +28,32 @@ object OracleSql {
     s"list_distinct([array_to_string($toks[i:i+2], ' ') " +
       s"FOR i IN range(1, greatest(len($toks)-2, 1) + 1)])"
 
+  /** Hash-threshold literals from the same function the Spark operator uses
+    * ([[graft.operators.Sampling.hexThreshold]]) — no drift possible. */
+  private def thr(fraction: Double): String =
+    s"'${graft.operators.Sampling.hexThreshold(fraction)}'"
+
   val sql: Map[String, String] = Map(
+    "samp_deterministic" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.1)}
+         |ORDER BY doc_id""".stripMargin,
+
+    "samp_stratified" ->
+      s"""SELECT lang, count(*) AS n_sampled FROM documents
+         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE lang WHEN 'en' THEN ${thr(0.5)} WHEN 'es' THEN ${thr(0.2)}
+         |            WHEN 'fr' THEN ${thr(0.1)} ELSE '00000000' END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "samp_split_counts" ->
+      s"""SELECT CASE WHEN h < ${thr(0.8)} THEN 'train'
+         |            WHEN h < ${thr(0.9)} THEN 'valid'
+         |            ELSE 'test' END AS split, count(*) AS n_docs
+         |FROM (SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+         |      FROM documents)
+         |GROUP BY 1 ORDER BY split""".stripMargin,
+
     "j_range_join" ->
       """WITH bands AS (SELECT o_orderkey AS band_key,
         |                      o_totalprice * 0.05 AS lo,

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, reproducible sampling and splitting — the training-data
+ * pipeline primitives where `rand()`-based sampling fails: a re-run (or a
+ * retried task, or next month's incremental batch) must select the SAME
+ * rows, or train/test contamination creeps in across pipeline versions.
+ *
+ * Mechanism: a row's first 8 md5 hex chars of its key act as a uniform
+ * 32-bit bucket; selection compares that hex string against the hex-encoded
+ * threshold `⌊fraction·2³²⌋` — a pure string comparison, so the same rows
+ * are chosen by any engine that can md5 (the DuckDB oracles replay the exact
+ * selection). Narrow, codegen'd, no shuffle, no state; at 100 TB a sample is
+ * a filter pushed right behind the scan.
+ *
+ * `salt` decorrelates independent samples over the same keys (e.g. a 1%
+ * profiling sample that must not be a subset of the 10% training sample —
+ * with equal salts, thresholded selections are nested by construction:
+ * a p-sample ⊆ any q-sample for p ≤ q, which is itself useful for
+ * growing-subset scaling experiments).
+ */
+object Sampling {
+
+  /** First 8 md5 hex chars of (salt + key) — the row's uniform bucket. */
+  def hexBucket(key: Column, salt: String = ""): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 8)
+
+  /** `⌊fraction·2³²⌋` as 8 lowercase hex chars (the comparison threshold). */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
+    f"${math.min(math.floor(fraction * 4294967296.0).toLong, 0xffffffffL)}%08x"
+  }
+
+  /** Keep ~`fraction` of rows, keyed (and thus reproducible) by `keyCol`. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+                          salt: String = ""): DataFrame =
+    df.filter(hexBucket(col(keyCol), salt) < lit(hexThreshold(fraction)))
+
+  /**
+   * Per-stratum fractions (absent strata keep nothing): the hash-threshold
+   * comparison with a stratum-dependent threshold. One narrow pass — the
+   * stratum column must be a row attribute (no pre-aggregation needed),
+   * unlike frequency-balancing samplers that first count strata.
+   */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       salt: String = ""): DataFrame = {
+    val threshold = fractions.foldLeft(lit("00000000")) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.filter(hexBucket(col(keyCol), salt) < threshold)
+  }
+
+  /**
+   * Adds a `split` column partitioning rows into train/valid/test by hash
+   * range — disjoint, exhaustive, and stable under appends: a row's split
+   * never changes when the corpus grows, the property that keeps eval sets
+   * uncontaminated across dataset versions.
+   */
+  def withSplit(df: DataFrame, keyCol: String,
+                trainFraction: Double = 0.8, validFraction: Double = 0.1,
+                salt: String = ""): DataFrame = {
+    require(trainFraction + validFraction <= 1.0, "train+valid must be <= 1")
+    val b = hexBucket(col(keyCol), salt)
+    df.withColumn("split",
+      when(b < lit(hexThreshold(trainFraction)), "train")
+        .when(b < lit(hexThreshold(trainFraction + validFraction)), "valid")
+        .otherwise("test"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSuite {
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("sample rate lands near the requested fraction and is reproducible") {
+    val n = docs.count()
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.2)
+    val b = Sampling.deterministicSample(docs, "doc_id", 0.2)
+    val rate = a.count().toDouble / n
+    assert(rate > 0.1 && rate < 0.3, s"rate $rate")
+    assert(a.select("doc_id").exceptAll(b.select("doc_id")).isEmpty)
+  }
+
+  test("thresholded samples nest: the 5% sample is a subset of the 20% sample") {
+    val small = Sampling.deterministicSample(docs, "doc_id", 0.05).select("doc_id")
+    val big = Sampling.deterministicSample(docs, "doc_id", 0.20).select("doc_id")
+    assert(small.exceptAll(big).isEmpty)
+    assert(small.count() < big.count())
+  }
+
+  test("different salts decorrelate selections") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.2, salt = "a").select("doc_id")
+    val b = Sampling.deterministicSample(docs, "doc_id", 0.2, salt = "b").select("doc_id")
+    assert(a.exceptAll(b).count() > 0)
+  }
+
+  test("split is disjoint, exhaustive, and row-stable under appends") {
+    val n = docs.count()
+    val split = Sampling.withSplit(docs, "doc_id")
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n)
+    assert(counts("train") > counts.getOrElse("valid", 0L))
+    // appending rows must not move existing rows between splits: the
+    // assignment depends only on the row's own key
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val fromHalf = Sampling.withSplit(half, "doc_id").select("doc_id", "split")
+    val fromFull = split.select("doc_id", "split")
+      .filter(col("doc_id") % 2 === 0)
+    assert(fromHalf.exceptAll(fromFull).isEmpty)
+  }
+
+  test("stratified fractions apply per stratum") {
+    val byLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 1.0, "es" -> 0.0))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled.getOrElse("en", 0L) == byLang("en"))   // keep-all stratum
+    assert(!sampled.contains("es"))                       // keep-none stratum
+    assert(sampled.keySet subsetOf Set("en"))             // absent strata drop
+  }
+}
