@@ -76,6 +76,9 @@ object SparkEntry {
     "samp_deterministic" -> (L.sampDeterministic _),
     "samp_stratified" -> (L.sampStratified _),
     "samp_split_counts" -> (L.sampSplitCounts _),
+    "samp_domain_cap" -> (L.sampDomainCap _),
+    "t_repetition" -> (L.tRepetition _),
+    "t_decontaminate" -> (L.tDecontaminate _),
     "sim_brute_force_topk" -> (L.simBruteForceTopK _),
     "sim_lsh_recall" -> (L.simLshRecall _),
     "sim_ivf_recall" -> (L.simIvfRecall _),

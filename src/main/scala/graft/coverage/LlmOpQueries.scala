@@ -299,6 +299,31 @@ object LlmOpQueries {
       .groupBy("split").agg(count(lit(1)).as("n_docs"))
       .orderBy("split")
 
+  /** Per-source document cap at 10 (domain balancing) — emits the kept ids,
+    * so the oracle certifies row-for-row WHICH documents survive. */
+  def sampDomainCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .capPerGroup(docs(s, dir), "doc_id", "source", cap = 10)
+      .select("source", "doc_id").orderBy("source", "doc_id")
+
+  /** Gopher-style per-document bigram repetition metrics (oracle-checked). */
+  def tRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(docs(s, dir), "text", n = 2)
+      .select("doc_id", "n_ngrams", "dup_ngram_frac", "top_ngram_frac")
+      .orderBy("doc_id")
+
+  /** Train/eval 3-gram contamination report over the hash split — the
+    * decontamination check run before a pretraining job (oracle-checked). */
+  def tDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.operators.Sampling.withSplit(docs(s, dir), "doc_id")
+    graft.operators.Decontamination
+      .contaminationReport(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") === "test"),
+        "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+  }
+
   /** Multimodal plumbing: decode+featurize the synthetic blobs (rows-only). */
   def mmDecodeFeaturize(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAndFeaturize(Multimodal.syntheticMedia(s, 999))

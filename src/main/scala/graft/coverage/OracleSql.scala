@@ -54,6 +54,50 @@ object OracleSql {
          |      FROM documents)
          |GROUP BY 1 ORDER BY split""".stripMargin,
 
+    "samp_domain_cap" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
+
+    "t_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |            FROM documents),
+         |g AS (SELECT doc_id,
+         |             [array_to_string(toks[i:i+1], ' ')
+         |              FOR i IN range(1, greatest(len(toks)-1, 1) + 1)] AS grams
+         |      FROM tk)
+         |SELECT doc_id, len(grams) AS n_ngrams,
+         |       CASE WHEN len(grams) > 0
+         |            THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+         |            ELSE 0.0 END AS dup_ngram_frac,
+         |       CASE WHEN len(grams) > 0
+         |            THEN CAST(list_max([len(list_filter(grams, y -> y = x))
+         |                                FOR x IN list_distinct(grams)]) AS DOUBLE) / len(grams)
+         |            ELSE 0.0 END AS top_ngram_frac
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "t_decontaminate" ->
+      s"""WITH sp AS (SELECT doc_id, text,
+         |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.8)} THEN 'train'
+         |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.9)} THEN 'valid'
+         |            ELSE 'test' END AS split
+         |       FROM documents),
+         |tk AS (SELECT doc_id, split,
+         |              string_split_regex(trim(lower(text)), '\\s+') AS toks FROM sp),
+         |sh AS (SELECT doc_id, split, ${shingleSql("toks")} AS shs FROM tk),
+         |ev AS (SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE split = 'test'),
+         |tr AS (SELECT doc_id, unnest(shs) AS shingle FROM sh WHERE split = 'train')
+         |SELECT tr.doc_id, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_overlap,
+         |       CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) AS contamination
+         |FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
     "j_range_join" ->
       """WITH bands AS (SELECT o_orderkey AS band_key,
         |                      o_totalprice * 0.05 AS lo,

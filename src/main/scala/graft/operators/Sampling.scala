@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -53,6 +54,30 @@ object Sampling {
         when(col(stratumCol) === stratum, lit(hexThreshold(f))).otherwise(acc)
     }
     df.filter(hexBucket(col(keyCol), salt) < threshold)
+  }
+
+  /**
+   * Deterministic per-group cap (domain balancing): keep at most `cap` rows
+   * per group, chosen by hash rank — the "no domain exceeds N documents"
+   * rule of web-corpus curation, stable across runs and engines (the hash
+   * rank replaces `rand()` ordering). Secondary order on the key itself
+   * breaks 8-hex-char bucket collisions deterministically.
+   *
+   * One shuffle on the group key; each group sorts within its partition. A
+   * pathological mega-domain serializes into one task — at that shape,
+   * pre-thin it with [[deterministicSample]] at fraction ≈ cap/|domain|
+   * (counts from a cheap count pass) so the ranked set stays bounded, then
+   * rank the survivors: selection stays deterministic because thresholded
+   * samples nest.
+   */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String, cap: Int,
+                  salt: String = ""): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hexBucket(col(keyCol), salt), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
   }
 
   /**

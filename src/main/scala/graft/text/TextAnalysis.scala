@@ -102,6 +102,40 @@ object TextAnalysis {
     * own column first (see [[graft.operators.Dedup.shinglesOfTokens]]). */
   def fingerprint(text: Column): Column = fingerprintOfTokens(tokens(text))
 
+  /**
+   * Gopher-style repetition metrics over word n-grams (the "repetitious
+   * documents are low quality" family of filters): per document, the
+   * fraction of n-gram occurrences that are repeats of an earlier
+   * occurrence (`dup_ngram_frac`), and the fraction taken by the single
+   * most frequent n-gram (`top_ngram_frac`). A narrow shuffle-free per-row
+   * map over the corpus; the token and n-gram arrays are staged as
+   * materialized columns because higher-order-function lambdas evaluate
+   * interpreted and would otherwise recompute inline subtrees per element.
+   * The top-frequency scan is O(distinct × total) per row — bounded by the
+   * document length, not the corpus.
+   */
+  def repetitionMetrics(df: DataFrame, textCol: String, n: Int = 2): DataFrame = {
+    val staged = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__grams", transform(
+        sequence(lit(1), greatest(size(col("__toks")) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
+    staged
+      .withColumn("n_ngrams", size(col("__grams")))
+      .withColumn("dup_ngram_frac",
+        when(col("n_ngrams") > 0,
+          (col("n_ngrams") - size(array_distinct(col("__grams")))).cast("double")
+            / col("n_ngrams"))
+          .otherwise(0.0))
+      .withColumn("top_ngram_frac",
+        when(col("n_ngrams") > 0,
+          array_max(transform(array_distinct(col("__grams")),
+            g => size(filter(col("__grams"), x => x === g)))).cast("double")
+            / col("n_ngrams"))
+          .otherwise(0.0))
+      .drop("__toks", "__grams")
+  }
+
   /** All analyses as one projection over (idCol, textCol). */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     qualityMetrics(df, textCol)

@@ -45,6 +45,19 @@ class SamplingSpec extends SparkSuite {
     assert(fromHalf.exceptAll(fromFull).isEmpty)
   }
 
+  test("per-group cap keeps at most cap rows per group, deterministically") {
+    val capped = Sampling.capPerGroup(docs, "doc_id", "source", cap = 5)
+    val sizes = capped.groupBy("source").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 5))
+    assert(sizes.exists(_ == 5), "some source should hit the cap")
+    // deterministic: a second run selects the same rows
+    val again = Sampling.capPerGroup(docs, "doc_id", "source", cap = 5)
+    assert(capped.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+    // capping is a subset of the input
+    assert(capped.count() <= docs.count())
+  }
+
   test("stratified fractions apply per stratum") {
     val byLang = docs.groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -72,4 +72,20 @@ class TextAnalysisSpec extends SparkSuite {
       "quality_score", "lang_id", "fingerprint"))
     assert(r.getAs[String]("lang_id") == "en")
   }
+
+  test("repetition metrics: duplicate and top n-gram fractions") {
+    // tokens: a b a b a → bigrams: "a b","b a","a b","b a" → 4 grams, 2 distinct
+    val r = TextAnalysis.repetitionMetrics(one("a b a b a"), "text").head()
+    assert(r.getAs[Int]("n_ngrams") == 4)
+    assert(r.getAs[Double]("dup_ngram_frac") == 0.5)   // 2 repeats of 4
+    assert(r.getAs[Double]("top_ngram_frac") == 0.5)   // "a b" twice of 4
+  }
+
+  test("repetition metrics: an unrepetitive document scores zero") {
+    val r = TextAnalysis.repetitionMetrics(one("one two three four"), "text").head()
+    assert(r.getAs[Int]("n_ngrams") == 3)
+    assert(r.getAs[Double]("dup_ngram_frac") == 0.0)
+    // all bigrams unique → the top one is 1 of 3
+    assert(math.abs(r.getAs[Double]("top_ngram_frac") - 1.0 / 3) < 1e-15)
+  }
 }
