@@ -79,6 +79,8 @@ object SparkEntry {
     "samp_domain_cap" -> (L.sampDomainCap _),
     "t_repetition" -> (L.tRepetition _),
     "t_decontaminate" -> (L.tDecontaminate _),
+    "t_pii_redact" -> (L.tPiiRedact _),
+    "t_salient_terms" -> (L.tSalientTerms _),
     "sim_brute_force_topk" -> (L.simBruteForceTopK _),
     "sim_lsh_recall" -> (L.simLshRecall _),
     "sim_ivf_recall" -> (L.simIvfRecall _),

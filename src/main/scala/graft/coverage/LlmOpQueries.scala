@@ -324,6 +324,35 @@ object LlmOpQueries {
       .orderBy("doc_id")
   }
 
+  /** PII redaction over deterministically planted PII (the corpus itself is
+    * synthetic and PII-free, so the query plants an email/phone/URL/IP per
+    * doc from its id — same construction in the oracle). Counts + redacted
+    * text are both hash-checked. */
+  def tPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" via https://ex"), col("doc_id").cast("string"),
+        lit(".org/a?b=1 from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string")).as("text"))
+    TextAnalysis.piiCounts(planted, "text")
+      .withColumn("redacted", TextAnalysis.redactPii(col("text")))
+      .select("doc_id", "n_email", "n_url", "n_phone", "n_ip", "redacted")
+      .orderBy("doc_id")
+  }
+
+  /** Per-document salient term — integer-ranked tf-idf (tf DESC, corpus df
+    * ASC, term ASC), exactly reproducible across engines (oracle-checked). */
+  def tSalientTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.salientTerms(docs(s, dir), "doc_id", "text", k = 1)
+      .select("doc_id", "term", "tf", "df")
+      .orderBy("doc_id")
+
   /** Multimodal plumbing: decode+featurize the synthetic blobs (rows-only). */
   def mmDecodeFeaturize(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAndFeaturize(Multimodal.syntheticMedia(s, 999))

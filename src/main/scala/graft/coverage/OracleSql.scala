@@ -98,6 +98,45 @@ object OracleSql {
          |FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
+    "t_pii_redact" -> {
+      // the same patterns the Spark operator applies, in the same order —
+      // sourced from TextAnalysis.piiPatterns so engine and oracle can't drift
+      val pats = graft.text.TextAnalysis.piiPatterns
+      // single line: '||' at a stripMargin line start would lose a pipe
+      val planted = Seq(
+        "text", "' contact user'", "CAST(doc_id AS VARCHAR)",
+        "'@example.com call 555-'",
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')", "'-'",
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')",
+        "' via https://ex'", "CAST(doc_id AS VARCHAR)",
+        "'.org/a?b=1 from 10.0.'",
+        "CAST(doc_id % 256 AS VARCHAR)", "'.'",
+        "CAST((doc_id * 7) % 256 AS VARCHAR)").mkString(" || ")
+      val redacted = pats.foldLeft("text") { case (c, (pat, tag)) =>
+        s"regexp_replace($c, '$pat', '$tag', 'g')"
+      }
+      s"""WITH planted AS (SELECT doc_id, $planted AS text FROM documents)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(text, '${pats(0)._1}')) AS n_email,
+         |       len(regexp_extract_all(text, '${pats(1)._1}')) AS n_url,
+         |       len(regexp_extract_all(text, '${pats(2)._1}')) AS n_phone,
+         |       len(regexp_extract_all(text, '${pats(3)._1}')) AS n_ip,
+         |       $redacted AS redacted
+         |FROM planted ORDER BY doc_id""".stripMargin
+    },
+
+    "t_salient_terms" ->
+      """WITH tok AS (SELECT doc_id,
+        |                    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |             row_number() OVER (PARTITION BY tf.doc_id
+        |               ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+        |      FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
     "j_range_join" ->
       """WITH bands AS (SELECT o_orderkey AS band_key,
         |                      o_totalprice * 0.05 AS lo,

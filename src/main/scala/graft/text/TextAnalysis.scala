@@ -136,6 +136,64 @@ object TextAnalysis {
       .drop("__toks", "__grams")
   }
 
+  /**
+   * PII redaction patterns, applied in order (emails before URLs is
+   * irrelevant for disjoint matches but the order is part of the contract —
+   * any engine replaying these patterns in sequence produces identical
+   * output; all four are plain RE2-and-Java-regex-compatible). Each is the
+   * conventional training-data scrub shape: emails, URLs, North-American
+   * phone numbers, dotted-quad IPs.
+   */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b" -> "<IP>")
+
+  /** Redact PII spans with typed placeholders — a narrow, codegen'd chain of
+    * `regexp_replace`, no shuffle: at 100 TB this runs at scan speed. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Per-category PII match counts (for corpus audits / drop thresholds). */
+  def piiCounts(df: DataFrame, textCol: String): DataFrame =
+    Seq("email" -> piiPatterns(0)._1, "url" -> piiPatterns(1)._1,
+      "phone" -> piiPatterns(2)._1, "ip" -> piiPatterns(3)._1)
+      .foldLeft(df) { case (d, (name, pat)) =>
+        d.withColumn(s"n_$name", coalesce(regexp_count(col(textCol), lit(pat)), lit(0)))
+      }
+
+  /**
+   * Per-document salient terms: the k terms with the highest in-document
+   * frequency, rarest-in-corpus first among ties — a tf-idf ranking
+   * expressed entirely in integers (tf DESC, document-frequency ASC, term
+   * ASC), so the selection is exactly reproducible across engines with no
+   * floating-point log in the comparison path.
+   *
+   * Scale shape: one explode to (doc, term) pairs; tf is a partial-agg
+   * groupBy; df is a corpus-level distinct-doc count per term (the classic
+   * two-pass tf-idf DF build — partial aggs apply, only (term, count) pairs
+   * shuffle); the join back is keyed on the term both sides already hash on.
+   */
+  def salientTerms(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    val tok = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("__rk").as("rank"))
+  }
+
   /** All analyses as one projection over (idCol, textCol). */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     qualityMetrics(df, textCol)

@@ -73,6 +73,44 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r.getAs[String]("lang_id") == "en")
   }
 
+  test("pii redaction replaces emails, urls, phones, and ips with tags") {
+    val df = one("mail a.b+c@x.org or call 555-123-4567, see https://x.y/z?q=1 from 10.1.2.3 done")
+    val r = df.select(TextAnalysis.redactPii(col("text")).as("red")).head()
+    assert(r.getAs[String]("red") ==
+      "mail <EMAIL> or call <PHONE>, see <URL> from <IP> done")
+    val counts = TextAnalysis.piiCounts(df, "text").head()
+    assert(counts.getAs[Int]("n_email") == 1)
+    assert(counts.getAs[Int]("n_url") == 1)
+    assert(counts.getAs[Int]("n_phone") == 1)
+    assert(counts.getAs[Int]("n_ip") == 1)
+  }
+
+  test("pii redaction leaves clean text untouched") {
+    val clean = "just ordinary words with numbers 42 and a ratio 3.5 here"
+    val r = one(clean).select(TextAnalysis.redactPii(col("text")).as("red")).head()
+    assert(r.getAs[String]("red") == clean)
+  }
+
+  test("salient terms rank by tf desc, then rarity, then term") {
+    val s = spark
+    import s.implicits._
+    // "rare" appears twice in doc 1 and nowhere else; "common" is everywhere
+    val df = Seq(
+      (1L, "rare rare common filler"),
+      (2L, "common other words here"),
+      (3L, "common more words again")).toDF("doc_id", "text")
+    val top = TextAnalysis.salientTerms(df, "doc_id", "text", k = 1)
+      .orderBy("doc_id").collect()
+    assert(top(0).getAs[String]("term") == "rare")   // tf=2 beats all tf=1
+    assert(top(0).getAs[Long]("tf") == 2)
+    assert(top(0).getAs[Long]("df") == 1)
+    // docs 2/3: all tf=1 → rarest wins; their non-shared words have df=1,
+    // ties broken alphabetically
+    assert(top(1).getAs[Long]("df") == 1)
+    assert(top(1).getAs[String]("term") == "here")
+    assert(top(2).getAs[String]("term") == "again")
+  }
+
   test("repetition metrics: duplicate and top n-gram fractions") {
     // tokens: a b a b a → bigrams: "a b","b a","a b","b a" → 4 grams, 2 distinct
     val r = TextAnalysis.repetitionMetrics(one("a b a b a"), "text").head()
