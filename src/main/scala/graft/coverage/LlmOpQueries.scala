@@ -353,6 +353,20 @@ object LlmOpQueries {
       .select("doc_id", "term", "tf", "df")
       .orderBy("doc_id")
 
+  /** Int8 embedding quantization audit: per-vector scale, code stats, and
+    * reconstruction error — all IEEE-exact ops, so the DuckDB oracle
+    * reproduces the codes bit-for-bit (hash-checked). */
+  def vQuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VectorQuantization
+      .maxAbsError(embeddings(s, dir), "embedding")
+      .select(col("vec_id"), col("scale"),
+        size(col("qvec")).as("n_dims"),
+        array_min(col("qvec")).cast("int").as("q_min"),
+        array_max(col("qvec")).cast("int").as("q_max"),
+        aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+        col("max_abs_err"))
+      .orderBy("vec_id")
+
   /** Multimodal plumbing: decode+featurize the synthetic blobs (rows-only). */
   def mmDecodeFeaturize(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAndFeaturize(Multimodal.syntheticMedia(s, 999))

@@ -137,6 +137,26 @@ object OracleSql {
         |      FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
+    "v_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding AS emb,
+        |                  list_max([abs(x) FOR x IN embedding]) AS mx
+        |           FROM embeddings),
+        |sc AS (SELECT vec_id, emb,
+        |              CASE WHEN mx > 0 THEN CAST(mx AS DOUBLE) / 127 ELSE 1.0 END AS scale
+        |       FROM s),
+        |q AS (SELECT vec_id, emb, scale,
+        |             [greatest(-127, least(127,
+        |                CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))
+        |              FOR x IN emb] AS qv
+        |      FROM sc)
+        |SELECT vec_id, scale, len(qv) AS n_dims,
+        |       CAST(list_min(qv) AS INT) AS q_min,
+        |       CAST(list_max(qv) AS INT) AS q_max,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       list_max([abs(CAST(qv[i] AS DOUBLE) * scale - CAST(emb[i] AS DOUBLE))
+        |                 FOR i IN range(1, len(qv) + 1)]) AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "j_range_join" ->
       """WITH bands AS (SELECT o_orderkey AS band_key,
         |                      o_totalprice * 0.05 AS lo,

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class VectorQuantizationSpec extends SparkSuite {
+
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("codes stay in [-127, 127] and reconstruction error is within scale/2") {
+    val df = vecs(
+      1L -> Seq(0.5f, -1.0f, 0.25f, 0.0f),
+      2L -> Seq(100.0f, -50.0f, 3.0f, 0.1f))
+    val r = VectorQuantization.maxAbsError(df, "embedding")
+      .orderBy("vec_id").collect()
+    r.foreach { row =>
+      val scale = row.getAs[Double]("scale")
+      val q = row.getAs[scala.collection.Seq[Byte]]("qvec")
+      assert(q.forall(c => c >= -127 && c <= 127))
+      // half-a-code-step bound, with float→double slack
+      assert(row.getAs[Double]("max_abs_err") <= scale / 2 + 1e-6)
+    }
+    // the max-|x| element always maps to ±127 exactly
+    assert(r(0).getAs[scala.collection.Seq[Byte]]("qvec")(1) == -127)
+    assert(r(1).getAs[scala.collection.Seq[Byte]]("qvec")(0) == 127)
+  }
+
+  test("all-zero vectors quantize to all-zero codes with scale 1") {
+    val r = VectorQuantization.quantizeInt8(vecs(1L -> Seq(0.0f, 0.0f, 0.0f)), "embedding").head()
+    assert(r.getAs[Double]("scale") == 1.0)
+    assert(r.getAs[scala.collection.Seq[Byte]]("qvec").forall(_ == 0))
+  }
+
+  test("dequantize reproduces the dominant component to code precision") {
+    val df = VectorQuantization.quantizeInt8(vecs(1L -> Seq(1.27f, -0.635f)), "embedding")
+      .withColumn("deq", VectorQuantization.dequantize(col("qvec"), col("scale")))
+    val deq = df.head().getAs[scala.collection.Seq[Double]]("deq")
+    assert(math.abs(deq(0) - 1.27) < 0.01)
+    assert(math.abs(deq(1) + 0.635) < 0.01)
+  }
+
+  test("quantization is deterministic across runs") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = VectorQuantization.quantizeInt8(base, "embedding").select("vec_id", "qvec")
+    val b = VectorQuantization.quantizeInt8(base, "embedding").select("vec_id", "qvec")
+    assert(a.exceptAll(b).isEmpty)
+  }
+}
