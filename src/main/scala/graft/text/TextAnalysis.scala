@@ -172,19 +172,22 @@ object TextAnalysis {
    * ASC), so the selection is exactly reproducible across engines with no
    * floating-point log in the comparison path.
    *
-   * Scale shape: one explode to (doc, term) pairs; tf is a partial-agg
-   * groupBy; df is a corpus-level distinct-doc count per term (the classic
-   * two-pass tf-idf DF build — partial aggs apply, only (term, count) pairs
-   * shuffle); the join back is keyed on the term both sides already hash on.
+   * Scale shape: ONE explode to (doc, term) pairs feeding the tf groupBy
+   * (partial aggs apply); document frequency then comes from tf itself —
+   * tf has exactly one row per (doc, term), so `count per term` over it IS
+   * the distinct-doc count, at a fraction of re-aggregating the raw token
+   * stream (the token explode — the 100 TB-dominant stage — runs once, and
+   * the df shuffle moves deduplicated pairs, not token occurrences). The
+   * join back is keyed on the term both sides already hash on.
    */
   def salientTerms(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3): DataFrame = {
-    val tok = df
+    val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-    val tf = tok.groupBy(col(idCol), col("term"))
+      .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
