@@ -119,4 +119,36 @@ class PlanShapeSpec extends SparkSuite {
     val p = plan(OperatorQueries.a1GroupMultiAgg(spark, dir))
     assert(p.contains("partial_"), "no partial aggregation: " + p)
   }
+
+  test("deterministic sampling is a shuffle-free narrow filter") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Sampling.deterministicSample(docs, "doc_id", 0.1))
+    assert(!p.contains("Exchange"), "sampling must not shuffle: " + p)
+    assert(p.contains("Filter"), p)
+  }
+
+  test("int8 quantization is a shuffle-free narrow projection") {
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.operators.VectorQuantization.quantizeInt8(embs, "embedding"))
+    assert(!p.contains("Exchange"), "quantization must not shuffle: " + p)
+  }
+
+  test("decontamination broadcasts the eval shingle set, never SMJ-ing the train side") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Decontamination.contaminationReport(
+      docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"),
+      "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "train side fell into a sort-merge join: " + p)
+    // the only exchange is the per-doc count aggregation (+ broadcast build)
+    assert(p.contains("partial_"), "overlap count lost map-side combine: " + p)
+  }
+
+  test("per-domain cap shuffles once on the group key") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Sampling.capPerGroup(docs, "doc_id", "source", 5))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges: " + p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
 }
