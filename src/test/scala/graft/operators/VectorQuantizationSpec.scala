@@ -43,6 +43,23 @@ class VectorQuantizationSpec extends SparkSuite {
     assert(math.abs(deq(1) + 0.635) < 0.01)
   }
 
+  test("exact top-k over the quantized corpus matches the full-precision top-k") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = base.orderBy("vec_id").limit(5)
+    val quantized = VectorQuantization.quantizeInt8(base, "embedding")
+      .select(col("vec_id"),
+        VectorQuantization.dequantize(col("qvec"), col("scale")).as("embedding"))
+    def topk(corpus: org.apache.spark.sql.DataFrame) = SimilaritySearch
+      .bruteForceTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id")
+    val full = topk(base).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = topk(quantized).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 codes keep ~7 bits of mantissa — ranks are stable except for
+    // near-ties; demand ≥80% agreement on 25 (query, neighbor) pairs
+    val overlap = full.intersect(quant).size.toDouble / full.size
+    assert(overlap >= 0.8, s"quantized recall $overlap")
+  }
+
   test("quantization is deterministic across runs") {
     val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = VectorQuantization.quantizeInt8(base, "embedding").select("vec_id", "qvec")
