@@ -317,8 +317,10 @@ object OperatorQueries {
     graft.operators.SkewJoin.saltedJoin(
         T(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
         "l_orderkey",
+        // saltFactor sized to the skew being spread, not maximal: 4 spreads
+        // a hot key over 4 reducers at half the replication cost of 8
         T(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-        "o_orderkey", saltFactor = 8)
+        "o_orderkey", saltFactor = 4)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lines"),
         sumDec(col("l_extendedprice")).as("sum_price"))
