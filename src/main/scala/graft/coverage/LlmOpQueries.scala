@@ -353,6 +353,17 @@ object LlmOpQueries {
       .select("doc_id", "term", "tf", "df")
       .orderBy("doc_id")
 
+  /** Corpus vocabulary heavy hitters: top 20 terms by document frequency —
+    * the vocab/stopword audit over the same one-explode tf machinery;
+    * plans a TakeOrderedAndProject, never a global sort (oracle-checked). */
+  def tTopTerms(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+
   /** Int8 embedding quantization audit: per-vector scale, code stats, and
     * reconstruction error — all IEEE-exact ops, so the DuckDB oracle
     * reproduces the codes bit-for-bit (hash-checked). */

@@ -137,6 +137,13 @@ object OracleSql {
         |      FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
+    "t_top_terms" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |                    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |             FROM documents)
+        |SELECT term, count(*) AS df FROM tok
+        |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
     "v_quantize_int8" ->
       """WITH s AS (SELECT vec_id, embedding AS emb,
         |                  list_max([abs(x) FOR x IN embedding]) AS mx

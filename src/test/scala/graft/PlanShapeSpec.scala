@@ -144,6 +144,11 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial_"), "overlap count lost map-side combine: " + p)
   }
 
+  test("corpus top-terms fuses its top-20 into TakeOrderedAndProject") {
+    val p = plan(graft.coverage.LlmOpQueries.tTopTerms(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("per-domain cap shuffles once on the group key") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.Sampling.capPerGroup(docs, "doc_id", "source", 5))
