@@ -82,6 +82,7 @@ object SparkEntry {
     "t_pii_redact" -> (L.tPiiRedact _),
     "t_salient_terms" -> (L.tSalientTerms _),
     "t_top_terms" -> (L.tTopTerms _),
+    "t_pack_plan" -> (L.tPackPlan _),
     "v_quantize_int8" -> (L.vQuantizeInt8 _),
     "sim_brute_force_topk" -> (L.simBruteForceTopK _),
     "sim_lsh_recall" -> (L.simLshRecall _),

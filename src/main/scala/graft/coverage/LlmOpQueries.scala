@@ -353,6 +353,19 @@ object LlmOpQueries {
       .select("doc_id", "term", "tf", "df")
       .orderBy("doc_id")
 
+  /** Sequence-packing layout: every document's deterministic offset in its
+    * shard's concatenated token stream, cut into 512-token examples
+    * (oracle-checked row-for-row — pure integer window arithmetic). */
+  def tPackPlan(s: SparkSession, dir: String): DataFrame = {
+    val withTok = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.Packing
+      .packPlan(withTok, "doc_id", "n_tokens",
+        pmod(col("doc_id"), lit(8)), contextLen = 512)
+      .select("doc_id", "shard", "offset", "pack_first", "pack_last")
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary heavy hitters: top 20 terms by document frequency —
     * the vocab/stopword audit over the same one-explode tf machinery;
     * plans a TakeOrderedAndProject, never a global sort (oracle-checked). */

@@ -137,6 +137,23 @@ object OracleSql {
         |      FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
+    "t_pack_plan" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |                       ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+        |                  END AS n_tokens,
+        |                  doc_id % 8 AS shard,
+        |                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        |           FROM documents),
+        |o AS (SELECT doc_id, shard, n_tokens,
+        |             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM t)
+        |SELECT doc_id, shard, CAST(off AS BIGINT) AS offset,
+        |       CAST(floor(off / 512) AS BIGINT) AS pack_first,
+        |       CAST(floor((off + n_tokens - 1) / 512) AS BIGINT) AS pack_last
+        |FROM o ORDER BY doc_id""".stripMargin,
+
     "t_top_terms" ->
       """WITH tok AS (SELECT DISTINCT doc_id,
         |                    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
