@@ -267,8 +267,16 @@ object LlmOpQueries {
       val e = embeddings(s, dir)
       val q = e.filter(col("vec_id") < 10)
       val exact = exactTopK(s, dir).select("query_id", "corpus_id")
+      // nProbe 10/16: the testdata corpus is a worst case for IVF (planted
+      // neighbours are near-random, scattering across lists — NOTES_r2), so
+      // the recall query probes over half the lists and still tops out at
+      // ~0.88; real clustered corpora reach that recall at 2-4 probes. The
+      // primary ANN path is the multi-probe sign-LSH (recall 1.00 here).
+      // trainIters 3 tightens centroids at negligible cost (training is
+      // over list means, not the corpus).
       val approx = SimilaritySearch.ivfTopK(e, "vec_id", "embedding",
-        q, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 6)
+        q, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 10,
+        trainIters = 3)
         .select("query_id", "corpus_id")
       exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
         .agg((count(lit(1)).cast("double") / 50.0).as("recall_at_5"))
