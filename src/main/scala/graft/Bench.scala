@@ -54,8 +54,12 @@ object Bench {
     // optimization + physical planning) is built ONCE; timed passes measure
     // execution. Dataset.count() wraps the cached logical plan in a fresh
     // aggregate each call, so every timed run re-executes all stages —
-    // shuffles included — from the persisted session tables; nothing of the
-    // runtime work is memoized between passes.
+    // shuffles included — from the persisted session tables. The only frames
+    // persisted beyond the input tables are the dedup operators' internal
+    // sketch intermediates (multi-consumer within one plan, like a SQL
+    // engine's materialized CTE); resetDerivedCaches() below invalidates
+    // them before every timed pass, so each pass pays that computation once
+    // rather than the first pass filling a cache the rest re-read.
     val prepared = SparkEntry.queries.map { case (name, fn) =>
       name -> (try Some(fn(spark, sfDir)) catch { case _: Throwable => None })
     }
@@ -74,22 +78,27 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val times = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    for (pass <- 1 to 5; name <- names) {
-      // multi-second queries (the 10× scaling run) get 2 timed passes, not
-      // 5 — steal noise is proportionally small on them, and the repeats
-      // would dominate the bench's wall-clock budget
-      val skip = pass > 2 && times.get(name).exists(_ >= 5.0)
-      if (!skip) {
-        val t0 = System.nanoTime()
-        val ok = try {
-          prepared(name) match {
-            case Some(df) => df.count(); true
-            case None => failed += name; false
-          }
-        } catch { case _: Throwable => failed += name; false }
-        val t = (System.nanoTime() - t0) / 1e9
-        // a crash-path timing is not a latency — only record successful runs
-        if (ok && (!times.contains(name) || t < times(name))) times(name) = t
+    for (pass <- 1 to 5) {
+      // derived results (sketch frames) recompute fresh in every pass;
+      // the input-table buffer pool stays warm (BASELINE.md §d methodology)
+      graft.coverage.LlmOpQueries.resetDerivedCaches()
+      for (name <- names) {
+        // multi-second queries (the 10× scaling runs) get 2 timed passes,
+        // not 5 — steal noise is proportionally small on them, and the
+        // repeats would dominate the bench's wall-clock budget
+        val skip = pass > 2 && times.get(name).exists(_ >= 5.0)
+        if (!skip) {
+          val t0 = System.nanoTime()
+          val ok = try {
+            prepared(name) match {
+              case Some(df) => df.count(); true
+              case None => failed += name; false
+            }
+          } catch { case _: Throwable => failed += name; false }
+          val t = (System.nanoTime() - t0) / 1e9
+          // a crash-path timing is not a latency — only record successes
+          if (ok && (!times.contains(name) || t < times(name))) times(name) = t
+        }
       }
     }
     val results = names.map(n => n -> times.getOrElse(n, -1.0))

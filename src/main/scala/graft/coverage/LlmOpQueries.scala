@@ -38,6 +38,13 @@ object LlmOpQueries {
     Dedup.unpersistSketches()
   }
 
+  /** Invalidate every DERIVED cached result (the dedup operators' internal
+    * sketch frames) while keeping the input-table buffer pool warm. Bench
+    * calls this between timed passes so each pass recomputes all derived
+    * work — only inputs stay memoized, matching the DuckDB baseline's warm
+    * buffer pool + per-execution CTE materialization. */
+  def resetDerivedCaches(): Unit = Dedup.resetSketchCache()
+
   // Persisted like OperatorQueries.T: the docs/embeddings tables serve ~10
   // sketch queries per session; the buffer-pool copy is populated in the
   // untimed warmup pass (warm methodology, BASELINE.md §d).
@@ -226,19 +233,21 @@ object LlmOpQueries {
       .orderBy("id_a", "id_b")
 
   /**
-   * Exact cosine top-5 for the first 10 vectors, computed ONCE per
-   * (session, dir) and persisted: it is both a query result
-   * ([[simBruteForceTopK]]) and the ground truth for [[simLshRecall]] —
-   * without the shared handle the O(|corpus|·|queries|·d) scan ran twice
-   * per bench pass (round-1 verdict finding #3).
+   * Exact cosine top-5 for the first 10 vectors. The PLAN is memoized per
+   * (session, dir) — prepared-statement model, same as Bench's own map — but
+   * the RESULT is deliberately not persisted: it is a query answer
+   * ([[simBruteForceTopK]]) and the recall queries' ground truth, and caching
+   * it would let timed bench passes re-read a tiny stored frame while the
+   * DuckDB baseline re-executes the full O(|corpus|·|queries|·d) scan each
+   * pass (round-2 advice #2). Post-r2 the scan costs ~0.04 s via the one-pass
+   * vector expressions, so each consumer recomputing it is cheap and honest.
    */
   private def exactTopK(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "__exact_topk"), {
       val e = embeddings(s, dir)
       val q = e.filter(col("vec_id") < 10)
       SimilaritySearch.bruteForceTopK(e, "vec_id", "embedding",
-          q, "vec_id", "embedding", k = 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        q, "vec_id", "embedding", k = 5)
     })
 
   /** Brute-force cosine top-5 for the first 10 vectors (rows-only). */

@@ -272,10 +272,12 @@ object OracleSql {
          |FROM tk)
          |SELECT lang_id, count(*) AS n FROM (
          |  SELECT CASE WHEN greatest(en, es, fr, de, zh) = 0 THEN 'und'
-         |              WHEN en >= es AND en >= fr AND en >= de AND en >= zh THEN 'en'
-         |              WHEN es >= fr AND es >= de AND es >= zh THEN 'es'
-         |              WHEN fr >= de AND fr >= zh THEN 'fr'
-         |              WHEN de >= zh THEN 'de'
+         |              -- tie-break = first language in sorted code order, same
+         |              -- as LanguageIdExpr's strict argmax over (de,en,es,fr,zh)
+         |              WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+         |              WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+         |              WHEN es >= fr AND es >= zh THEN 'es'
+         |              WHEN fr >= zh THEN 'fr'
          |              ELSE 'zh' END AS lang_id
          |  FROM s)
          |GROUP BY lang_id ORDER BY lang_id""".stripMargin,

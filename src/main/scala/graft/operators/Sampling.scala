@@ -29,10 +29,15 @@ object Sampling {
   def hexBucket(key: Column, salt: String = ""): Column =
     substring(md5(concat(lit(salt), key.cast("string"))), 1, 8)
 
-  /** `⌊fraction·2³²⌋` as 8 lowercase hex chars (the comparison threshold). */
+  /** `⌊fraction·2³²⌋` as 8 lowercase hex chars (the comparison threshold).
+    * Fraction 1.0 would clamp to "ffffffff", and the strict `<` selection
+    * would silently drop rows whose bucket is exactly "ffffffff" (~2⁻³² of
+    * rows); "g" sorts above every hex char in both Spark and DuckDB, so a
+    * full-fraction sample keeps everything. */
   def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
-    f"${math.min(math.floor(fraction * 4294967296.0).toLong, 0xffffffffL)}%08x"
+    if (fraction >= 1.0) "g"
+    else f"${math.floor(fraction * 4294967296.0).toLong}%08x"
   }
 
   /** Keep ~`fraction` of rows, keyed (and thus reproducible) by `keyCol`. */
