@@ -55,10 +55,18 @@ object Dedup {
     * pass paying and later passes reading a warm result. */
   def resetSketchCache(): Unit = {
     persistedFrames.forEach { df =>
-      try {
-        df.unpersist(blocking = true)
-        df.persist(StorageLevel.MEMORY_AND_DISK)
-      } catch { case _: Throwable => () }
+      // Separate try blocks: if unpersist succeeds but re-persist fails, the
+      // frame would silently stay uncached for all remaining bench passes,
+      // changing what later passes measure — make that visible.
+      try df.unpersist(blocking = true) catch {
+        case t: Throwable =>
+          System.err.println(s"[Dedup.resetSketchCache] unpersist failed: $t")
+      }
+      try df.persist(StorageLevel.MEMORY_AND_DISK) catch {
+        case t: Throwable =>
+          System.err.println(
+            s"[Dedup.resetSketchCache] re-persist failed (frame will recompute uncached): $t")
+      }
     }
   }
 
@@ -176,16 +184,23 @@ object Dedup {
    * `maxBucketSize`. Over-full buckets are low-information bands (everything
    * collides) and quadratic in cost; skipping them is the standard
    * production trade — bounded work per bucket, recall loss only where the
-   * band carried no signal anyway. The bucket-size aggregation is tiny and
-   * broadcast back onto the banded stream.
+   * band carried no signal anyway.
+   *
+   * The broadcast list is the OVER-full buckets only — O(pathological
+   * buckets), a handful of rows even on a degenerate corpus — never the
+   * keep-side list, which is O(documents × bands) and would be a
+   * driver/executor OOM by construction at 100 TB. The banded stream is
+   * `left_anti`-joined against that tiny blocklist, so the common case
+   * (no pathological buckets) broadcasts an empty frame and keeps
+   * everything.
    */
   private def pruneFullBuckets(banded: DataFrame, keys: Seq[String],
                                maxBucketSize: Int): DataFrame = {
-    val sizes = banded.groupBy(keys.map(col): _*)
+    val overFull = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bucket_n"))
-      .filter(col("__bucket_n") <= maxBucketSize)
+      .filter(col("__bucket_n") > maxBucketSize)
       .drop("__bucket_n")
-    banded.join(broadcast(sizes), keys)
+    banded.join(broadcast(overFull), keys, "left_anti")
   }
 
   /** Signature agreement fraction between two minhash signature arrays. */

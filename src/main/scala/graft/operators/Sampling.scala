@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
  * rows, or train/test contamination creeps in across pipeline versions.
  *
  * Mechanism: a row's first 8 md5 hex chars of its key act as a uniform
- * 32-bit bucket; selection compares that hex string against the hex-encoded
- * threshold `⌊fraction·2³²⌋` — a pure string comparison, so the same rows
+ * 32-bit bucket; selection compares that hex string against the threshold
+ * string for `⌊fraction·2³²⌋` (8 hex chars, or the above-hex sentinel "g"
+ * for fraction 1.0) — a pure string comparison, so the same rows
  * are chosen by any engine that can md5 (the DuckDB oracles replay the exact
  * selection). Narrow, codegen'd, no shuffle, no state; at 100 TB a sample is
  * a filter pushed right behind the scan.
@@ -29,7 +30,9 @@ object Sampling {
   def hexBucket(key: Column, salt: String = ""): Column =
     substring(md5(concat(lit(salt), key.cast("string"))), 1, 8)
 
-  /** `⌊fraction·2³²⌋` as 8 lowercase hex chars (the comparison threshold).
+  /** The comparison threshold: `⌊fraction·2³²⌋` as 8 lowercase hex chars for
+    * fraction < 1.0, or the single-char sentinel "g" for fraction 1.0 — NOT
+    * a fixed-width hex string in that case.
     * Fraction 1.0 would clamp to "ffffffff", and the strict `<` selection
     * would silently drop rows whose bucket is exactly "ffffffff" (~2⁻³² of
     * rows); "g" sorts above every hex char in both Spark and DuckDB, so a

@@ -79,6 +79,29 @@ class DedupSpec extends SparkSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("bucket pruning (inverted anti-join) is a no-op on healthy buckets, drops over-full ones") {
+    // pruneFullBuckets broadcasts the OVER-full bucket list (tiny) and
+    // left_anti joins — behavior must be identical to the keep-list form:
+    // (a) healthy corpus: pruning enabled vs effectively-disabled produce the
+    //     exact same candidate pairs;
+    // (b) pathological corpus (300 identical docs, bucket size 300 > max):
+    //     every bucket for the clones is over-full, so no pairs survive.
+    val pruned = Dedup.minhashCandidatePairs(docs, "doc_id", "text", maxBucketSize = 256)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val unpruned = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pruned == unpruned, "pruning changed output on a corpus with no over-full buckets")
+
+    val s = spark
+    import s.implicits._
+    val clones = (0 until 300).map(i =>
+      (i.toLong, "identical content repeated across every single clone document")).toDF("doc_id", "text")
+    val survivors = Dedup.minhashCandidatePairs(clones, "doc_id", "text", maxBucketSize = 100).count()
+    assert(survivors == 0L, s"over-full buckets not pruned: $survivors pairs emitted")
+    Dedup.unpersistSketches()
+  }
+
   test("simhash128 on a shuffled small-vocab corpus: all 50 planted pairs, bounded FPs") {
     // The round-1 weakness: with a tiny vocabulary every document contains
     // most of the vocabulary, so DISTINCT-token sketches collapse together.
