@@ -113,7 +113,20 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     } catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","loadavg1":$load1}""")
+    val jsonLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","loadavg1":$load1}"""
+    println(jsonLine)
+    // The stdout line rides inside sbt's log stream, whose captured tail has
+    // been observed truncated mid-JSON (BENCH_r03 lost 10 per-query timings);
+    // also write the whole line to a file any reader can consume intact.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      java.nio.file.Files.write(out,
+        (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case t: Throwable =>
+      System.err.println(s"[Bench] could not write bench_out.json: $t")
+    }
     graft.coverage.OperatorQueries.clearCache()
     graft.coverage.LlmOpQueries.clearCache()
     spark.stop()

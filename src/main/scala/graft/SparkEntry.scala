@@ -57,6 +57,7 @@ object SparkEntry {
     "w_running_sum" -> (Q.wRunningSum _),
     "w_lag_rank" -> (Q.wLagRank _),
     "w_sessionize" -> (Q.wSessionize _),
+    "w_sessionize_10x" -> (Q.wSessionize10x _),
     "a8_approx_count_distinct" -> (Q.a8ApproxCountDistinct _),
     "a_rollup" -> (Q.aRollup _),
     "a_percentile" -> (Q.aPercentile _),
@@ -73,14 +74,17 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (L.dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (L.dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (L.dedupEmbeddingCosine _),
+    "dedup_embedding_cosine_10x" -> (L.dedupEmbeddingCosine10x _),
     "samp_deterministic" -> (L.sampDeterministic _),
     "samp_stratified" -> (L.sampStratified _),
     "samp_split_counts" -> (L.sampSplitCounts _),
     "samp_domain_cap" -> (L.sampDomainCap _),
     "t_repetition" -> (L.tRepetition _),
     "t_decontaminate" -> (L.tDecontaminate _),
+    "t_decontaminate_10x" -> (L.tDecontaminate10x _),
     "t_pii_redact" -> (L.tPiiRedact _),
     "t_salient_terms" -> (L.tSalientTerms _),
+    "t_salient_terms_10x" -> (L.tSalientTerms10x _),
     "t_top_terms" -> (L.tTopTerms _),
     "t_pack_plan" -> (L.tPackPlan _),
     "v_quantize_int8" -> (L.vQuantizeInt8 _),

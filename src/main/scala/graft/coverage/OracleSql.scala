@@ -215,7 +215,10 @@ object OracleSql {
     "j_skew_salted" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |FROM (SELECT CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE l_orderkey END AS l_orderkey,
+        |             l_extendedprice
+        |      FROM lineitem) l
+        |JOIN orders ON l.l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "w_sessionize" ->

@@ -9,8 +9,9 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "false")
@@ -24,6 +25,11 @@ object Probe {
       "w_row_number_latest", "a1_group_multi_agg")
     // warmup
     names.foreach(n => graft.SparkEntry.queries(n)(spark, sfDir).count())
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("true"))
+      names.foreach { n =>
+        println(s"──── $n ────")
+        graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)
       val ts = (1 to 10).map { _ =>

@@ -51,6 +51,46 @@ class SkewJoinSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
   }
 
+  test("planted hot key: salting cuts the max reducer load ~saltFactor×") {
+    // The bench query's skew shape: every fifth lineitem row remaps to order
+    // key 1, putting ~20% of the fact on ONE join key. Unsalted, a hash
+    // shuffle sends all of a key's rows to one reducer — max reducer load =
+    // hot-key row count. Salted, the hot key spreads over saltFactor
+    // reducers. The load metric is deterministic (group sizes, not wall
+    // clock — this host's CPU steal makes timing assertions flaky).
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(
+        when(pmod(col("l_orderkey"), lit(5)) === 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_extendedprice").as("payload"))
+    val saltFactor = 4
+    val perKey = li.groupBy("k").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    val perKeySalt = li
+      .withColumn("__salt", pmod(xxhash64(col("k"), col("payload")), lit(saltFactor)))
+      .groupBy("k", "__salt").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(perKey >= 1000, s"skew construction broke: hot key has only $perKey rows")
+    // allow slack over the ideal perKey/4 for hash imbalance
+    assert(perKeySalt * 2 <= perKey,
+      s"salting did not spread the hot key: $perKey -> $perKeySalt with saltFactor $saltFactor")
+  }
+
+  test("salted equals plain on the planted-skew bench shape") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(
+        when(pmod(col("l_orderkey"), lit(5)) === 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("l_orderkey"),
+        col("l_extendedprice"))
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    val salted = SkewJoin.saltedJoin(li, "l_orderkey", ord, "o_orderkey", saltFactor = 4)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("matches plain join on the real lineitem/orders tables") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_extendedprice")
