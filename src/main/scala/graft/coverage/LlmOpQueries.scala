@@ -531,9 +531,13 @@ object LlmOpQueries {
         col("max_abs_err"))
       .orderBy("vec_id")
 
-  /** Multimodal plumbing: decode+featurize the synthetic blobs (rows-only). */
+  /** Multimodal: decode+featurize synthetic blobs UNIONED with genuine
+    * BMP/PPM/WAV payloads (rows-only) — the real pure-JVM header parsers run
+    * in the same mapPartitions pass as the stub fallback. */
   def mmDecodeFeaturize(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeAndFeaturize(Multimodal.syntheticMedia(s, 999))
+    Multimodal.decodeAndFeaturize(
+        Multimodal.syntheticMedia(s, 999)
+          .unionByName(Multimodal.realSampleMedia(s)))
       .groupBy("media_type")
       .agg(count(lit(1)).as("n"),
         max("width").as("max_width"),
