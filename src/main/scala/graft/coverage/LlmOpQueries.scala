@@ -293,15 +293,26 @@ object LlmOpQueries {
     * ([[nearDupEmbeddings10x]]). Planted pairs stay within-replica, so
     * `n_planted_found` must be 10× the 1× run's pair count; near-linear
     * wall-clock vs [[dedupEmbeddingCosine]] in the same bench JSON is the
-    * scaling claim. */
+    * scaling claim. The bucket width is sized to the corpus
+    * ([[SimilaritySearch.sizedLshBits]], occupancy matched to the 1× run's
+    * ~21 vectors/bucket): the candidate stage is quadratic in per-bucket
+    * occupancy, so scaling the data without scaling the buckets measures
+    * the wrong thing — a fixed 8-bit width cost 94 s here (~100× the
+    * candidates); sized buckets keep candidates ~linear in N. The one
+    * count() is a metadata read of the pre-materialized input, paid once
+    * at prepare time. */
   def dedupEmbeddingCosine10x(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((s, dir, "__q_emb_cosine_10x"),
-      SimilaritySearch.cosineNearDuplicates(nearDupEmbeddings10x(s, dir),
-          "vec_id", "v", threshold = 0.99, nTables = 8, nBits = 8)
+    cache.getOrElseUpdate((s, dir, "__q_emb_cosine_10x"), {
+      val corpus = nearDupEmbeddings10x(s, dir)
+      val bits = SimilaritySearch.sizedLshBits(corpus.count(),
+        targetOccupancy = 21, minBits = 8)
+      SimilaritySearch.cosineNearDuplicates(corpus,
+          "vec_id", "v", threshold = 0.99, nTables = 8, nBits = bits)
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(pmod(col("id_a"), lit(100000000L)) + 1000000L
               === pmod(col("id_b"), lit(100000000L)), 1L).otherwise(0L))
-            .as("n_planted_found")))
+            .as("n_planted_found"))
+    })
 
   /**
    * Exact cosine top-5 for the first 10 vectors. The PLAN is memoized per
@@ -510,9 +521,13 @@ object LlmOpQueries {
     * the vocab/stopword audit over the same one-explode tf machinery;
     * plans a TakeOrderedAndProject, never a global sort (oracle-checked). */
   def tTopTerms(s: SparkSession, dir: String): DataFrame =
+    // term_counts' map keys are the document's DISTINCT terms, so the
+    // per-doc dedup happens map-side in one pass — the plan's only exchange
+    // moves (term, partial count) pairs, not the full (doc, term) stream
+    // the explode→distinct formulation shuffled
     docs(s, dir)
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .distinct()
+      .select(explode(map_keys(graft.expressions.SketchExpressions
+        .term_counts(TextAnalysis.tokens(col("text"))))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term"))
       .limit(20)

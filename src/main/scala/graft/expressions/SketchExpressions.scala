@@ -255,6 +255,61 @@ case class LanguageIdExpr(child: Expression, markers: Seq[(String, Seq[String])]
     copy(child = newChild)
 }
 
+/**
+ * Per-document term frequencies from an `array<string>` token column:
+ * `map<term, count>` built in one imperative pass with a single open hash
+ * map. This moves the tf aggregation of tf-idf entirely map-side — the
+ * explode→groupBy(doc, term) formulation shuffles one row per token
+ * OCCURRENCE; exploding this map emits one row per DISTINCT term with its
+ * count already final, so the plan's first exchange disappears and the
+ * remaining shuffles carry deduplicated (doc, term) pairs. Null array
+ * elements are ignored (the tokenizer never produces them).
+ */
+case class TermCountsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "term_counts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Long](math.max(16, n))
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val prev = counts.get(t)
+        if (prev == 0L) {
+          // clone on first insert: the UTF8String may point into a reused
+          // scan/row buffer, and the map key must outlive this row
+          counts.put(t.clone(), 1L)
+        } else counts.put(t, prev + 1L)
+      }
+      i += 1
+    }
+    val m = counts.size()
+    val ks = new Array[Any](m)
+    val vs = new Array[Any](m)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      ks(j) = e.getKey
+      vs(j) = e.getValue
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(ks), new GenericArrayData(vs))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Element accessor shared by the vector expressions: arrays arrive as
   * `array<float>` (raw embeddings) or `array<double>` (post-normalization). */
 private[expressions] object VectorElem {
@@ -400,6 +455,10 @@ object SketchExpressions {
   def language_id(tokens: Column, markers: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(LanguageIdExpr(ColumnBridge.expression(tokens), markers))
 
+  /** Column wrapper: map<term, count> of an array<string> token column. */
+  def term_counts(tokens: Column): Column =
+    ColumnBridge.column(TermCountsExpr(ColumnBridge.expression(tokens)))
+
   /**
    * Plan-time integral-literal argument (e.g. numHashes, nBits): these
    * configure the expression shape, so they must be foldable; evaluating a
@@ -457,6 +516,9 @@ object SketchExpressions {
     },
     "vector_norm" -> { exprs =>
       arity("vector_norm", 1)(exprs); VectorNormExpr(exprs.head)
+    },
+    "term_counts" -> { exprs =>
+      arity("term_counts", 1)(exprs); TermCountsExpr(exprs.head)
     },
     "normalize_vector" -> { exprs =>
       arity("normalize_vector", 1)(exprs); NormalizeVectorExpr(exprs.head)

@@ -234,8 +234,29 @@ object SimilaritySearch {
   }
 
   /**
+   * Occupancy-constant LSH bucket width. The bucket self-join's candidate
+   * volume grows as N²·nTables/2^nBits — QUADRATIC in the corpus at any
+   * fixed width — so nBits must track log₂(N): a width that works at one
+   * scale melts at the next (measured: 8 bits over a 10× corpus = ~100×
+   * the candidates). This returns the width that keeps expected bucket
+   * occupancy at `targetOccupancy` vectors, making candidates ~linear in N
+   * (≈ N·occupancy·nTables/2). Widening buckets is recall-safe for the
+   * near-dup regime: a pair at cosine c collides per-bit with probability
+   * 1 − arccos(c)/π (≈ 0.9995 at c = 0.9999), so even 30-bit buckets keep
+   * the per-table hit probability ≈ 1 and the all-tables miss negligible.
+   * Clamped to [minBits, 30] (2³⁰ buckets ≫ any per-executor corpus).
+   */
+  def sizedLshBits(n: Long, targetOccupancy: Int = 20, minBits: Int = 6): Int = {
+    val buckets = math.max(1.0, n.toDouble / math.max(1, targetOccupancy))
+    math.min(30, math.max(minBits,
+      math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs over one corpus: LSH buckets
    * (all tables), pair within buckets, verify cosine ≥ threshold.
+   * `nBits` must be sized to the corpus — see [[sizedLshBits]]; a fixed
+   * width makes the candidate stage quadratic in N.
    */
   def cosineNearDuplicates(
       corpus: DataFrame, idCol: String, vecCol: String,

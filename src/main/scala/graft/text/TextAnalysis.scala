@@ -108,11 +108,11 @@ object TextAnalysis {
    * fraction of n-gram occurrences that are repeats of an earlier
    * occurrence (`dup_ngram_frac`), and the fraction taken by the single
    * most frequent n-gram (`top_ngram_frac`). A narrow shuffle-free per-row
-   * map over the corpus; the token and n-gram arrays are staged as
-   * materialized columns because higher-order-function lambdas evaluate
-   * interpreted and would otherwise recompute inline subtrees per element.
-   * The top-frequency scan is O(distinct × total) per row — bounded by the
-   * document length, not the corpus.
+   * map over the corpus. Both fractions derive from one
+   * [[graft.expressions.TermCountsExpr]] pass over the n-gram array
+   * (distinct count = map size, top frequency = max map value) — O(total)
+   * per row, replacing the O(distinct × total) interpreted
+   * `transform(distinct, g => count(filter))` formulation.
    */
   def repetitionMetrics(df: DataFrame, textCol: String, n: Int = 2): DataFrame = {
     val staged = df
@@ -120,20 +120,20 @@ object TextAnalysis {
       .withColumn("__grams", transform(
         sequence(lit(1), greatest(size(col("__toks")) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
+      .withColumn("__gcounts", map_values(
+        graft.expressions.SketchExpressions.term_counts(col("__grams"))))
     staged
       .withColumn("n_ngrams", size(col("__grams")))
       .withColumn("dup_ngram_frac",
         when(col("n_ngrams") > 0,
-          (col("n_ngrams") - size(array_distinct(col("__grams")))).cast("double")
+          (col("n_ngrams") - size(col("__gcounts"))).cast("double")
             / col("n_ngrams"))
           .otherwise(0.0))
       .withColumn("top_ngram_frac",
         when(col("n_ngrams") > 0,
-          array_max(transform(array_distinct(col("__grams")),
-            g => size(filter(col("__grams"), x => x === g)))).cast("double")
-            / col("n_ngrams"))
+          array_max(col("__gcounts")).cast("double") / col("n_ngrams"))
           .otherwise(0.0))
-      .drop("__toks", "__grams")
+      .drop("__toks", "__grams", "__gcounts")
   }
 
   /**
@@ -172,27 +172,29 @@ object TextAnalysis {
    * ASC), so the selection is exactly reproducible across engines with no
    * floating-point log in the comparison path.
    *
-   * Scale shape: ONE explode to (doc, term) pairs feeding the tf groupBy
-   * (partial aggs apply); document frequency then comes from tf itself —
-   * tf has exactly one row per (doc, term), so `count per term` over it IS
-   * the distinct-doc count, at a fraction of re-aggregating the raw token
-   * stream (the token explode — the 100 TB-dominant stage — runs once, and
-   * the df shuffle moves deduplicated pairs, not token occurrences). The
-   * join back is keyed on the term both sides already hash on.
+   * Scale shape: tf is computed entirely map-side by
+   * [[graft.expressions.TermCountsExpr]] (one imperative pass per document
+   * building `map<term, count>`), so the plan never shuffles token
+   * occurrences — the explode emits one row per DISTINCT (doc, term) pair
+   * with tf already final. Document frequency is then a `count` window over
+   * the term (tf has exactly one row per (doc, term), so rows-per-term IS
+   * the distinct-doc count) and the ranking a `row_number` window over the
+   * doc: two exchanges total, both moving deduplicated pairs, versus the
+   * four of the explode→groupBy→groupBy→join formulation.
    */
   def salientTerms(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3): DataFrame = {
     val tf = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
+      .select(col(idCol),
+        explode(graft.expressions.SketchExpressions
+          .term_counts(tokens(col(textCol)))).as(Seq("term", "tf")))
+    val wTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+    val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(dfreq, Seq("term"))
-      .withColumn("__rk", row_number().over(w))
+    tf.withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("__rk", row_number().over(wDoc))
       .filter(col("__rk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("__rk").as("rank"))
   }

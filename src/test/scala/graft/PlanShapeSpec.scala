@@ -147,6 +147,21 @@ class PlanShapeSpec extends SparkSuite {
   test("corpus top-terms fuses its top-20 into TakeOrderedAndProject") {
     val p = plan(graft.coverage.LlmOpQueries.tTopTerms(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p)
+    // per-doc dedup happens map-side (term_counts map keys): the only
+    // exchange carries (term, partial count) pairs for the final agg
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges: " + p)
+  }
+
+  test("salient terms: tf is map-side, exactly two exchanges, no join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.text.TextAnalysis.salientTerms(docs, "doc_id", "text", 1))
+    // term_counts finalizes tf before any shuffle; the only exchanges are
+    // the df window (by term) and the rank window (by doc)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected exactly 2 hash exchanges, got $exchanges: " + p)
+    assert(p.contains("term_counts"), "map-side tf expression missing: " + p)
+    assert(!p.contains("Join"), "tf-idf must not plan a join: " + p)
   }
 
   test("per-domain cap shuffles once on the group key") {

@@ -68,6 +68,29 @@ class SketchExpressionsSpec extends SparkSuite {
     assert(r.getSeq[Double](6) == Seq(0.6, 0.8))
   }
 
+  test("term_counts: one-pass tf map matches explode+groupBy semantics") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "a", "c")),
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]]),
+      (4L, Seq("", "", "x"))).toDF("id", "toks")  // split("") artifacts count
+    val got = df.select(col("id"),
+        explode(SketchExpressions.term_counts(col("toks"))).as(Seq("term", "tf")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // doc 2 (empty map) and doc 3 (null input) contribute no rows — exactly
+    // what explode of an exploded-token groupBy would produce
+    assert(got == Set(
+      (1L, "a", 3L), (1L, "b", 1L), (1L, "c", 1L),
+      (4L, "", 2L), (4L, "x", 1L)))
+    // SQL surface
+    SketchExpressions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT term_counts(array('t', 't', 'u')) AS m").head().getMap[String, Long](0)
+    assert(viaSql == Map("t" -> 2L, "u" -> 1L))
+  }
+
   test("literal-argument validation raises descriptive errors") {
     SketchExpressions.register(spark)
     val e1 = intercept[Exception](

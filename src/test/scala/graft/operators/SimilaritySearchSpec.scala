@@ -138,6 +138,34 @@ class SimilaritySearchSpec extends SparkSuite {
     assert(pairs.contains((0L, 100000L)))
   }
 
+  test("sizedLshBits holds bucket occupancy constant as the corpus grows") {
+    import SimilaritySearch.sizedLshBits
+    // 10x the corpus adds ~log2(10) ≈ 3-4 bits, never quadruples occupancy
+    val b1 = sizedLshBits(5500L, targetOccupancy = 21)
+    val b10 = sizedLshBits(55000L, targetOccupancy = 21)
+    assert(b10 - b1 >= 3 && b10 - b1 <= 4, s"$b1 -> $b10")
+    // occupancy after sizing stays within 2x of the target (ceil rounding)
+    for (n <- Seq(1000L, 50000L, 2000000L, 1000000000L)) {
+      val occ = n.toDouble / (1L << sizedLshBits(n, targetOccupancy = 20))
+      assert(occ <= 20.0 && occ > 5.0, s"n=$n occ=$occ")
+    }
+    // clamps: tiny corpora floor at minBits, planetary ones cap at 30
+    assert(sizedLshBits(10L, 20, minBits = 6) == 6)
+    assert(sizedLshBits(Long.MaxValue, 20) == 30)
+    // recall stays intact with the wider buckets a larger corpus demands
+    val s = spark
+    import s.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val planted = e.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val pairs = SimilaritySearch.cosineNearDuplicates(
+      e.unionByName(planted), "vec_id", "embedding", threshold = 0.999,
+      nTables = 8, nBits = 14)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 100000L)))
+  }
+
   test("dedup_embedding_cosine driver query returns exactly the planted pairs") {
     // The exact-all-pairs oracle at sf0.01 is the real gate — this pins the
     // no-false-positive / no-missed-planted property at sf0.001 too.
