@@ -163,6 +163,23 @@ object LlmOpQueries {
           sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
             .as("n_planted_found")))
 
+  /** MinHash-LSH near-dup pairs, exact-Jaccard verified — the FULL pair list
+    * (oracle-checked). The DuckDB oracle is the exact all-pairs n-gram
+    * Jaccard join, so the hash-match certifies the banded candidate
+    * generation reached full recall on every ≥-threshold pair — the 31
+    * natural near-dups in the documents table as well as the 50 planted
+    * ones — not merely that aggregate counts look right. The margin making
+    * this deterministic: every true pair on this corpus sits at Jaccard
+    * ≥ 0.9 (band-collision miss ≈ 2e-4 per pair, and xxhash64 is fixed) and
+    * none fall in [0.5, 0.7). The oracle pays the O(N²) list-intersect cost
+    * the LSH path exists to avoid (~16 s vs ~0.5 s at sf0.01 — that gap is
+    * the operator's reason to exist). */
+  def dedupMinhashVerified(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((s, dir, "__q_minhash_verified"),
+      Dedup.nearDuplicatePairs(nearDupCorpus(s, dir), "doc_id", "text",
+          threshold = 0.7, numHashes = 32, bands = 8)
+        .orderBy("id_a", "id_b"))
+
   /**
    * The near-dup corpus replicated 10× with per-replica DISJOINT vocabularies
    * (every token suffixed `_r<k>`): each replica keeps the same planted-dup

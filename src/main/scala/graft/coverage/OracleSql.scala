@@ -243,6 +243,28 @@ object OracleSql {
         |       CAST(max(duration_us) AS BIGINT) AS max_session_duration_us
         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Exact all-pairs n-gram Jaccard over the same constructed corpus the
+    // Spark query LSH-buckets: equality therefore certifies FULL LSH recall
+    // on every >=-threshold pair. The oracle pays the O(N^2) the sketch
+    // path avoids — that asymmetry is the operator's reason to exist.
+    "dedup_minhash_verified" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' extraword' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |       FROM corpus),
+         |sh AS (SELECT doc_id, ${shingleSql("toks")} AS sh FROM tk),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |              ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |                   / len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_embedding_cosine" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |pert AS (SELECT vec_id + 1000000 AS vec_id,
