@@ -82,6 +82,7 @@ object SparkEntry {
     "samp_domain_cap" -> (L.sampDomainCap _),
     "t_repetition" -> (L.tRepetition _),
     "t_decontaminate" -> (L.tDecontaminate _),
+    "t_decontaminate_bloom" -> (L.tDecontaminateBloom _),
     "t_decontaminate_10x" -> (L.tDecontaminate10x _),
     "t_pii_redact" -> (L.tPiiRedact _),
     "t_salient_terms" -> (L.tSalientTerms _),

@@ -463,6 +463,21 @@ object LlmOpQueries {
       .orderBy("doc_id")
   }
 
+  /** [[tDecontaminate]] through the Bloom-pre-filtered variant — the
+    * giant-eval-set scale path. The Bloom stage only prunes (false
+    * positives die in the exact join), so the output is row-identical to
+    * the exact operator and the SAME DuckDB oracle certifies it. */
+  def tDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.operators.Sampling.withSplit(docs(s, dir), "doc_id")
+    graft.operators.Decontamination
+      .contaminationReportBloom(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") === "test"),
+        "doc_id", "text", k = 3,
+        expectedEvalShingles = 1L << 16, fpp = 0.01)
+      .orderBy("doc_id")
+  }
+
   /** PII redaction over deterministically planted PII (the corpus itself is
     * synthetic and PII-free, so the query plants an email/phone/URL/IP per
     * doc from its id — same construction in the oracle). Counts + redacted

@@ -33,6 +33,29 @@ object OracleSql {
   private def thr(fraction: Double): String =
     s"'${graft.operators.Sampling.hexThreshold(fraction)}'"
 
+  /** Exact shingle-overlap contamination report — shared by
+    * `t_decontaminate` (exact broadcast operator) and
+    * `t_decontaminate_bloom` (Bloom-pre-filtered variant with identical
+    * output contract). */
+  private def decontaminationSql: String =
+    s"""WITH sp AS (SELECT doc_id, text,
+       |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.8)} THEN 'train'
+       |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.9)} THEN 'valid'
+       |            ELSE 'test' END AS split
+       |       FROM documents),
+       |tk AS (SELECT doc_id, split,
+       |              string_split_regex(trim(lower(text)), '\\s+') AS toks FROM sp),
+       |sh AS (SELECT doc_id, split, ${shingleSql("toks")} AS shs FROM tk),
+       |ev AS (SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE split = 'test'),
+       |tr AS (SELECT doc_id, unnest(shs) AS shingle FROM sh WHERE split = 'train')
+       |SELECT tr.doc_id, count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_overlap,
+       |       CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / count(*) AS contamination
+       |FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "samp_deterministic" ->
       s"""SELECT doc_id FROM documents
@@ -79,24 +102,11 @@ object OracleSql {
          |            ELSE 0.0 END AS top_ngram_frac
          |FROM g ORDER BY doc_id""".stripMargin,
 
-    "t_decontaminate" ->
-      s"""WITH sp AS (SELECT doc_id, text,
-         |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.8)} THEN 'train'
-         |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.9)} THEN 'valid'
-         |            ELSE 'test' END AS split
-         |       FROM documents),
-         |tk AS (SELECT doc_id, split,
-         |              string_split_regex(trim(lower(text)), '\\s+') AS toks FROM sp),
-         |sh AS (SELECT doc_id, split, ${shingleSql("toks")} AS shs FROM tk),
-         |ev AS (SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE split = 'test'),
-         |tr AS (SELECT doc_id, unnest(shs) AS shingle FROM sh WHERE split = 'train')
-         |SELECT tr.doc_id, count(*) AS n_shingles,
-         |       CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |         AS n_overlap,
-         |       CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |         / count(*) AS contamination
-         |FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
-         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "t_decontaminate" -> decontaminationSql,
+    // the Bloom stage is a pre-filter whose false positives die in the
+    // exact join — the output contract is identical, so the exact-overlap
+    // oracle certifies the sketch-accelerated variant too
+    "t_decontaminate_bloom" -> decontaminationSql,
 
     "t_pii_redact" -> {
       // the same patterns the Spark operator applies, in the same order —

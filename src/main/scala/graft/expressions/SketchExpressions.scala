@@ -310,6 +310,37 @@ case class TermCountsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * Bloom-filter membership probe for a string column against a pre-built
+ * `org.apache.spark.util.sketch.BloomFilter` (serialized form). The filter
+ * bytes ride inside the expression, which Spark ships to executors via the
+ * per-stage task-binary broadcast — one copy per executor, not per task.
+ * Probes use the raw UTF-8 bytes, matching `BloomFilter.putString`'s
+ * insertion encoding (`DataFrameStatFunctions.bloomFilter` inserts strings
+ * that way), so build and probe cannot disagree on encoding. May return
+ * false-positive `true`s (by construction, at the filter's fpp); never
+ * false negatives.
+ */
+case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(
+      filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Element accessor shared by the vector expressions: arrays arrive as
   * `array<float>` (raw embeddings) or `array<double>` (post-normalization). */
 private[expressions] object VectorElem {
@@ -458,6 +489,13 @@ object SketchExpressions {
   /** Column wrapper: map<term, count> of an array<string> token column. */
   def term_counts(tokens: Column): Column =
     ColumnBridge.column(TermCountsExpr(ColumnBridge.expression(tokens)))
+
+  /** Column wrapper: Bloom membership probe of a string column against a
+    * serialized `BloomFilter`. (Not SQL-registered — a multi-megabyte
+    * filter blob has no sensible SQL-literal form.) */
+  def bloom_might_contain(c: Column, filterBytes: Array[Byte]): Column =
+    ColumnBridge.column(
+      BloomMightContainExpr(ColumnBridge.expression(c), filterBytes))
 
   /**
    * Plan-time integral-literal argument (e.g. numHashes, nBits): these

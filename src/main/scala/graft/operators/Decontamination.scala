@@ -54,6 +54,57 @@ object Decontamination {
         col("n_overlap").cast("double") / col("n_shingles"))
   }
 
+  /**
+   * [[contaminationReport]] with a Bloom-filter pre-filter — the path for
+   * when the eval shingle set outgrows an exact broadcast (a full benchmark
+   * suite can run to 10⁸⁺ distinct shingles; a 1% -fpp Bloom filter holds
+   * 10⁸ entries in ~120 MB where the exact string set needs many GB).
+   *
+   * Plan shape: the filter is built distributed (`stat.bloomFilter`
+   * aggregates per-partition filters and merges — only the fixed-size bit
+   * array ever reaches the driver) and ships to executors inside the
+   * expression via the per-stage task-binary broadcast. Train shingles
+   * stream through the probe narrowly; only the surviving candidates — true
+   * overlaps plus the fpp tail — reach the exact join that kills false
+   * positives, so the expensive join's left side shrinks from |train
+   * shingles| to |survivors|. With survivors small the exact join can stay
+   * a broadcast here; at the scale where this variant matters, drop the
+   * hint and it degrades to a shuffled join whose volume is survivors +
+   * one copy of the eval set (vs. eval × executors for a broadcast).
+   *
+   * The Bloom stage is a PRE-FILTER only: false positives are removed by
+   * the exact join, so the output is row-for-row identical to
+   * [[contaminationReport]] — the same DuckDB oracle certifies both.
+   */
+  def contaminationReportBloom(train: DataFrame, evalCorpus: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int = 3,
+                               expectedEvalShingles: Long = 1L << 20,
+                               fpp: Double = 0.01): DataFrame = {
+    val evalShingles = shingleRows(evalCorpus, idCol, textCol, k)
+      .select(col("shingle")).distinct()
+    val bf = evalShingles.stat.bloomFilter("shingle", expectedEvalShingles, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val trainShingles = shingleRows(train, idCol, textCol, k)
+    val totals = trainShingles.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val overlaps = trainShingles
+      .filter(graft.expressions.SketchExpressions
+        .bloom_might_contain(col("shingle"), bytes))
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    totals.join(overlaps, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_shingles")).as("contamination"))
+  }
+
   /** The training rows whose contamination exceeds `maxContamination` —
     * the drop list a pipeline feeds back into an anti-join. */
   def contaminatedIds(train: DataFrame, evalCorpus: DataFrame,

@@ -28,6 +28,41 @@ class DecontaminationSpec extends SparkSuite {
     assert(r(1).getAs[Double]("contamination") == 0.0)
   }
 
+  test("bloom-pre-filtered report is row-identical to the exact report") {
+    // real corpus: the driver's documents table, split like the driver query
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val split = Sampling.withSplit(docs, "doc_id")
+    val train = split.filter(col("split") === "train")
+    val eval_ = split.filter(col("split") === "test")
+    val exact = Decontamination
+      .contaminationReport(train, eval_, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect().toSeq
+    // tight filter (honest fpp) and an undersized, high-fpp filter: false
+    // positives must die in the exact join either way
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Decontamination
+        .contaminationReportBloom(train, eval_, "doc_id", "text", k = 3,
+          expectedEvalShingles = 1L << 12, fpp = fpp)
+        .orderBy("doc_id").collect().toSeq
+      assert(bloom == exact, s"fpp=$fpp")
+    }
+  }
+
+  test("bloom probe never false-negatives and prunes non-members") {
+    val evalSet = corpus(100L -> "alpha beta gamma delta epsilon")
+    val train = corpus(
+      1L -> "alpha beta gamma other words here",
+      2L -> "nothing shared with that corpus at all truly")
+    val r = Decontamination
+      .contaminationReportBloom(train, evalSet, "doc_id", "text", k = 3,
+        expectedEvalShingles = 1024, fpp = 0.001)
+      .orderBy("doc_id").collect()
+    // doc 1 shares exactly "alpha beta gamma"; doc 2 shares nothing
+    assert(r(0).getAs[Long]("n_overlap") == 1)
+    assert(r(1).getAs[Long]("n_overlap") == 0)
+  }
+
   test("contaminatedIds returns only docs above the threshold") {
     val evalSet = corpus(100L -> "alpha beta gamma delta epsilon")
     val train = corpus(
