@@ -56,6 +56,16 @@ object OracleSql {
        |FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
+  /** The 10× replicated documents corpus, exactly as the Spark side builds
+    * it (`LlmOpQueries.docs10x`): ids offset per replica, every
+    * non-whitespace run suffixed `_r<k>` so replica vocabularies are
+    * disjoint. Spark's `regexp_replace` is replace-all; DuckDB needs the
+    * explicit 'g' flag. */
+  private def docs10xSql: String =
+    """SELECT d.doc_id + k.k * 10000000 AS doc_id,
+      |       regexp_replace(d.text, '(\S+)', '\1_r' || CAST(k.k AS VARCHAR), 'g') AS text
+      |FROM documents d CROSS JOIN (SELECT unnest(range(10)) AS k) k""".stripMargin
+
   val sql: Map[String, String] = Map(
     "samp_deterministic" ->
       s"""SELECT doc_id FROM documents
@@ -146,6 +156,67 @@ object OracleSql {
         |               ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
         |      FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // 10× scaling twin: DuckDB replays the corpus replication AND the
+    // tf-idf ranking, so the scaling query's output (not just its timing)
+    // is certified — the aggregate shape keeps the compare payload small
+    "t_salient_terms_10x" ->
+      s"""WITH rep AS ($docs10xSql),
+         |tok AS (SELECT doc_id,
+         |               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         |        FROM rep),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |             row_number() OVER (PARTITION BY tf.doc_id
+         |               ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+         |      FROM tf JOIN df USING (term))
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT term) AS BIGINT) AS n_distinct_terms
+         |FROM r WHERE rk = 1""".stripMargin,
+
+    "t_decontaminate_10x" ->
+      s"""WITH rep AS ($docs10xSql),
+         |sp AS (SELECT doc_id, text,
+         |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.8)} THEN 'train'
+         |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.9)} THEN 'valid'
+         |            ELSE 'test' END AS split
+         |       FROM rep),
+         |tk AS (SELECT doc_id, split,
+         |              string_split_regex(trim(lower(text)), '\\s+') AS toks FROM sp),
+         |sh AS (SELECT doc_id, split, ${shingleSql("toks")} AS shs FROM tk),
+         |ev AS (SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE split = 'test'),
+         |tr AS (SELECT doc_id, unnest(shs) AS shingle FROM sh WHERE split = 'train'),
+         |rep_ AS (SELECT tr.doc_id,
+         |                sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+         |         FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+         |         GROUP BY tr.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_train_docs,
+         |       CAST(sum(CASE WHEN n_overlap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_contaminated
+         |FROM rep_""".stripMargin,
+
+    "w_sessionize_10x" ->
+      """WITH e AS (SELECT user_id + k.k * 1000000 AS user_id, epoch_us(ts) AS t,
+        |                  event_id + k.k * 100000000 AS event_id
+        |           FROM events CROSS JOIN (SELECT unnest(range(10)) AS k) k),
+        |x AS (SELECT user_id, event_id, t,
+        |             lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+        |      FROM e),
+        |n AS (SELECT user_id, event_id, t,
+        |             CASE WHEN prev IS NULL OR t - prev >= 14400000000 THEN 1
+        |                  ELSE 0 END AS is_new
+        |      FROM x),
+        |sid AS (SELECT user_id, t,
+        |               SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        |        FROM n),
+        |sess AS (SELECT user_id, session_seq, count(*) AS n_events
+        |         FROM sid GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM sess""".stripMargin,
 
     "t_pack_plan" ->
       """WITH t AS (SELECT doc_id,
