@@ -324,16 +324,17 @@ object OracleSql {
         |       CAST(max(duration_us) AS BIGINT) AS max_session_duration_us
         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    // Exact all-pairs n-gram Jaccard over the same constructed corpus the
+    // Exact all-pairs n-gram Jaccard over the same bounded sub-corpus the
     // Spark query LSH-buckets: equality therefore certifies FULL LSH recall
-    // on every >=-threshold pair. The oracle pays the O(N^2) the sketch
-    // path avoids — that asymmetry is the operator's reason to exist.
+    // on every >=-threshold pair. The corpus cap (<= 200 docs at any sf)
+    // keeps this O(N^2) oracle from swamping the DuckDB baseline total.
     "dedup_minhash_verified" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id < 1000
          |  UNION ALL
          |  SELECT doc_id + 1000000 AS doc_id, text || ' extraword' AS text
-         |  FROM documents WHERE doc_id % 10 = 0),
+         |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 1000),
          |tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
          |       FROM corpus),
          |sh AS (SELECT doc_id, ${shingleSql("toks")} AS sh FROM tk),
