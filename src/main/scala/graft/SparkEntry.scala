@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_exact_count" -> (L.dedupExactCount _),
     "dedup_minhash_pairs" -> (L.dedupMinhashPairs _),
     "dedup_minhash_verified" -> (L.dedupMinhashVerified _),
+    "dedup_span_report" -> (L.dedupSpanReport _),
     "dedup_minhash_pairs_10x" -> (L.dedupMinhashPairs10x _),
     "dedup_simhash_pairs" -> (L.dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (L.dedupNgramJaccard _),

@@ -227,6 +227,17 @@ object LlmOpQueries {
           sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
             .as("n_planted_found")))
 
+  /** Exact-substring duplicate spans (oracle-checked): per-doc counts of
+    * 8-token grams shared with at least one other document — catches the
+    * planted exact copies plus any natural boilerplate. The driver query
+    * runs `hashGrams = false` so DuckDB can replay it on raw grams;
+    * DedupSpec pins the hashed (shuffle-longs, 100 TB) mode to identical
+    * output. */
+  def dedupSpanReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .duplicateSpans(docs(s, dir), "doc_id", "text", n = 8, hashGrams = false)
+      .orderBy("doc_id")
+
   /** SimHash (128-bit, tf-weighted) near-duplicate pairs (rows-only,
     * memoized). maxHamming 12: the testdata docs are short (~30 tokens), so
     * the one-token planted mutation shifts up to ~12 of 128 bits — measured

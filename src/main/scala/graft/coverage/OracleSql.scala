@@ -324,6 +324,26 @@ object OracleSql {
         |       CAST(max(duration_us) AS BIGINT) AS max_session_duration_us
         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // exact-substring duplicate spans: distinct 8-token grams per doc, a
+    // gram is a duplicate iff it appears under >= 2 doc ids (grams are
+    // per-doc distinct, so plain count == distinct-doc count)
+    "dedup_span_report" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |            FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+        |               FOR i IN range(1, greatest(len(toks)-7, 1) + 1)])) AS gram
+        |      FROM tk),
+        |d AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram),
+        |dup AS (SELECT gram FROM d WHERE n_docs >= 2)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_grams,
+        |       CAST(sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS dup_frac
+        |FROM g LEFT JOIN dup ON g.gram = dup.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
     // Exact all-pairs n-gram Jaccard over the same bounded sub-corpus the
     // Spark query LSH-buckets: equality therefore certifies FULL LSH recall
     // on every >=-threshold pair. The corpus cap (<= 200 docs at any sf)

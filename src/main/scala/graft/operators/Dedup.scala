@@ -97,6 +97,47 @@ object Dedup {
   }
 
   /**
+   * Exact-substring duplicate spans (the Lee-et-al-style "dedup repeated
+   * n-grams across documents" family, simplified to fixed-width spans):
+   * per document, how many of its distinct n-token grams also occur in at
+   * least one OTHER document. Catches boilerplate/licence blocks and
+   * cross-document template reuse that whole-document near-dup misses.
+   *
+   * Scale shape: one explode to per-doc DISTINCT grams, one groupBy on the
+   * gram computing both the global occurrence count and (via min/max doc)
+   * whether it crosses documents, then a semi-style re-join keyed on the
+   * gram both sides already hash on, and the per-doc re-aggregate. With
+   * `hashGrams` (the 100 TB default) the shuffles carry xxhash64 longs,
+   * not multi-word strings — an order of magnitude less shuffle volume;
+   * `hashGrams = false` keeps raw grams so an external engine can replay
+   * the query exactly (the driver's oracle does — and a spec pins
+   * hashed ≡ unhashed on the testdata corpus).
+   *
+   * Returns (idCol, n_grams, n_dup_grams, dup_frac).
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, hashGrams: Boolean = true): DataFrame = {
+    val gramsRaw = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(shinglesOfTokens(col("__toks"), n)).as("__g"))
+    val grams = gramsRaw.select(col(idCol),
+      (if (hashGrams) xxhash64(col("__g")) else col("__g")).as("gram"))
+    // a gram is a cross-document duplicate iff it occurs under ≥2 distinct
+    // ids; grams are per-doc distinct, so plain count == distinct-doc count
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2)
+      .select(col("gram"), lit(1).as("__dup"))
+    grams.join(dupGrams, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__dup"), lit(0))).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        col("n_dup_grams").cast("double") / col("n_grams"))
+  }
+
+  /**
    * 3-token shingles from a PRECOMPUTED token-array column.
    *
    * The tokens column must be a materialized attribute (its own projection),

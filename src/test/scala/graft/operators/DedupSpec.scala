@@ -63,6 +63,34 @@ class DedupSpec extends SparkSuite {
     assert(near < far)
   }
 
+  test("duplicateSpans counts cross-document grams; docs 1/2 fully duplicated") {
+    // n=8 over the 14-token docs: docs 1 and 2 are exact copies, so every
+    // gram of each is shared; doc 3 differs only in the last token, so only
+    // its final window (the one containing "tonight") is unique; docs 4/5
+    // share nothing
+    val r = Dedup.duplicateSpans(docs, "doc_id", "text", n = 8, hashGrams = false)
+      .orderBy("doc_id").collect()
+    val byId = r.map(x => x.getLong(0) ->
+      (x.getAs[Long]("n_grams"), x.getAs[Long]("n_dup_grams"))).toMap
+    assert(byId(1L) == (7L, 7L))   // 14 tokens -> 7 grams, all shared with doc 2
+    assert(byId(2L) == (7L, 7L))
+    assert(byId(3L) == (7L, 6L))
+    assert(byId(4L)._2 == 0L)
+    assert(byId(5L)._2 == 0L)
+    assert(r.find(_.getLong(0) == 3L).get.getAs[Double]("dup_frac") == 6.0 / 7.0)
+  }
+
+  test("duplicateSpans: hashed grams (the shuffle-longs scale mode) match raw grams") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val raw = Dedup.duplicateSpans(real, "doc_id", "text", n = 8, hashGrams = false)
+      .orderBy("doc_id").collect().toSeq
+    val hashed = Dedup.duplicateSpans(real, "doc_id", "text", n = 8, hashGrams = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(hashed == raw)
+    assert(raw.exists(_.getAs[Long]("n_dup_grams") > 0)) // planted copies are visible
+  }
+
   test("unpersistSketches releases tracked sketch storage and is idempotent") {
     Dedup.unpersistSketches() // drain anything left by earlier tests
     Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5).count()
