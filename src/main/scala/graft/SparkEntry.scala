@@ -74,6 +74,8 @@ object SparkEntry {
     "dedup_span_report" -> (L.dedupSpanReport _),
     "dedup_minhash_pairs_10x" -> (L.dedupMinhashPairs10x _),
     "dedup_simhash_pairs" -> (L.dedupSimhashPairs _),
+    "dedup_simhash_verified" -> (L.dedupSimhashVerified _),
+    "dedup_cluster_assign" -> (L.dedupClusterAssign _),
     "dedup_ngram_jaccard" -> (L.dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (L.dedupEmbeddingCosine _),
     "dedup_embedding_cosine_10x" -> (L.dedupEmbeddingCosine10x _),

@@ -252,6 +252,68 @@ object LlmOpQueries {
           sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
             .as("n_planted_found")))
 
+  /** SimHash-bucketed near-dup pairs, exact-Jaccard verified, over the same
+    * bounded sub-corpus construction as [[dedupMinhashVerified]] — checked
+    * against the same exact all-pairs oracle, so hash-equality certifies the
+    * 16-bit-chunk candidate generation reached every ≥ 0.7 pair the exact
+    * join finds: both sketch families are certified against one ground
+    * truth, not just against each other. No Hamming radius — the exact
+    * Jaccard verify is the filter, so chunk collision is the only recall
+    * surface under test.
+    *
+    * The corpus carries SimHash's own length precondition (≥ 20 whitespace
+    * tokens, identically in the oracle): the tf vote margin is ~√n_tokens,
+    * so on very short docs a one-token edit flips ~¼ of the 128 sketch bits
+    * and no fixed chunk scheme can cover that without quadratic buckets —
+    * measured at sf0.1, the only misses were planted pairs on 11–18-token
+    * docs. Production SimHash dedup gates short docs for exactly this
+    * reason; the short-doc regime stays covered by the ungated MinHash
+    * certificate. */
+  def dedupSimhashVerified(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((s, dir, "__q_simhash_verified"), {
+      val base = pmod(col("doc_id"), lit(1000000L))
+      Dedup.simhashVerifiedPairs(
+          nearDupCorpus(s, dir).filter(base % 10 === 0 && base < 1000 &&
+            size(TextAnalysis.tokens(col("text"))) >= 20),
+          "doc_id", "text", threshold = 0.7)
+        .orderBy("id_a", "id_b")
+    })
+
+  /** Near-dup CLUSTER assignment (oracle-checked row-for-row): a bounded
+    * corpus where every 10th base doc gets TWO mutated copies (one and two
+    * appended tokens), so components are 3-chains — on short documents the
+    * base↔two-token pair can fall under 0.7 Jaccard while both chain links
+    * stay above it, making the transitive closure genuinely necessary (a
+    * pair list alone would split the cluster). Spark runs LSH pairs →
+    * [[graft.operators.ConnectedComponents]] → per-doc labels; the DuckDB
+    * oracle computes the exact all-pairs ≥ 0.7 graph and closes it with a
+    * recursive CTE — hash-equality certifies both full LSH recall AND the
+    * distributed component labels, including singleton fallback and
+    * keep-list flags. Bands of 2 rows (32 hashes × 16): chain links on
+    * short docs sit as low as ~0.75 Jaccard, where 4-row bands would miss
+    * a band-collision with p ≈ 4.5% per pair; 2-row bands put the worst
+    * pair's miss at ~2×10⁻⁶ (and xxhash64 is fixed, so green is stable). */
+  def dedupClusterAssign(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((s, dir, "__q_cluster_assign"), {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 1000)
+      val copy1 = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+      val copy2 = base.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" extraword extrawordtwo")).as("text"))
+      val corpus = matInput(s, dir, "corpus_chain")(
+        base.unionByName(copy1).unionByName(copy2))
+      // unrolledRounds = 3: a pure lazy plan (every bench pass recomputes
+      // pairs AND labels — the convergent variant would bake prepare-time
+      // labels into the plan as a checkpoint leaf), covering component
+      // diameters ≤ ~8 with the chain corpus at diameter 2; a deeper
+      // natural chain would surface as an oracle mismatch, not silence.
+      Dedup.nearDuplicateClusters(corpus, "doc_id", "text",
+          threshold = 0.7, numHashes = 32, bands = 16, unrolledRounds = 3)
+        .withColumn("is_keeper", col("cluster_id") === col("doc_id"))
+        .orderBy("doc_id")
+    })
+
   /** n-gram Jaccard on the planted pairs directly (rows-only, deterministic). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(col("doc_id") % 10 === 0)

@@ -70,7 +70,7 @@ object OperatorQueries {
     * sf0.001. */
   private val boundedDims = Set("region", "nation", "supplier", "customer", "part")
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+  private[coverage] def T(s: SparkSession, dir: String, name: String): DataFrame =
     tableCache.getOrElseUpdate((s, dir, name), {
       val df =
         if (name == "events") events(s, dir)
@@ -661,12 +661,21 @@ object OperatorQueries {
   }
 
   /** A8's 100 TB variant: approximate distinct (HLL) next to the exact count.
-    * Sketch values are engine-specific → rows-only check; the ScalaTest
-    * asserts the approximation lands within rsd of exact. */
+    * The HLL estimate itself is engine-specific, so the query emits the
+    * exact count plus the ERROR-BOUND VERDICT (|approx−exact|/exact ≤ 5% at
+    * rsd 0.02) — the oracle recomputes the exact count and expects `true`,
+    * so an estimator regression past the bound flips the hash compare
+    * (rows-only checks can't see inside a row — round-3 verdict #3's
+    * lesson, applied to the sketch queries). Spark's HLL++ is
+    * deterministic for fixed data, so the verdict is stable, and the timed
+    * query still pays both aggregates. */
   def a8ApproxCountDistinct(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
       .agg(approx_count_distinct("user_id", 0.02).as("approx_users"),
         countDistinct("user_id").as("exact_users"))
+      .select(col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("within_5pct"))
 
   /** NULLIF / COALESCE / conditional projection. */
   def fNullFunctions(s: SparkSession, dir: String): DataFrame =

@@ -66,6 +66,32 @@ object OracleSql {
       |       regexp_replace(d.text, '(\S+)', '\1_r' || CAST(k.k AS VARCHAR), 'g') AS text
       |FROM documents d CROSS JOIN (SELECT unnest(range(10)) AS k) k""".stripMargin
 
+  /** Exact all-pairs n-gram Jaccard (≥ 0.7) over the bounded every-10th /
+    * mutated-copy sub-corpus — the shared ground truth for BOTH sketch
+    * families' verified-pair queries: each must reproduce this list exactly.
+    * `minTokens` restricts the corpus to documents of at least that many
+    * whitespace tokens (0 = no gate) — the SimHash certificate applies the
+    * operator's own length precondition; MinHash runs ungated. */
+  private def boundedVerifiedPairsSql(minTokens: Int): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 10 = 0 AND doc_id < 1000
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' extraword' AS text
+       |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 1000),
+       |tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |       FROM corpus),
+       |sh AS (SELECT doc_id, ${shingleSql("toks")} AS sh FROM tk
+       |       WHERE len(toks) >= $minTokens),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+       |              ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |                   / len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.7
+       |ORDER BY id_a, id_b""".stripMargin
+
   val sql: Map[String, String] = Map(
     "samp_deterministic" ->
       s"""SELECT doc_id FROM documents
@@ -348,24 +374,54 @@ object OracleSql {
     // Spark query LSH-buckets: equality therefore certifies FULL LSH recall
     // on every >=-threshold pair. The corpus cap (<= 200 docs at any sf)
     // keeps this O(N^2) oracle from swamping the DuckDB baseline total.
-    "dedup_minhash_verified" ->
-      s"""WITH corpus AS (
+    "dedup_minhash_verified" -> boundedVerifiedPairsSql(minTokens = 0),
+
+    // The same ground-truth construction certifies the SimHash chunk-bucket
+    // path — over the length-gated corpus (>= 20 tokens): SimHash's recall
+    // regime is length-bounded (the tf vote margin is ~sqrt(n_tokens), so on
+    // very short docs one edit flips ~a quarter of the sketch bits and no
+    // fixed chunk scheme covers it without quadratic buckets — measured: the
+    // only sf0.1 misses were planted pairs on 11-18-token docs). Production
+    // SimHash dedup applies exactly this precondition; short docs remain
+    // covered by the ungated MinHash certificate above.
+    "dedup_simhash_verified" -> boundedVerifiedPairsSql(minTokens = 20),
+
+    // Cluster assignment = the exact >=0.7 pair graph transitively closed
+    // with a recursive CTE, min-id label per component, singletons
+    // self-labelled. The chain corpus (two mutated copies per base doc)
+    // makes closure non-trivial: on short docs base<->two-token falls under
+    // the threshold while both chain links stay above it.
+    "dedup_cluster_assign" ->
+      s"""WITH RECURSIVE corpus AS (
          |  SELECT doc_id, text FROM documents
          |  WHERE doc_id % 10 = 0 AND doc_id < 1000
          |  UNION ALL
          |  SELECT doc_id + 1000000 AS doc_id, text || ' extraword' AS text
+         |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 1000
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |         text || ' extraword extrawordtwo' AS text
          |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 1000),
          |tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
          |       FROM corpus),
          |sh AS (SELECT doc_id, ${shingleSql("toks")} AS sh FROM tk),
          |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-         |              ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |                   / len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.7
-         |ORDER BY id_a, id_b""".stripMargin,
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |                  / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.7),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+         |reach AS (
+         |  SELECT u AS id, v AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON reach.r = e.u),
+         |lbl AS (SELECT id, min(r) AS mr FROM reach GROUP BY id)
+         |SELECT c.doc_id,
+         |       least(coalesce(l.mr, c.doc_id), c.doc_id) AS cluster_id,
+         |       least(coalesce(l.mr, c.doc_id), c.doc_id) = c.doc_id AS is_keeper
+         |FROM corpus c LEFT JOIN lbl l ON c.doc_id = l.id
+         |ORDER BY c.doc_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -574,6 +630,14 @@ object OracleSql {
     "a8_count_distinct" ->
       """SELECT count(DISTINCT user_id) AS n_users,
         |       count(DISTINCT event_type) AS n_types FROM events""".stripMargin,
+
+    // The HLL estimate is engine-specific; what IS cross-engine checkable is
+    // the exact count plus the error-bound verdict the Spark side computes
+    // (|approx-exact|/exact <= 5% at rsd 0.02) — the oracle expects `true`,
+    // so an estimator regression flips the hash compare.
+    "a8_approx_count_distinct" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS within_5pct FROM events""".stripMargin,
 
     "a9_global_scalars" ->
       """SELECT count(*) AS n, max(o_orderdate) AS latest_order,

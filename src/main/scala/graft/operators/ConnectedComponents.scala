@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Distributed connected components over an undirected edge list — the step
+ * that turns near-duplicate PAIRS into duplicate CLUSTERS (and from there a
+ * keep-list: one document per component). Reference scope ends at pair
+ * emission; production dedup needs the transitive closure, since near-dup is
+ * not transitive (A≈B, B≈C does not imply the A–C pair was emitted).
+ *
+ * Algorithm: iterative min-label propagation with pointer jumping.
+ * Each round every node takes the minimum label among itself and its
+ * neighbours (hash-min), then additionally adopts its label's own label
+ * (pointer jumping — path-doubling through the label graph). Hash-min alone
+ * needs O(diameter) rounds; the doubling step cuts chains to O(log diameter).
+ * Duplicate-cluster graphs are near-cliques of diameter ≤ ~3, so typical
+ * convergence is 1–2 rounds; the doubling step is what keeps adversarial
+ * chain-shaped components (mirror-site chains) from turning rounds into
+ * O(chain length).
+ *
+ * 100 TB shape: every round shuffles only (long, long) pairs — the
+ * symmetrized edge list joined to the label table, then a groupBy(id) min.
+ * Nothing is ever collected to the driver; the per-round convergence check is
+ * a single sum aggregate. Labels only decrease, so sum(label) is strictly
+ * monotone until the fixpoint — an unchanged sum IS convergence (checked in
+ * DECIMAL(38,0): at 10¹² nodes with 64-bit ids a long sum would overflow).
+ *
+ * Iteration state is `localCheckpoint`ed every round. Lineage TRUNCATION is
+ * load-bearing, not an optimization: each round's plan references the
+ * previous round's ~4 times, and Catalyst manipulates plans as trees, so an
+ * un-truncated iteration expands 4^rounds subtrees — observed as minutes of
+ * optimizer/stringify time and a stack overflow at ~12 rounds. (Reliable
+ * `checkpoint()` to a checkpoint dir would survive executor loss on a real
+ * cluster; local blocks are the right local-mode default.)
+ */
+object ConnectedComponents {
+
+  /**
+   * Component labels for every node incident to an edge: (id, label) where
+   * label = the minimum node id in the component. Nodes with no edges don't
+   * appear (callers left-join and coalesce to self — see
+   * [[Dedup.nearDuplicateClusters]]).
+   *
+   * Materializes eagerly (one checkpoint + one sum job per round) and
+   * detects convergence, so it handles UNKNOWN component diameters — the
+   * production entry point. For small known-diameter graphs where a pure
+   * lazy plan is wanted, see [[componentsUnrolled]].
+   */
+  def components(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxIters: Int = 50): DataFrame = {
+    val sym = symmetrize(edges, srcCol, dstCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = initLabels(sym).localCheckpoint()
+    var prevSum = checkSum(labels)
+
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val next = round(sym, labels).localCheckpoint()
+      val nextSum = checkSum(next)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      it += 1
+    }
+    sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds " +
+          "(pointer jumping bounds rounds by ~log2(diameter) — check the " +
+          "edge list for unexpected structure)")
+    labels
+  }
+
+  /**
+   * Fixed-round, PURE-LAZY variant: the same propagation unrolled `rounds`
+   * times as one declarative plan — no actions, no checkpoints, so the
+   * whole computation re-executes on every consumption (what a benchmark's
+   * repeated passes need) and composes like any other DataFrame.
+   *
+   * Correct only when every component's diameter is covered: init reaches
+   * direct neighbours and each round at least doubles the reached radius
+   * (hash-min step + pointer jump), so `rounds` handles diameter ≥ 2^rounds
+   * on chains and far more on denser components. Near-dup cluster graphs
+   * (diameter ≤ ~3) are covered by the default with a wide margin; for
+   * unknown graphs use [[components]], which detects its own fixpoint.
+   *
+   * The plan tree references the edge input ~4^rounds times (Catalyst trees,
+   * not DAGs), so `edges` should be a leaf — a table or a persisted frame —
+   * and `rounds` small; both hold for its intended callers.
+   */
+  def componentsUnrolled(edges: DataFrame, srcCol: String, dstCol: String,
+                         rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds in [1,8] — see scaladoc")
+    val sym = symmetrize(edges, srcCol, dstCol)
+    (1 to rounds).foldLeft(initLabels(sym))((l, _) => round(sym, l))
+  }
+
+  private def symmetrize(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame = {
+    // Propagation below only follows u←v, so both directions must exist.
+    // No distinct() — duplicate edges only re-send the same min, and
+    // deduping would cost an extra shuffle of the whole edge list.
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  /** Round 0 fused into initialization: label(u) = min(u, min neighbour). */
+  private def initLabels(sym: DataFrame): DataFrame =
+    sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u").as("id"), least(col("u"), col("mv")).as("label"))
+
+  /** One propagation round: hash-min over neighbours, then pointer jumping
+    * (label(x) := min(label(x), label(label(x))) — labels are always node
+    * ids present in the table, so the jump is an equi-join onto itself).
+    *
+    * Formulated as joins only, never a Union of `labels` with a frame
+    * derived FROM `labels`: that self-referential union trips Spark's
+    * Union constraint-rewrite ("key not found: id#…" from
+    * `UnionBase.rewriteConstraints`) because the same attribute ids reach
+    * both children. The join shape is equivalent — every labelled node has
+    * ≥ 1 neighbour by construction, so the inner join drops nobody. */
+  private def round(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = sym
+      .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+      .groupBy(col("u").as("id")).agg(min("label").as("nl"))
+    val hashMin = labels.join(nbrMin, Seq("id"))
+      .select(col("id"), least(col("label"), col("nl")).as("label"))
+    hashMin.as("a")
+      .join(hashMin.select(col("id").as("label"), col("label").as("ll")),
+        Seq("label"), "left")
+      .select(col("id"),
+        least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+  }
+
+  /** Monotone convergence witness: labels only decrease, so an unchanged
+    * sum means no label changed. Decimal — a long overflows at planet scale. */
+  private def checkSum(labels: DataFrame): java.math.BigDecimal =
+    labels.agg(sum(col("label").cast(DecimalType(38, 0))))
+      .head.getDecimal(0)
+}

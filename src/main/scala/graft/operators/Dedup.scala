@@ -37,6 +37,7 @@ object Dedup {
     p
   }
 
+
   /** Release every sketch frame persisted by the dedup operators. Call after
     * the consuming actions complete (e.g. once per corpus in a service). */
   def unpersistSketches(): Unit = {
@@ -304,6 +305,49 @@ object Dedup {
   }
 
   /**
+   * Near-duplicate CLUSTERS: LSH pairs → connected components → every input
+   * row labelled with its cluster id (the minimum doc id in its component;
+   * documents in no near-dup pair are their own singleton cluster). This is
+   * the production dedup deliverable the pair list only approximates:
+   * near-dup is not transitive, so keep-one-per-pair over-deletes chains
+   * (A≈B, B≈C, A̸≈C must keep exactly one of three, not one of each pair).
+   * Downstream keep-list = `cluster_id === idCol`.
+   *
+   * Scale: the pair graph is tiny relative to the corpus (pairs only exist
+   * where near-dups exist), and [[ConnectedComponents]] shuffles only
+   * (long, long) labels; the final assignment is one left join from the
+   * corpus ids onto the (small) label table.
+   *
+   * `unrolledRounds` = 0 (default) runs the convergence-detecting
+   * [[ConnectedComponents.components]] — correct for any component
+   * diameter, but it materializes eagerly, so repeated executions of the
+   * returned frame re-read its checkpointed labels. A positive value uses
+   * [[ConnectedComponents.componentsUnrolled]] instead: a pure lazy plan
+   * (every execution recomputes everything — what benchmark passes must
+   * measure) that is correct for component diameters ≤ ~2^rounds; the pair
+   * frame is persisted (and cache-reset-tracked) because the unrolled plan
+   * tree references it many times.
+   */
+  def nearDuplicateClusters(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 256,
+      unrolledRounds: Int = 0): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold,
+      numHashes, bands, maxBucketSize)
+    val comp =
+      if (unrolledRounds > 0)
+        ConnectedComponents.componentsUnrolled(persistTracked(pairs),
+          "id_a", "id_b", unrolledRounds)
+      else ConnectedComponents.components(pairs, "id_a", "id_b")
+    df.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+  }
+
+  /**
    * 64-bit SimHash: per-token xxhash64; bit b of the sketch is 1 when more
    * than half the tokens have bit b set. Pure expressions (bitwise ops over
    * an exploded bit sequence folded back with aggregate).
@@ -359,15 +403,7 @@ object Dedup {
       maxHamming: Int = 7, maxBucketSize: Int = 256): DataFrame = {
     val sk = persistTracked(
       df.select(col(idCol).as("id"), simhash128(col(textCol)).as("sk")))
-    val chunkCols = (0 until 8).map { c =>
-      call_function("shiftright", element_at(col("sk"), c / 4 + 1),
-        lit((c % 4) * 16)).bitwiseAND(0xFFFFL)
-    }
-    val chunked0 = sk.select(col("id"), col("sk"),
-      posexplode(array(chunkCols: _*)))
-      .withColumnRenamed("pos", "chunk")
-      .withColumnRenamed("col", "chunk_val")
-    val chunked = pruneFullBuckets(chunked0, Seq("chunk", "chunk_val"), maxBucketSize)
+    val chunked = simhashChunks(sk, maxBucketSize)
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&
@@ -377,5 +413,54 @@ object Dedup {
         hamming128(col("a.sk"), col("b.sk")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The eight 16-bit chunk rows per sketch (skew-guarded) — the SimHash
+    * bucket stream. Input must carry (id, sk); extra columns ride along. */
+  private def simhashChunks(sk: DataFrame, maxBucketSize: Int): DataFrame = {
+    val chunkCols = (0 until 8).map { c =>
+      call_function("shiftright", element_at(col("sk"), c / 4 + 1),
+        lit((c % 4) * 16)).bitwiseAND(0xFFFFL)
+    }
+    val chunked0 = sk.select(col("id"), col("sk"),
+      posexplode(array(chunkCols: _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    pruneFullBuckets(chunked0, Seq("chunk", "chunk_val"), maxBucketSize)
+  }
+
+  /**
+   * SimHash-bucketed candidates verified with EXACT n-gram Jaccard — the
+   * engine-portable certificate for the SimHash path (same output contract
+   * as [[nearDuplicatePairs]]: (id_a, id_b, jaccard ≥ threshold)). The
+   * Hamming radius is deliberately not applied: the exact Jaccard verify is
+   * the final filter, so candidate generation (chunk-bucket collision) is
+   * the only recall surface — which is exactly what comparing against an
+   * exact all-pairs oracle certifies. Shuffle shape is unchanged: 8 small
+   * chunk rows per document, shingles re-attached for candidates only.
+   */
+  def simhashVerifiedPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, maxBucketSize: Int = 256): DataFrame = {
+    val sk = persistTracked(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+        .select(col("id"), shinglesOfTokens(col("toks")).as("sh"),
+          graft.expressions.SketchExpressions.simhash128(
+            transform(col("toks"), t => xxhash64(t))).as("sk")))
+    val chunked = simhashChunks(sk.select(col("id"), col("sk")), maxBucketSize)
+    val candidates = chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val shOnly = sk.select(col("id"), col("sh"))
+    candidates
+      .join(shOnly.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(shOnly.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 }
