@@ -76,6 +76,8 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (L.dedupSimhashPairs _),
     "dedup_simhash_verified" -> (L.dedupSimhashVerified _),
     "dedup_cluster_assign" -> (L.dedupClusterAssign _),
+    "dedup_incremental" -> (L.dedupIncremental _),
+    "dedup_span_report_10x" -> (L.dedupSpanReport10x _),
     "dedup_ngram_jaccard" -> (L.dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (L.dedupEmbeddingCosine _),
     "dedup_embedding_cosine_10x" -> (L.dedupEmbeddingCosine10x _),

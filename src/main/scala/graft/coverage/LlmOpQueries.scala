@@ -238,6 +238,22 @@ object LlmOpQueries {
       .duplicateSpans(docs(s, dir), "doc_id", "text", n = 8, hashGrams = false)
       .orderBy("doc_id")
 
+  /** Exact-substring duplicate spans at 10× (scaling evidence, rows-only,
+    * memoized): the same gram census over the disjoint-vocab replicated
+    * corpus, in `hashGrams = true` mode (the 100 TB path — shuffles carry
+    * xxhash64 longs, not 8-token strings). Replica vocabularies are
+    * disjoint, so cross-replica grams never collide and every within-replica
+    * duplicate span survives suffixing: `n_dup_grams_total` must be exactly
+    * 10× the 1× corpus's total, and near-linear wall-clock vs
+    * [[dedupSpanReport]] in the same bench JSON is the scaling claim. */
+  def dedupSpanReport10x(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((s, dir, "__q_span_10x"),
+      graft.operators.Dedup
+        .duplicateSpans(docs10x(s, dir), "doc_id", "text", n = 8, hashGrams = true)
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_grams").as("n_grams_total"),
+          sum("n_dup_grams").as("n_dup_grams_total")))
+
   /** SimHash (128-bit, tf-weighted) near-duplicate pairs (rows-only,
     * memoized). maxHamming 12: the testdata docs are short (~30 tokens), so
     * the one-token planted mutation shifts up to ~12 of 128 bits — measured
@@ -295,8 +311,12 @@ object LlmOpQueries {
     * pair's miss at ~2×10⁻⁶ (and xxhash64 is fixed, so green is stable). */
   def dedupClusterAssign(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "__q_cluster_assign"), {
+      // < 500 (not the verified-pairs queries' < 1000): the 3× corpus makes
+      // the O(N²)+recursive oracle ~4× costlier per doc — 50 base docs keep
+      // 50 three-chains of certificate power without padding the DuckDB
+      // baseline total (measured 9.6 s at < 1000 vs ~2.4 s at < 500).
       val base = docs(s, dir).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 1000)
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 500)
       val copy1 = base.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" extraword")).as("text"))
       val copy2 = base.select((col("doc_id") + 2000000L).as("doc_id"),
@@ -312,6 +332,31 @@ object LlmOpQueries {
           threshold = 0.7, numHashes = 32, bands = 16, unrolledRounds = 3)
         .withColumn("is_keeper", col("cluster_id") === col("doc_id"))
         .orderBy("doc_id")
+    })
+
+  /** Incremental near-dup (oracle-checked): a new batch — mutated copies of
+    * half the bounded corpus plus genuinely new unrelated docs — joined
+    * against the EXISTING corpus's band index; emits (new_id, corpus_id)
+    * cross pairs verified at exact Jaccard ≥ 0.7. The oracle is the exact
+    * corpus × batch cross join (O(|corpus|·|batch|), cheap — no self-join),
+    * so hash-equality certifies full cross-pair recall: the nightly
+    * "dedup the increment against the lake" flow, certified end-to-end. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((s, dir, "__q_incremental"), {
+      val d = docs(s, dir)
+      val corpus = matInput(s, dir, "corpus_existing")(
+        d.select("doc_id", "text")
+          .filter(col("doc_id") % 10 === 0 && col("doc_id") < 1000))
+      val incoming = matInput(s, dir, "corpus_incoming")(
+        d.filter(col("doc_id") % 10 === 0 && col("doc_id") < 1000)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" extraword")).as("text"))
+          .unionByName(
+            d.filter(col("doc_id") % 10 === 5 && col("doc_id") < 1000)
+              .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))))
+      Dedup.incrementalNearDupPairs(corpus, incoming, "doc_id", "text",
+          threshold = 0.7, numHashes = 32, bands = 8)
+        .orderBy("new_id", "corpus_id")
     })
 
   /** n-gram Jaccard on the planted pairs directly (rows-only, deterministic). */

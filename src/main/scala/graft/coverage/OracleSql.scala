@@ -376,6 +376,36 @@ object OracleSql {
     // keeps this O(N^2) oracle from swamping the DuckDB baseline total.
     "dedup_minhash_verified" -> boundedVerifiedPairsSql(minTokens = 0),
 
+    // Incremental dedup ground truth: the exact corpus x batch CROSS join
+    // (no self-join, so this oracle is O(|corpus|*|batch|) and cheap) —
+    // hash-equality certifies full recall of the band-index join on every
+    // >= 0.7 cross pair.
+    "dedup_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id < 1000),
+         |inc AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' extraword' AS text
+         |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 1000
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id, text
+         |  FROM documents WHERE doc_id % 10 = 5 AND doc_id < 1000),
+         |shc AS (SELECT doc_id, ${shingleSql("toks")} AS sh FROM (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM corpus)),
+         |shn AS (SELECT doc_id, ${shingleSql("toks")} AS sh FROM (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM inc))
+         |SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+         |       CASE WHEN len(list_distinct(list_concat(n.sh, c.sh))) = 0 THEN 0.0
+         |            ELSE CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+         |                 / len(list_distinct(list_concat(n.sh, c.sh))) END AS jaccard
+         |FROM shn n CROSS JOIN shc c
+         |WHERE CASE WHEN len(list_distinct(list_concat(n.sh, c.sh))) = 0 THEN 0.0
+         |           ELSE CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+         |                / len(list_distinct(list_concat(n.sh, c.sh))) END >= 0.7
+         |ORDER BY new_id, corpus_id""".stripMargin,
+
     // The same ground-truth construction certifies the SimHash chunk-bucket
     // path — over the length-gated corpus (>= 20 tokens): SimHash's recall
     // regime is length-bounded (the tf vote margin is ~sqrt(n_tokens), so on
@@ -391,17 +421,21 @@ object OracleSql {
     // self-labelled. The chain corpus (two mutated copies per base doc)
     // makes closure non-trivial: on short docs base<->two-token falls under
     // the threshold while both chain links stay above it.
+    // corpus bound < 500 (50 base docs): the 3x corpus makes this
+    // O(N^2)+recursive oracle ~4x costlier per doc than the verified-pairs
+    // ones — 50 three-chains certify the same properties without padding
+    // the DuckDB baseline total (9.6 s at < 1000 vs ~2.4 s here).
     "dedup_cluster_assign" ->
       s"""WITH RECURSIVE corpus AS (
          |  SELECT doc_id, text FROM documents
-         |  WHERE doc_id % 10 = 0 AND doc_id < 1000
+         |  WHERE doc_id % 10 = 0 AND doc_id < 500
          |  UNION ALL
          |  SELECT doc_id + 1000000 AS doc_id, text || ' extraword' AS text
-         |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 1000
+         |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 500
          |  UNION ALL
          |  SELECT doc_id + 2000000 AS doc_id,
          |         text || ' extraword extrawordtwo' AS text
-         |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 1000),
+         |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 500),
          |tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
          |       FROM corpus),
          |sh AS (SELECT doc_id, ${shingleSql("toks")} AS sh FROM tk),

@@ -182,12 +182,24 @@ object Dedup {
    * Returns (id_a, id_b, est_jaccard) where est_jaccard is the signature
    * agreement fraction, computed on the collided pair only.
    */
+  /** (id, band, band_hash) rows from a signature frame — `bands` small rows
+    * per document, the only thing LSH joins ever shuffle. */
+  private def bandRows(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    sig.select(col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 256): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     // The sketch projection feeds two consumers (bucket stats + the pair
     // join) — persist it once; the banded stream itself carries only
     // (id, band, band_hash), never the 64-long signature.
@@ -196,14 +208,8 @@ object Dedup {
         .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
         .select(col("id"), minhashSignatureOfShingles(col("sh"), numHashes).as("sig")))
 
-    val banded0 = sig.select(col("id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
-    val banded = pruneFullBuckets(banded0, Seq("band", "band_hash"), maxBucketSize)
+    val banded = pruneFullBuckets(bandRows(sig, numHashes, bands),
+      Seq("band", "band_hash"), maxBucketSize)
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -270,22 +276,14 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 256): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     val sig = persistTracked(
       df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
         .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
         .select(col("id"), col("sh"),
           minhashSignatureOfShingles(col("sh"), numHashes).as("sig")))
 
-    val banded0 = sig.select(col("id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
-    val banded = pruneFullBuckets(banded0, Seq("band", "band_hash"), maxBucketSize)
+    val banded = pruneFullBuckets(bandRows(sig, numHashes, bands),
+      Seq("band", "band_hash"), maxBucketSize)
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -302,6 +300,72 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * The persisted MinHash band index of a corpus: (id, band, band_hash) —
+   * the artifact incremental dedup joins new batches against. Build once,
+   * store as a table (bucketed by (band, band_hash) at scale, see
+   * [[graft.layout.TableLayout]]), append each accepted batch's rows;
+   * the corpus is never re-sketched per batch.
+   */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                numHashes: Int = 64, bands: Int = 16): DataFrame =
+    bandRows(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+        .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
+        .select(col("id"), minhashSignatureOfShingles(col("sh"), numHashes).as("sig")),
+      numHashes, bands)
+
+  /**
+   * Incremental near-dup: a NEW batch of documents against an EXISTING
+   * corpus — the nightly production flow, where re-running all-corpus
+   * self-dedup per batch would re-pay the whole corpus's sketch+join cost
+   * for a 0.1% increment. Emits (new_id, corpus_id, jaccard ≥ threshold)
+   * cross pairs only; intra-batch duplicates are [[nearDuplicatePairs]] on
+   * the (small) batch.
+   *
+   * Scale shape: the batch is sketched and banded (small); the corpus side
+   * contributes its PRECOMPUTED band index (`corpusBands`, default built
+   * here for convenience) — a bucketed index table makes the candidate join
+   * shuffle-free on the corpus side. Verification re-derives shingles ONLY
+   * for corpus documents that actually collided (left_semi on candidate
+   * ids), so corpus text is touched proportionally to match volume, never
+   * scanned per batch.
+   */
+  def incrementalNearDupPairs(
+      corpus: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16,
+      corpusBands: Option[DataFrame] = None): DataFrame = {
+    val inc = persistTracked(
+      incoming.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+        .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
+        .select(col("id"), col("sh"),
+          minhashSignatureOfShingles(col("sh"), numHashes).as("sig")))
+    val incBands = bandRows(inc.select("id", "sig"), numHashes, bands)
+    val corpusIdx = corpusBands
+      .getOrElse(bandIndex(corpus, idCol, textCol, numHashes, bands))
+
+    val candidates = incBands.as("n")
+      .join(corpusIdx.as("c"),
+        col("n.band") === col("c.band") &&
+        col("n.band_hash") === col("c.band_hash"))
+      .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      .distinct()
+
+    val touched = corpus
+      .select(col(idCol).as("corpus_id"), col(textCol).as("__text"))
+      .join(candidates.select("corpus_id"), Seq("corpus_id"), "left_semi")
+      .select(col("corpus_id"), tokens(col("__text")).as("toks"))
+      .select(col("corpus_id"), shinglesOfTokens(col("toks")).as("sh_c"))
+
+    candidates
+      .join(inc.select(col("id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
+      .join(touched, Seq("corpus_id"))
+      .withColumn("jaccard", jaccard(col("sh_n"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
   }
 
   /**

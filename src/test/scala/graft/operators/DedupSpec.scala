@@ -156,4 +156,37 @@ class DedupSpec extends SparkSuite {
     assert(falsePositives <= 5, s"$falsePositives false positives: " +
       pairs.filterNot(p => p._2 == p._1 + 1000000L).take(10).mkString(", "))
   }
+
+  test("incremental near-dup: batch vs corpus cross pairs only, index path identical") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark shuffle partitions and broadcast joins here"),
+      (3L, "another unrelated document discussing minhash signatures and locality sensitive hashing")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      // near-dup of corpus doc 1
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today extra"),
+      // exact copy of ANOTHER incoming doc's target — still only cross pairs count
+      (102L, "the quick brown fox jumps over the lazy dog near the river bank today extra"),
+      // genuinely new
+      (103L, "fresh material on columnar storage formats and predicate pushdown strategies")
+    ).toDF("doc_id", "text")
+
+    val got = Dedup.incrementalNearDupPairs(corpus, incoming, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cross pairs only: both near-dup incoming docs pair with corpus doc 1;
+    // the 101-102 intra-batch pair is deliberately NOT emitted
+    assert(got == Set((101L, 1L), (102L, 1L)))
+
+    // precomputed index path (the production flow) is pair-identical
+    val idx = Dedup.bandIndex(corpus, "doc_id", "text")
+    val viaIndex = Dedup.incrementalNearDupPairs(corpus, incoming, "doc_id", "text",
+        threshold = 0.5, corpusBands = Some(idx))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == got)
+    Dedup.unpersistSketches()
+  }
 }
