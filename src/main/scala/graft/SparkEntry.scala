@@ -82,6 +82,8 @@ object SparkEntry {
     "dedup_embedding_cosine" -> (L.dedupEmbeddingCosine _),
     "dedup_embedding_cosine_10x" -> (L.dedupEmbeddingCosine10x _),
     "samp_deterministic" -> (L.sampDeterministic _),
+    "samp_shuffle_shards" -> (L.sampShuffleShards _),
+    "dedup_lines" -> (L.dedupLines _),
     "samp_stratified" -> (L.sampStratified _),
     "samp_split_counts" -> (L.sampSplitCounts _),
     "samp_domain_cap" -> (L.sampDomainCap _),

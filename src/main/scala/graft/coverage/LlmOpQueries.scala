@@ -707,9 +707,61 @@ object LlmOpQueries {
         col("max_abs_err"))
       .orderBy("vec_id")
 
+  /** Deterministic global shuffle + sharding (oracle-checked row-for-row):
+    * every document assigned (shard, pos) — a reproducible shard-major
+    * training-order permutation derived from md5("epoch0:" ++ doc_id), no
+    * global sort (per-shard `row_number` windows rank in parallel). The
+    * DuckDB oracle replays the shard arithmetic digit-by-digit, certifying
+    * the engine-portable definition ([[graft.operators.Shuffling]]). */
+  def sampShuffleShards(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Shuffling
+      .shuffled(docs(s, dir).select("doc_id"), "doc_id",
+        seed = "epoch0", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
+  /**
+   * Web-page-shaped corpus for the line-dedup query: 16 "pages" of 25
+   * unique content lines each (docs 100..499, one line per document), every
+   * page prefixed with the same 5 boilerplate "header" lines (docs 0..4) —
+   * the nav-bar/licence-block repetition C4-style line dedup exists to
+   * strip. Pre-materialized input (construction is not the operator).
+   */
+  private def linePages(s: SparkSession, dir: String): DataFrame =
+    matInput(s, dir, "line_pages") {
+      val d = docs(s, dir)
+      val own = d.filter(col("doc_id") >= 100 && col("doc_id") < 500)
+        .select(floor(col("doc_id") / 25).as("page_id"),
+          col("doc_id").cast("long").as("ord"), col("text"))
+      val headers = own.select("page_id").distinct()
+        .crossJoin(d.filter(col("doc_id") < 5)
+          .select((col("doc_id") - 1000).cast("long").as("ord"), col("text")))
+      own.unionByName(headers.select("page_id", "ord", "text"))
+        .groupBy("page_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("ord"), col("text")))),
+            x => x.getField("text")), "\n").as("text"))
+    }
+
+  /** Cross-document exact line dedup (oracle-checked): the first page keeps
+    * its full text, every later page loses the 5 shared boilerplate lines.
+    * Runs the HASHED-key scale mode — output is contractually identical to
+    * the exact mode (spec-pinned), so the DuckDB oracle (which replays the
+    * exact semantics) also certifies that no 64-bit line-hash collision
+    * dropped a line on this corpus. */
+  def dedupLines(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LineDedup
+      .dedupLines(linePages(s, dir), "page_id", "text", hashedKeys = true)
+      .orderBy("page_id")
+
   /** Multimodal: decode+featurize synthetic blobs UNIONED with genuine
-    * BMP/PPM/WAV payloads (rows-only) — the real pure-JVM header parsers run
-    * in the same mapPartitions pass as the stub fallback. */
+    * BMP/PPM/WAV payloads — the real pure-JVM header parsers run in the same
+    * mapPartitions pass as the stub fallback. The input is fully
+    * deterministic (seeded synthetic headers + committed-by-construction
+    * fixture bytes), so the aggregate IS a known constant: the oracle is the
+    * fixture ground truth as a literal VALUES table, and the driver's
+    * hash-compare certifies the decode pipeline end-to-end (a parser
+    * regression changes counts/dims and flips the hash). */
   def mmDecodeFeaturize(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAndFeaturize(
         Multimodal.syntheticMedia(s, 999)

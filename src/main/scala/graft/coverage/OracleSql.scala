@@ -113,6 +113,63 @@ object OracleSql {
          |      FROM documents)
          |GROUP BY 1 ORDER BY split""".stripMargin,
 
+    // Replays Shuffling.shuffled digit-by-digit: shard = value of the md5
+    // key's first 4 hex chars (16-bit bucket) mod 8; pos = per-shard hash
+    // rank. strpos arithmetic is the engine-portable form of Spark's conv().
+    "samp_shuffle_shards" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |sharded AS (
+        |  SELECT doc_id, k,
+        |    CAST(((strpos('0123456789abcdef', substring(k,1,1))-1)*4096
+        |         +(strpos('0123456789abcdef', substring(k,2,1))-1)*256
+        |         +(strpos('0123456789abcdef', substring(k,3,1))-1)*16
+        |         +(strpos('0123456789abcdef', substring(k,4,1))-1)) % 8 AS BIGINT)
+        |      AS shard
+        |  FROM keyed)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+        |            AS BIGINT) AS pos
+        |FROM sharded ORDER BY shard, pos""".stripMargin,
+
+    // Replays LineDedup.dedupLines over the constructed 16-page corpus
+    // (LlmOpQueries.linePages): pages = 25 own lines + 5 shared boilerplate
+    // header lines; keep each distinct line's first (page_id, pos)
+    // occurrence, reassemble in order. No blank lines exist in this corpus,
+    // so the operator's blank-line bypass is never exercised here (covered
+    // by LineDedupSpec).
+    "dedup_lines" ->
+      """WITH own AS (
+        |  SELECT CAST(floor(doc_id/25) AS BIGINT) AS page_id,
+        |         CAST(doc_id AS BIGINT) AS ord, text
+        |  FROM documents WHERE doc_id >= 100 AND doc_id < 500),
+        |hdr AS (
+        |  SELECT p.page_id, CAST(d.doc_id - 1000 AS BIGINT) AS ord, d.text
+        |  FROM (SELECT DISTINCT page_id FROM own) p
+        |  CROSS JOIN (SELECT doc_id, text FROM documents WHERE doc_id < 5) d),
+        |pages AS (
+        |  SELECT page_id, string_agg(text, chr(10) ORDER BY ord) AS text
+        |  FROM (SELECT * FROM own UNION ALL SELECT * FROM hdr)
+        |  GROUP BY page_id),
+        |lines AS (
+        |  SELECT page_id,
+        |         unnest(string_split(text, chr(10))) AS line,
+        |         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM pages),
+        |tot AS (SELECT page_id, count(*) AS n_lines FROM lines GROUP BY page_id),
+        |kept AS (
+        |  SELECT page_id, pos, line,
+        |         row_number() OVER (PARTITION BY line ORDER BY page_id, pos) AS rn
+        |  FROM lines)
+        |SELECT k.page_id,
+        |       string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
+        |       t.n_lines, count(*) AS n_lines_kept
+        |FROM kept k JOIN tot t USING (page_id)
+        |WHERE k.rn = 1
+        |GROUP BY k.page_id, t.n_lines
+        |ORDER BY k.page_id""".stripMargin,
+
     "samp_domain_cap" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,
@@ -498,6 +555,25 @@ object OracleSql {
          |              ELSE 'zh' END AS lang_id
          |  FROM s)
          |GROUP BY lang_id ORDER BY lang_id""".stripMargin,
+
+    // Fixture ground truth for the multimodal decode pipeline: the input is
+    // fully deterministic (Multimodal.syntheticMedia(999) headers + the
+    // builtin BMP 32x16 / PPM 24x8 / WAV 1600-frame payloads), so the
+    // expected aggregate is a constant derivable from the generator
+    // parameters: n per type = 333 synthetic (+2 real images, +1 real
+    // audio); max_width = 64 + max(37i mod 1920) over the type's residue
+    // class; audio max_frames = the WAV's 1600 sample frames; video
+    // max_frames = 1 + max(i mod 240) = 240. A decode regression (header
+    // parse, chunk walk, mapPartitions plumbing) changes these values.
+    "mm_decode_featurize" ->
+      """SELECT media_type, CAST(n AS BIGINT) AS n,
+        |       CAST(max_width AS INTEGER) AS max_width,
+        |       CAST(max_frames AS INTEGER) AS max_frames
+        |FROM (VALUES ('audio', 334, 1982, 1600),
+        |             ('image', 335, 1978, 1),
+        |             ('video', 333, 1983, 240))
+        |  AS t(media_type, n, max_width, max_frames)
+        |ORDER BY media_type""".stripMargin,
 
     "t_fingerprint" ->
       s"""WITH tk AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),

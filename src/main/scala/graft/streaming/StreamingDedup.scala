@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.Dedup
+
+/**
+ * Streaming near-duplicate detection against a growing corpus — the
+ * continuous version of [[graft.operators.Dedup.incrementalNearDupPairs]]:
+ * documents arrive on a stream; each micro-batch is MinHash-banded and
+ * joined against the corpus's persisted band index; matched (new, corpus)
+ * pairs append to a parquet sink; the batch's own band rows are then
+ * appended to the index, so batch N+1 dedups against batch N without the
+ * corpus ever being re-sketched.
+ *
+ * State lives in TABLES, not executor memory: the band index is a parquet
+ * (at scale: bucketed by (band, band_hash) — [[graft.layout.TableLayout]])
+ * that any number of restarts re-read, so there is no
+ * `mapGroupsWithState`-style state-store growth proportional to the corpus.
+ * The checkpoint gives the usual no-reprocess guarantee over the SOURCE;
+ * the two sink writes inside one batch are not atomic together — a crash
+ * between them can leave a batch's pairs written but its bands missing (or
+ * vice versa after restart replays the batch). Both writes are keyed by
+ * deterministic content, so the repair is idempotent re-append + downstream
+ * `dropDuplicates` on (new_id, corpus_id) / (id, band) — same contract as
+ * any at-least-once parquet append pipeline.
+ *
+ * The corpus TEXT table is read per batch only to verify collided candidate
+ * ids (left_semi inside the incremental operator) — batch-proportional,
+ * never corpus-proportional.
+ */
+object StreamingDedup {
+
+  /**
+   * Start the stream. `corpusPath` is the corpus text table (idCol/textCol
+   * parquet); `indexPath` its precomputed band index
+   * ([[Dedup.bandIndex]] written once at bootstrap); `pairsPath` the append
+   * sink for verified (new_id, corpus_id, jaccard) rows.
+   */
+  def start(spark: SparkSession, newDocs: DataFrame,
+            corpusPath: String, indexPath: String, pairsPath: String,
+            checkpoint: String, idCol: String, textCol: String,
+            threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(spark, batch, corpusPath, indexPath, pairsPath,
+          idCol, textCol, threshold, numHashes, bands)
+      }
+      .start()
+
+  /** One micro-batch: dedup against the index, then grow the index. Factored
+    * out of the foreachBatch closure so batch semantics are testable without
+    * a streaming harness. */
+  private[streaming] def processBatch(
+      spark: SparkSession, batch: DataFrame,
+      corpusPath: String, indexPath: String, pairsPath: String,
+      idCol: String, textCol: String,
+      threshold: Double, numHashes: Int, bands: Int): Unit = {
+    // The batch feeds two consumers (pair join + index append) and the
+    // incremental operator itself persists its sketch frame; materialize the
+    // batch once so the source is not re-read per consumer.
+    val b = batch.persist()
+    try {
+      if (!b.isEmpty) {
+        // corpus text: verify-side only (left_semi on collided ids). The
+        // index covers the original corpus AND every previously accepted
+        // batch, whose text lands in the same table via acceptNewDocs-style
+        // appends by the caller; here the corpus table is read as-is.
+        val corpus = spark.read.parquet(corpusPath)
+        val index = spark.read.parquet(indexPath)
+        Dedup.incrementalNearDupPairs(corpus, b, idCol, textCol,
+            threshold, numHashes, bands, corpusBands = Some(index))
+          .write.mode("append").parquet(pairsPath)
+        // grow the index with this batch's bands so later batches see it;
+        // the batch's text must also be appended to the corpus table for
+        // verification — done here, same at-least-once contract as above.
+        Dedup.bandIndex(b, idCol, textCol, numHashes, bands)
+          .write.mode("append").parquet(indexPath)
+        b.select(col(idCol), col(textCol))
+          .write.mode("append").parquet(corpusPath)
+      }
+    } finally {
+      b.unpersist()
+      Dedup.unpersistSketches() // the incremental op's per-batch sketch frame
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class LineDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // three "pages": boilerplate header repeats on all of them, page 1 also
+  // repeats one of page 0's content lines; blank separator lines everywhere
+  private def pages = Seq(
+    (0L, "NAV HOME ABOUT\n\nunique zero alpha\nshared content line\n\nCOPYRIGHT FOOTER"),
+    (1L, "NAV HOME ABOUT\n\nshared content line\nunique one beta\n\nCOPYRIGHT FOOTER"),
+    (2L, "NAV HOME ABOUT\n\nunique two gamma\n\nCOPYRIGHT FOOTER")
+  ).toDF("id", "text")
+
+  test("keeps the first occurrence of every duplicated line, in-order reassembly") {
+    val out = LineDedup.dedupLines(pages, "id", "text").orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    // page 0 saw everything first: unchanged
+    assert(out(0).getString(1) ===
+      "NAV HOME ABOUT\n\nunique zero alpha\nshared content line\n\nCOPYRIGHT FOOTER")
+    // page 1 loses header, footer, and the shared content line; blanks stay
+    assert(out(1).getString(1) === "\nunique one beta\n")
+    // page 2 loses header and footer only
+    assert(out(2).getString(1) === "\nunique two gamma\n")
+  }
+
+  test("n_lines / n_lines_kept account for drops; blank lines always survive") {
+    val out = LineDedup.dedupLines(pages, "id", "text")
+      .orderBy("id")
+      .select("n_lines", "n_lines_kept").as[(Long, Long)].collect()
+    assert(out(0) === ((6L, 6L)))
+    assert(out(1) === ((6L, 3L))) // 2 blanks + "unique one beta"
+    assert(out(2) === ((5L, 3L)))
+  }
+
+  test("a document whose every line loses disappears from the output") {
+    val withClone = pages.unionByName(
+      Seq((3L, "NAV HOME ABOUT\nshared content line\nCOPYRIGHT FOOTER"))
+        .toDF("id", "text"))
+    val out = LineDedup.dedupLines(withClone, "id", "text")
+    assert(out.filter($"id" === 3L).isEmpty)
+    assert(out.count() === 3)
+  }
+
+  test("minChars widens the bypass: short lines stop deduping") {
+    val df = Seq((0L, "hi\nlong enough line"), (1L, "hi\nanother line")).toDF("id", "text")
+    val strict = LineDedup.dedupLines(df, "id", "text", minChars = 1)
+      .filter($"id" === 1L).select("text").as[String].head()
+    assert(strict === "another line") // "hi" deduped away
+    val loose = LineDedup.dedupLines(df, "id", "text", minChars = 3)
+      .filter($"id" === 1L).select("text").as[String].head()
+    assert(loose === "hi\nanother line") // "hi" bypasses dedup
+  }
+
+  test("hashed keys (scale mode) produce exactly the exact-mode output") {
+    val corpus = pages.unionByName(
+      (10L until 60L).map(i => (i, s"unique filler $i\nNAV HOME ABOUT")).toDF("id", "text"))
+    val hashed = LineDedup.dedupLines(corpus, "id", "text", hashedKeys = true)
+    val exact = LineDedup.dedupLines(corpus, "id", "text", hashedKeys = false)
+    assert(hashed.exceptAll(exact).isEmpty && exact.exceptAll(hashed).isEmpty)
+  }
+}

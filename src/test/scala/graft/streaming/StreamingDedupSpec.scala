@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.operators.Dedup
+import java.nio.file.Files
+
+/**
+ * Drives the streaming corpus-dedup flow end to end with a file source:
+ * bootstrap a corpus + band index, stream two batches of new documents
+ * through [[StreamingDedup]], and check (a) corpus duplicates are flagged,
+ * (b) a batch-2 duplicate of a batch-1 document is flagged because the index
+ * grew, (c) genuinely new documents are not flagged.
+ */
+class StreamingDedupSpec extends SparkSuite {
+
+  private def doc(id: Long, text: String): (Long, String) = (id, text)
+
+  // long-ish distinct docs so 0.7-Jaccard pairs are unambiguous
+  private def baseText(i: Long): String =
+    s"corpus document $i " + (0 until 30).map(j => s"tok${i}x$j").mkString(" ")
+
+  /** Drop one parquet FILE into the landing dir (the producer shape the
+    * file-stream source tails — same pattern as EventStreamIngestSpec). */
+  private def land(docs: Seq[(Long, String)], destFile: String): Unit = {
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-sdedup-batch").toString
+    docs.toDF("id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(destFile)
+    dest.getParentFile.mkdirs()
+    Files.move(part.toPath, dest.toPath)
+  }
+
+  test("batches dedup against the corpus AND earlier batches via the growing index") {
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-sdedup").toString
+    val corpusPath = s"$tmp/corpus"; val indexPath = s"$tmp/index"
+    val pairsPath = s"$tmp/pairs"; val ckpt = s"$tmp/ckpt"
+    val landing = s"$tmp/landing"
+
+    // bootstrap: 20-doc corpus + its band index, written once
+    val corpus = (0L until 20L).map(i => doc(i, baseText(i))).toDF("id", "text")
+    corpus.write.parquet(corpusPath)
+    Dedup.bandIndex(corpus, "id", "text", numHashes = 32, bands = 8)
+      .write.parquet(indexPath)
+
+    // batch 1: a near-copy of corpus doc 3 (one token appended) + a new doc
+    land(Seq(doc(101L, baseText(3L) + " extra"), doc(102L, baseText(777L))),
+      s"$landing/b1.parquet")
+    val q1 = StreamingDedup.start(spark,
+      spark.readStream.schema("id LONG, text STRING").parquet(landing),
+      corpusPath, indexPath, pairsPath, ckpt, "id", "text",
+      threshold = 0.7, numHashes = 32, bands = 8)
+    q1.awaitTermination(120000)
+
+    val pairs1 = spark.read.parquet(pairsPath)
+    assert(pairs1.select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+      === Set((101L, 3L)))
+
+    // batch 2: a near-copy of BATCH 1's new doc 102 (caught only because the
+    // index grew), another corpus dup, and a fresh doc
+    land(Seq(doc(201L, baseText(777L) + " tail"), doc(202L, baseText(7L)),
+      doc(203L, baseText(888L))), s"$landing/b2.parquet")
+    val q2 = StreamingDedup.start(spark,
+      spark.readStream.schema("id LONG, text STRING").parquet(landing),
+      corpusPath, indexPath, pairsPath, ckpt, "id", "text",
+      threshold = 0.7, numHashes = 32, bands = 8)
+    q2.awaitTermination(120000)
+
+    val pairs2 = spark.read.parquet(pairsPath)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs2 === Set((101L, 3L), (201L, 102L), (202L, 7L)))
+
+    // the corpus table grew by both batches (5 new docs), index in step
+    assert(spark.read.parquet(corpusPath).count() === 25)
+    assert(spark.read.parquet(indexPath).count() === 25 * 8)
+    // checkpoint means a restart with no new files reprocesses nothing
+    val q3 = StreamingDedup.start(spark,
+      spark.readStream.schema("id LONG, text STRING").parquet(landing),
+      corpusPath, indexPath, pairsPath, ckpt, "id", "text",
+      threshold = 0.7, numHashes = 32, bands = 8)
+    q3.awaitTermination(120000)
+    assert(spark.read.parquet(pairsPath).count() === 3)
+    assert(spark.read.parquet(corpusPath).count() === 25)
+  }
+}
