@@ -44,12 +44,22 @@ object TableLayout {
    */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int = 32): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-column bucket key variant — e.g. the MinHash band index bucketed
+    * by (band, band_hash) so incremental-dedup candidate joins read the
+    * corpus side shuffle-free (only the new batch exchanges; proven in
+    * `TableLayoutSpec`). Joins must use exactly the bucket columns. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit = {
+    require(keys.nonEmpty, "at least one bucket key")
     df.write
       .mode("overwrite")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Count parquet data files under a directory (compaction observability). */
   def dataFileCount(spark: SparkSession, dir: String): Long = {

@@ -24,6 +24,60 @@ class TableLayoutSpec extends SparkSuite {
       spark.read.parquet(in).agg(sum("id")).head().getLong(0))
   }
 
+  test("bucketed band index: incremental-dedup candidate join is shuffle-free on the corpus side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val s = spark
+    import s.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = (0L until 500L).map(i =>
+        (i, s"corpus doc $i " + (0 until 25).map(j => s"w${i}x$j").mkString(" ")))
+        .toDF("id", "text")
+      // the persisted production artifact: band index bucketed on the join key
+      graft.layout.TableLayout.writeBucketed(
+        graft.operators.Dedup.bandIndex(corpus, "id", "text", numHashes = 32, bands = 8),
+        "band_idx_b", Seq("band", "band_hash"), buckets = 8)
+      val batch = corpus.filter($"id" % 50 === 0)
+        .select(($"id" + 10000L).as("id"), concat($"text", lit(" x")).as("text"))
+      val pairs = graft.operators.Dedup.incrementalNearDupPairs(
+        corpus, batch, "id", "text", threshold = 0.7, numHashes = 32, bands = 8,
+        corpusBands = Some(spark.table("band_idx_b")))
+
+      val root = pairs.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      def hasIdxScan(p: SparkPlan): Boolean = p.collect {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == "band_idx_b") => f
+      }.nonEmpty
+      val joins = root.collect {
+        case j: SortMergeJoinExec if hasIdxScan(j) => j: SparkPlan
+        case j: ShuffledHashJoinExec if hasIdxScan(j) => j: SparkPlan
+      }
+      assert(joins.nonEmpty, "candidate join did not plan as a shuffle join:\n" + root)
+      // deepest matching join = the candidate join itself (collect is pre-order)
+      val (l, r) = joins.last match {
+        case j: SortMergeJoinExec => (j.left, j.right)
+        case j: ShuffledHashJoinExec => (j.left, j.right)
+      }
+      val idxSide = if (hasIdxScan(l)) l else r
+      assert(hasIdxScan(idxSide), "index scan not under the candidate join")
+      assert(idxSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "the bucketed index side was re-shuffled:\n" + idxSide)
+      // and the operator still answers correctly through the bucketed index
+      assert(pairs.select("new_id").distinct().count() === 10)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS band_idx_b")
+      graft.operators.Dedup.unpersistSketches()
+    }
+  }
+
   test("bucketed tables join and aggregate without a shuffle on the bucket key") {
     val s = spark
     import s.implicits._
