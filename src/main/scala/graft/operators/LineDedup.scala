@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -18,22 +17,26 @@ import org.apache.spark.sql.functions._
  * dedup and are always kept (`minChars` widens that bypass to short lines
  * generally, e.g. `minChars = 20` to stop deduping "Introduction").
  *
- * Scale shape — two wide exchanges, both unavoidable in any formulation:
- *   1. hash-partition on the line key to find each line's global first
- *      occurrence (one `row_number` per line group, no self-join, map-side
- *      nothing to combine but also nothing quadratic);
- *   2. hash-partition back on the document id to reassemble.
- * With `hashedKeys` (the 100 TB default) exchange 1 carries
- * (xxhash64(line), doc, pos) — 8-byte keys instead of full line text — and
- * the surviving (doc, pos) winners join back onto a narrow re-explode of
- * the corpus to pick up the text for reassembly; the join key (doc, pos) is
- * unique on both sides. `hashedKeys = false` partitions on the raw line so
- * an external engine can replay the query exactly (the DuckDB oracle does;
- * a spec pins hashed ≡ exact). A 64-bit key collides two DIFFERENT lines
- * with birthday probability ~n²/2⁶⁵ — at ~2³² distinct lines (~4 billion)
- * collisions appear and each one wrongly drops a line; at that corpus size
- * either accept the ~ppb text loss or switch to the exact mode's full-line
- * keys at double shuffle width.
+ * Scale shape: the first occurrence per line is `min(struct(doc, pos))`
+ * grouped by the line key — an ordinary partial+final aggregate, NOT a
+ * row_number window. The difference is what survives skew: web corpora have
+ * single lines repeated billions of times ("Home"), and a window formulation
+ * hash-partitions every copy of that line into ONE task's sort; the
+ * aggregate collapses each partition's copies to one candidate map-side, so
+ * the shuffle carries at most (distinct lines × partitions) rows no matter
+ * how hot a line is. Exchanges: one on the line key (winners), one back on
+ * the document id (reassembly) — plus, in hashed mode, the semi-join of
+ * winner (doc, pos) pairs back onto a narrow re-explode to pick up text.
+ *
+ * `hashedKeys` (the 100 TB default) groups on xxhash64(line) — 8-byte keys
+ * instead of full line text on the wide shuffle. A 64-bit key collides two
+ * DIFFERENT lines with birthday probability ~n²/2⁶⁵ — at ~2³² distinct
+ * lines (~4 billion) collisions appear and each one wrongly drops a line; at
+ * that corpus size either accept the ~ppb text loss or use
+ * `hashedKeys = false`, which shuffles the raw line once and needs no
+ * join-back (the winner rows already carry their text). The exact mode is
+ * also what an external engine replays (the DuckDB oracle does; a spec pins
+ * hashed ≡ exact).
  */
 object LineDedup {
 
@@ -48,26 +51,30 @@ object LineDedup {
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
     val bypass = length(trim(col("__line"))) < minChars
 
-    // global first occurrence per distinct line; bypassed lines always win
-    val lineKey = if (hashedKeys) xxhash64(col("__line")) else col("__line")
-    val w = Window.partitionBy(col("__key")).orderBy(col("__doc"), col("__pos"))
-    val ranked =
-      (if (hashedKeys)
-        lines.select(col("__doc"), col("__pos"), bypass.as("__bypass"),
-          lineKey.as("__key"))                      // 8-byte keys, no text
-      else
-        lines.select(col("__doc"), col("__pos"), bypass.as("__bypass"),
-          lineKey.as("__key"), col("__line")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__bypass") || col("__rn") === 1)
+    // first global occurrence per distinct line: min(struct(doc, pos)) ==
+    // lexicographic minimum == earliest (document, position). Partial agg
+    // collapses repeated lines map-side — a billion-copy boilerplate line
+    // shuffles one candidate per partition, not a billion rows into one task.
+    val content = lines.filter(!bypass)
+    val keptContent =
+      if (hashedKeys) {
+        val winners = content
+          .groupBy(xxhash64(col("__line")).as("__key"))
+          .agg(min(struct(col("__doc"), col("__pos"))).as("__occ"))
+          .select(col("__occ.__doc").as("__doc"), col("__occ.__pos").as("__pos"))
+        // (doc, pos) is unique: semi-join the winners back onto a narrow
+        // re-explode to pick the text up (it never rode the wide shuffle)
+        content.join(winners, Seq("__doc", "__pos"), "left_semi")
+      } else {
+        // exact mode: the winner rows already carry the line — no join-back
+        content
+          .groupBy(col("__line"))
+          .agg(min(struct(col("__doc"), col("__pos"))).as("__occ"))
+          .select(col("__occ.__doc").as("__doc"), col("__occ.__pos").as("__pos"),
+            col("__line"))
+      }
 
-    val kept =
-      if (hashedKeys)
-        // (doc, pos) is unique: re-explode narrowly and join text back on it
-        ranked.select("__doc", "__pos")
-          .join(lines, Seq("__doc", "__pos"))
-      else ranked.select("__doc", "__pos", "__line")
-
+    val kept = keptContent.unionByName(lines.filter(bypass))
     kept.groupBy(col("__doc"))
       .agg(
         array_join(

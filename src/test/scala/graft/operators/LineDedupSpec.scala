@@ -54,6 +54,17 @@ class LineDedupSpec extends SparkSuite {
     assert(loose === "hi\nanother line") // "hi" bypasses dedup
   }
 
+  test("first-occurrence selection is a partial+final aggregate, not a window (skew-proof)") {
+    // a window formulation would sort every copy of a hot boilerplate line
+    // inside ONE task; the min(struct) aggregate collapses copies map-side
+    Seq(true, false).foreach { hashed =>
+      val p = LineDedup.dedupLines(pages, "id", "text", hashedKeys = hashed)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("partial_min"), s"hashed=$hashed no map-side combine:\n$p")
+      assert(!p.contains("Window"), s"hashed=$hashed plans a window:\n$p")
+    }
+  }
+
   test("hashed keys (scale mode) produce exactly the exact-mode output") {
     val corpus = pages.unionByName(
       (10L until 60L).map(i => (i, s"unique filler $i\nNAV HOME ABOUT")).toDF("id", "text"))
