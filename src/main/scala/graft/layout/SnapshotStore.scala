@@ -1,0 +1,107 @@
+package graft.layout
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Atomic snapshot publish for parquet tables — the mechanism behind the
+ * reference's reader/writer isolation (`Business_KPI_dashboard.py:10-14`
+ * opens the warehouse read-only while the hourly pipeline rewrites it; DuckDB
+ * arbitrates with a file lock). Over distributed parquet there is no lock
+ * manager; the equivalent guarantee is IMMUTABILITY + an atomic pointer:
+ *
+ *  - every publish writes a brand-new `snapshot-<version>/` directory —
+ *    never in place, so no reader ever observes a half-written table;
+ *  - `_latest` (a one-line file naming the current snapshot dir) is swapped
+ *    with an atomic rename (`FileContext.rename(OVERWRITE)` — atomic on
+ *    POSIX and HDFS; object stores substitute their own atomic-swap
+ *    primitive) — a reader resolves the pointer and reads a consistent,
+ *    complete snapshot regardless of concurrent publishes;
+ *  - old snapshots stay readable until explicitly pruned, so long-running
+ *    readers finish on the version they started with (snapshot isolation,
+ *    the same contract table formats provide — this is the minimal
+ *    self-contained form of it).
+ *
+ * A crashed publish leaves an orphan `snapshot-*` directory and an untouched
+ * pointer: invisible to readers, reclaimed by `prune`. Re-running the
+ * publish is safe (fresh version number) — the idempotence story the README
+ * scopes to the engine.
+ */
+object SnapshotStore {
+
+  private val Pointer = "_latest"
+
+  private def fc(spark: SparkSession, root: String) =
+    org.apache.hadoop.fs.FileContext.getFileContext(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  private def fs(spark: SparkSession, root: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  /** Next version = 1 + max existing (crashed publishes included, so an
+    * orphan dir is never re-used). */
+  private def nextVersion(spark: SparkSession, root: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = fs(spark, root)
+    if (!f.exists(p)) 0L
+    else f.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("snapshot-") => n.stripPrefix("snapshot-").toLong }
+      .foldLeft(-1L)(math.max) + 1L
+  }
+
+  /** Write `df` as the table's next immutable snapshot and atomically
+    * repoint `_latest` at it. Returns the snapshot directory. */
+  def publish(df: DataFrame, root: String): String = {
+    val spark = df.sparkSession
+    val version = nextVersion(spark, root)
+    val dir = s"$root/snapshot-$version"
+    df.write.mode("error").parquet(dir) // never in place; fails on dir reuse
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/.$Pointer.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$root/$Pointer")
+    val f = fs(spark, root)
+    val out = f.create(tmp, true)
+    try out.write(s"snapshot-$version\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fc(spark, root).rename(tmp, dst,
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE) // the atomic swap
+    dir
+  }
+
+  /** The current snapshot directory, or None before the first publish. */
+  def latest(spark: SparkSession, root: String): Option[String] = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/$Pointer")
+    val f = fs(spark, root)
+    if (!f.exists(ptr)) None
+    else {
+      val in = f.open(ptr)
+      try {
+        val name = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        if (name.isEmpty) None else Some(s"$root/$name")
+      } finally in.close()
+    }
+  }
+
+  /** Read the table as of its current snapshot. The returned frame is bound
+    * to that snapshot directory: later publishes do not change what it
+    * reads (snapshot isolation for long-running readers). */
+  def readLatest(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root")))
+
+  /** Delete all but the newest `keep` snapshots, never the pointed-at one.
+    * Run from the writer once readers' grace period has passed. */
+  def prune(spark: SparkSession, root: String, keep: Int = 2): Seq[String] = {
+    require(keep >= 1, "keep at least one snapshot")
+    val f = fs(spark, root)
+    val current = latest(spark, root).map(_.split('/').last)
+    val all = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName)
+      .filter(_.startsWith("snapshot-"))
+      .sortBy(_.stripPrefix("snapshot-").toLong)
+    val victims = all.dropRight(keep).filterNot(current.contains)
+    victims.foreach { n =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true)
+    }
+    victims.toSeq
+  }
+}
