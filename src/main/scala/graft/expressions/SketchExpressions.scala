@@ -17,9 +17,13 @@ import org.apache.spark.sql.types._
  * (b) tier of the extension-point ladder (custom `Expression` before custom
  * physical operators).
  *
- * `CodegenFallback` is deliberate: the expression is evaluated once per row
- * and its internal loop is ordinary JVM code, so codegen would only inline
- * the call; the interpreted-lambda tax it replaces was per-element.
+ * `CodegenFallback` is deliberate for the ONCE-PER-ROW expressions (sketches,
+ * language ID, term counts): their internal loop is ordinary JVM code, so
+ * codegen would only inline the call; the interpreted-lambda tax they
+ * replace was per-element. The per-PAIR vector expressions
+ * ([[VectorDotExpr]], [[VectorNormExpr]]) are the exception — they sit
+ * inside join loops where the call count is |queries| × |corpus|, so they
+ * implement `doGenCode` and stay inside the surrounding WholeStageCodegen.
  */
 
 /**
@@ -357,9 +361,18 @@ private[expressions] object VectorElem {
  * double accumulator. Replaces `aggregate(zip_with(a, b, _*_), 0.0, _+_)`,
  * whose lambdas evaluate INTERPRETED per element (dim × 2 tree walks per
  * pair; the dominant cost of brute-force cosine top-k at bench scale).
+ *
+ * Unlike the per-row sketch expressions above, this one implements
+ * `doGenCode`: it is evaluated once per JOIN PAIR (queries × corpus inside
+ * the brute-force scan), so the boxed fallback call sits in the hottest
+ * multiplied position the engine has — the generated loop keeps the whole
+ * projection inside one WholeStageCodegen span with primitive locals
+ * (`VectorExprCodegenSpec` compiles it with codegen fallback disabled).
  */
 case class VectorDotExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
@@ -380,14 +393,32 @@ case class VectorDotExpr(left: Expression, right: Expression)
     java.lang.Double.valueOf(acc)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val getL = if (lFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getR = if (rFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $getL * $getR;
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
-/** L2 norm of a numeric-array vector (one pass, double accumulator). */
+/** L2 norm of a numeric-array vector (one pass, double accumulator; codegen
+  * like [[VectorDotExpr]] — it rides in the same hot projections). */
 case class VectorNormExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_norm"
@@ -406,6 +437,24 @@ case class VectorNormExpr(child: Expression)
     }
     java.lang.Double.valueOf(math.sqrt(acc))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $get;
+         |  $acc += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
