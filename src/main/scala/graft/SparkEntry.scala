@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_embedding_cosine_10x" -> (L.dedupEmbeddingCosine10x _),
     "samp_deterministic" -> (L.sampDeterministic _),
     "samp_shuffle_shards" -> (L.sampShuffleShards _),
+    "samp_mix_weighted" -> (L.sampMixWeighted _),
     "dedup_lines" -> (L.dedupLines _),
     "samp_stratified" -> (L.sampStratified _),
     "samp_split_counts" -> (L.sampSplitCounts _),

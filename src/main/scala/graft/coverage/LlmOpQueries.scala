@@ -720,6 +720,26 @@ object LlmOpQueries {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy("shard", "pos")
 
+  /** Deterministic weighted corpus mixing + shard order (oracle-checked
+    * row-for-row): three disjoint slices of `documents` act as the domains
+    * of a pretraining recipe — wiki ×2.3 (2 full epochs + a 0.3 partial),
+    * books ×1.0, web ×0.25 — mixed and given the reproducible shard-major
+    * training order in one wide exchange. The DuckDB oracle replays the
+    * epoch unions, the salted partial-epoch thresholds, and the shard/pos
+    * arithmetic ([[graft.operators.Mixing]]). */
+  def sampMixWeighted(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val wiki = d.filter(col("doc_id") % 3 === 0)
+    val books = d.filter(col("doc_id") % 3 === 1)
+    val web = d.filter(col("doc_id") % 3 === 2)
+    graft.operators.Mixing.mixShuffled(
+        Seq(("wiki", wiki, 2.3), ("books", books, 1.0), ("web", web, 0.25)),
+        "doc_id", seed = "mix0", nShards = 4)
+      .select(col("mix_source"), col("mix_epoch"), col("doc_id"),
+        col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   /**
    * Web-page-shaped corpus for the line-dedup query: 16 "pages" of 25
    * unique content lines each (docs 100..499, one line per document), every

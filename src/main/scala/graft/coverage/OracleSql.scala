@@ -133,6 +133,47 @@ object OracleSql {
         |            AS BIGINT) AS pos
         |FROM sharded ORDER BY shard, pos""".stripMargin,
 
+    // Replays Mixing.mixShuffled: per-source epoch unions (full copies +
+    // the md5-salted partial epoch; thresholds computed from the SAME
+    // doubles the operator uses, drift impossible), then the composite-key
+    // shard/pos arithmetic of samp_shuffle_shards. Spark's concat_ws renders
+    // mix_epoch as a bare integer string, mirrored with CAST AS VARCHAR.
+    "samp_mix_weighted" -> {
+      val mk = "mix_source || ':' || CAST(mix_epoch AS VARCHAR) || ':' || " +
+        "CAST(doc_id AS VARCHAR)"
+      s"""WITH mixed AS (
+         |  SELECT 'wiki' AS mix_source, 0 AS mix_epoch, doc_id
+         |    FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT 'wiki', 1, doc_id FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT 'wiki', 2, doc_id FROM documents WHERE doc_id % 3 = 0
+         |    AND substring(md5('wiki:2:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |        < ${thr(2.3 - 2)}
+         |  UNION ALL
+         |  SELECT 'books', 0, doc_id FROM documents WHERE doc_id % 3 = 1
+         |  UNION ALL
+         |  SELECT 'web', 0, doc_id FROM documents WHERE doc_id % 3 = 2
+         |    AND substring(md5('web:0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |        < ${thr(0.25)}),
+         |keyed AS (
+         |  SELECT mix_source, mix_epoch, doc_id, $mk AS mk,
+         |         md5('mix0:' || $mk) AS k
+         |  FROM mixed),
+         |sharded AS (
+         |  SELECT mix_source, mix_epoch, doc_id, mk, k,
+         |    CAST(((strpos('0123456789abcdef', substring(k,1,1))-1)*4096
+         |         +(strpos('0123456789abcdef', substring(k,2,1))-1)*256
+         |         +(strpos('0123456789abcdef', substring(k,3,1))-1)*16
+         |         +(strpos('0123456789abcdef', substring(k,4,1))-1)) % 4 AS BIGINT)
+         |      AS shard
+         |  FROM keyed)
+         |SELECT mix_source, mix_epoch, doc_id, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, mk)
+         |            AS BIGINT) AS pos
+         |FROM sharded ORDER BY shard, pos""".stripMargin
+    },
+
     // Replays LineDedup.dedupLines over the constructed 16-page corpus
     // (LlmOpQueries.linePages): pages = 25 own lines + 5 shared boilerplate
     // header lines; keep each distinct line's first (page_id, pos)

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic weighted corpus mixing — the domain-mixing step of a
+ * pretraining data recipe ("wiki ×2.3, books ×1.0, web ×0.25"): each source
+ * contributes `weight` epochs of itself to the training stream, where the
+ * fractional part is a reproducible subset, and the mixed stream then goes
+ * through [[Shuffling]] for a reproducible global order.
+ *
+ * Mechanism, per source of weight w:
+ *  - `floor(w)` FULL epochs — exact copies tagged `mix_epoch = 0..floor(w)-1`
+ *    (repeating data across epochs is the standard way to up-weight a small
+ *    high-quality corpus);
+ *  - one PARTIAL epoch (`mix_epoch = floor(w)`) holding a
+ *    [[Sampling.deterministicSample]] of fraction `w - floor(w)`, salted by
+ *    (source, epoch) so different sources' partial epochs and different
+ *    epochs of one source are uncorrelated.
+ *
+ * Everything is derived from md5 of stable keys: re-running the recipe, or
+ * appending to a source, never changes which existing rows are in the mix
+ * (append-stable, like every sampler here). The operator itself is NARROW —
+ * per-source filters and a union, no shuffle; the one wide exchange of the
+ * whole pipeline happens in [[Shuffling.shuffled]] on the composite
+ * (source, epoch, id) key.
+ */
+object Mixing {
+
+  /**
+   * Union of all sources' epochs: input columns plus (`mix_source`,
+   * `mix_epoch`). Sources must share a schema; `keyCol` is the per-source
+   * stable row key the fractional epochs sample on.
+   */
+  def mixCorpora(sources: Seq[(String, DataFrame, Double)],
+                 keyCol: String): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "source names must be unique")
+    sources.flatMap { case (name, df, w) =>
+      require(w > 0.0, s"source $name: weight must be positive, got $w")
+      val fullEpochs = math.floor(w).toInt
+      val frac = w - fullEpochs
+      val fulls = (0 until fullEpochs).map { e =>
+        df.withColumn("mix_source", lit(name)).withColumn("mix_epoch", lit(e))
+      }
+      val partial =
+        if (frac > 1e-12)
+          Some(Sampling
+            .deterministicSample(df, keyCol, frac, salt = s"$name:$fullEpochs:")
+            .withColumn("mix_source", lit(name))
+            .withColumn("mix_epoch", lit(fullEpochs)))
+        else None
+      fulls ++ partial
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * The full recipe: mix, then assign the reproducible shard-major training
+   * order over the composite key — one wide exchange total. Returns the
+   * mixed columns plus (`shard`, `pos`).
+   */
+  def mixShuffled(sources: Seq[(String, DataFrame, Double)], keyCol: String,
+                  seed: String, nShards: Int): DataFrame = {
+    val mixed = mixCorpora(sources, keyCol)
+      .withColumn("__mix_key",
+        concat_ws(":", col("mix_source"), col("mix_epoch"), col(keyCol)))
+    Shuffling.shuffled(mixed, "__mix_key", seed, nShards).drop("__mix_key")
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class MixingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def src(n: Int, tag: String) =
+    (0 until n).map(i => (i.toLong, s"$tag doc $i")).toDF("id", "text")
+
+  test("integer weights repeat the source exactly, tagged by epoch") {
+    val out = Mixing.mixCorpora(Seq(("a", src(100, "a"), 2.0)), "id")
+    assert(out.count() === 200)
+    assert(out.groupBy("mix_epoch").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap === Map(0 -> 100L, 1 -> 100L))
+    // epoch 1 is an exact copy of epoch 0's rows
+    val e0 = out.filter($"mix_epoch" === 0).select("id", "text")
+    val e1 = out.filter($"mix_epoch" === 1).select("id", "text")
+    assert(e0.exceptAll(e1).isEmpty && e1.exceptAll(e0).isEmpty)
+  }
+
+  test("fractional weight keeps roughly that share, in a dedicated partial epoch") {
+    val out = Mixing.mixCorpora(Seq(("a", src(1000, "a"), 1.4)), "id")
+    val byEpoch = out.groupBy("mix_epoch").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byEpoch(0) === 1000L)
+    assert(byEpoch(1) > 300L && byEpoch(1) < 500L, s"epoch 1 = ${byEpoch(1)}")
+    // and the partial epoch is the deterministic sample — rerun is identical
+    val again = Mixing.mixCorpora(Seq(("a", src(1000, "a"), 1.4)), "id")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("partial epochs of different sources/epochs are salted independently") {
+    // same underlying ids in two sources with the same weight: the sampled
+    // id sets must differ (no correlated selection across the recipe)
+    val out = Mixing.mixCorpora(
+      Seq(("a", src(1000, "a"), 0.3), ("b", src(1000, "b"), 0.3)), "id")
+    val aIds = out.filter($"mix_source" === "a").select("id").as[Long].collect().toSet
+    val bIds = out.filter($"mix_source" === "b").select("id").as[Long].collect().toSet
+    assert(aIds !== bIds)
+  }
+
+  test("append-stable: growing a source never changes which old rows are mixed") {
+    val before = Mixing.mixCorpora(Seq(("a", src(500, "a"), 0.5)), "id")
+      .select("id").as[Long].collect().toSet
+    val after = Mixing.mixCorpora(Seq(("a", src(1000, "a"), 0.5)), "id")
+      .filter($"id" < 500).select("id").as[Long].collect().toSet
+    assert(before === after)
+  }
+
+  test("mixShuffled assigns a complete (shard, pos) order over the mixture") {
+    val out = Mixing.mixShuffled(
+      Seq(("a", src(300, "a"), 1.5), ("b", src(300, "b"), 0.5)),
+      "id", seed = "e0", nShards = 4).cache()
+    val n = out.count()
+    assert(n > 520 && n < 680, s"n=$n") // 300 + ~150 + ~150
+    out.groupBy("shard")
+      .agg(count(lit(1)).as("cnt"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("lo") === 1L && r.getAs[Long]("hi") === r.getAs[Long]("cnt"))
+      }
+    // duplicate ids from full epochs land at distinct stream positions
+    assert(out.select("shard", "pos").distinct().count() === n)
+    out.unpersist()
+  }
+}
