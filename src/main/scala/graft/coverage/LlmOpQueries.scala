@@ -720,6 +720,17 @@ object LlmOpQueries {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy("shard", "pos")
 
+  /** Quality-filter cascade with reason codes (oracle-checked row-for-row):
+    * the Gopher/C4-style recipe — length gates, stopword floor, repetition
+    * ceiling, language allowlist — with the FIRST failing rule blamed per
+    * document. DuckDB replays every metric and the CASE chain, so the
+    * hash-compare certifies thresholds, rule order, and the metrics
+    * themselves ([[graft.text.FilterCascade]]). */
+  def tFilterCascade(s: SparkSession, dir: String): DataFrame =
+    graft.text.FilterCascade.gopherRecipe(docs(s, dir), "text")
+      .select(col("doc_id"), col("n_tokens"), col("kept"), col("drop_reason"))
+      .orderBy("doc_id")
+
   /** Deterministic weighted corpus mixing + shard order (oracle-checked
     * row-for-row): three disjoint slices of `documents` act as the domains
     * of a pretraining recipe — wiki ×2.3 (2 full epochs + a 0.3 partial),

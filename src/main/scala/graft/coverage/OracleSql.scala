@@ -21,6 +21,11 @@ object OracleSql {
       lang -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
     }
 
+  /** Stopword list as a DuckDB array literal, sourced from the same Seq the
+    * Spark expressions use — no drift between engine and oracle. */
+  private val stopwordsList: String =
+    graft.text.TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
   /** 3-token shingle set of a token-list column (mirror of
     * `Dedup.shinglesOfTokens`: positions 1..max(len-2,1), short docs fold
     * into one truncated shingle, distinct). */
@@ -615,6 +620,51 @@ object OracleSql {
         |             ('video', 333, 1983, 240))
         |  AS t(media_type, n, max_width, max_frames)
         |ORDER BY media_type""".stripMargin,
+
+    // Replays FilterCascade.gopherRecipe: every metric (token count,
+    // stopword ratio, dup-2-gram fraction, marker-vote language) plus the
+    // ordered CASE chain with the operator's default thresholds. Stopword
+    // and marker literals are sourced from the same Scala Seqs the engine
+    // uses (no drift).
+    "t_filter_cascade" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |              string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |            FROM documents),
+         |m AS (SELECT doc_id, len(toks) AS n_tokens,
+         |        CASE WHEN len(toks) > 0
+         |             THEN CAST(len(list_filter(toks, x -> list_contains(
+         |                    ${stopwordsList}, x))) AS DOUBLE) / len(toks)
+         |             ELSE 0.0 END AS stopword_ratio,
+         |        [array_to_string(toks[i:i+1], ' ')
+         |         FOR i IN range(1, greatest(len(toks)-1, 1) + 1)] AS grams,
+         |        len(list_filter(toks, x -> list_contains(${markers("en")}, x))) AS en,
+         |        len(list_filter(toks, x -> list_contains(${markers("es")}, x))) AS es,
+         |        len(list_filter(toks, x -> list_contains(${markers("fr")}, x))) AS fr,
+         |        len(list_filter(toks, x -> list_contains(${markers("de")}, x))) AS de,
+         |        len(list_filter(toks, x -> list_contains(${markers("zh")}, x))) AS zh
+         |      FROM tk),
+         |m2 AS (SELECT doc_id, n_tokens, stopword_ratio,
+         |         CASE WHEN len(grams) > 0
+         |              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+         |                   / len(grams)
+         |              ELSE 0.0 END AS dup_frac,
+         |         CASE WHEN greatest(en, es, fr, de, zh) = 0 THEN 'und'
+         |              WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+         |              WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+         |              WHEN es >= fr AND es >= zh THEN 'es'
+         |              WHEN fr >= zh THEN 'fr'
+         |              ELSE 'zh' END AS lang
+         |       FROM m),
+         |dec AS (SELECT doc_id, n_tokens,
+         |          CASE WHEN n_tokens < 15 THEN 'too_short'
+         |               WHEN n_tokens > 100000 THEN 'too_long'
+         |               WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+         |               WHEN dup_frac > 0.2 THEN 'repetitive'
+         |               WHEN lang <> 'en' THEN 'wrong_language'
+         |               ELSE NULL END AS drop_reason
+         |        FROM m2)
+         |SELECT doc_id, n_tokens, drop_reason IS NULL AS kept, drop_reason
+         |FROM dec ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint" ->
       s"""WITH tk AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
