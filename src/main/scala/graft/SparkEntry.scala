@@ -90,6 +90,7 @@ object SparkEntry {
     "samp_domain_cap" -> (L.sampDomainCap _),
     "t_repetition" -> (L.tRepetition _),
     "t_filter_cascade" -> (L.tFilterCascade _),
+    "t_lm_perplexity" -> (L.tLmPerplexity _),
     "t_decontaminate" -> (L.tDecontaminate _),
     "t_decontaminate_bloom" -> (L.tDecontaminateBloom _),
     "t_decontaminate_10x" -> (L.tDecontaminate10x _),

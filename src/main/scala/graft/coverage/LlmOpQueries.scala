@@ -3,7 +3,7 @@ package graft.coverage
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, SimilaritySearch}
-import graft.text.TextAnalysis
+import graft.text.{LmScore, TextAnalysis}
 import graft.multimodal.Multimodal
 
 /**
@@ -729,6 +729,19 @@ object LlmOpQueries {
   def tFilterCascade(s: SparkSession, dir: String): DataFrame =
     graft.text.FilterCascade.gopherRecipe(docs(s, dir), "text")
       .select(col("doc_id"), col("n_tokens"), col("kept"), col("drop_reason"))
+      .orderBy("doc_id")
+
+  /** Bigram-LM perplexity filter (oracle-checked row-for-row): the
+    * CCNet-style model-based quality step — train an add-k bigram LM on the
+    * in-domain slice (`lang = 'en'`), score every document by mean bigram
+    * NLL, keep the low-perplexity tail. DuckDB re-derives counts, smoothing,
+    * vocabulary size, and the decision, so the hash-compare certifies the
+    * whole model, not just the plumbing ([[graft.text.LmScore]]). The
+    * threshold 3.40 sits in the measured en-vs-rest gap (84% of en kept,
+    * ~18% of the other languages). */
+  def tLmPerplexity(s: SparkSession, dir: String): DataFrame =
+    LmScore.perplexityFilter(docs(s, dir), "doc_id", "text",
+        trainPred = col("lang") === "en", k = 0.5, maxNll = 3.40)
       .orderBy("doc_id")
 
   /** Deterministic weighted corpus mixing + shard order (oracle-checked

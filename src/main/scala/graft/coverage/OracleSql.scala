@@ -666,6 +666,41 @@ object OracleSql {
          |SELECT doc_id, n_tokens, drop_reason IS NULL AS kept, drop_reason
          |FROM dec ORDER BY doc_id""".stripMargin,
 
+    // Replays LmScore.perplexityFilter end-to-end: bigram + prefix counts
+    // over the lang='en' slice, vocabulary size, add-0.5 smoothing, mean NLL
+    // per doc, and the keep decision at 3.40. round(.,6) absorbs the
+    // last-ulp ln() and summation-order differences between engines; every
+    // meaningful digit of the score is still certified.
+    "t_lm_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |              string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |            FROM documents),
+         |bgd AS (SELECT doc_id,
+         |          unnest([{'w1': toks[i], 'w2': toks[i+1]}
+         |                  FOR i IN range(1, len(toks))]) AS bg
+         |        FROM tk),
+         |bge AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bgd),
+         |tr AS (SELECT doc_id FROM tk WHERE lang = 'en'),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bge
+         |        WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bge
+         |       WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t) AS v FROM
+         |        (SELECT unnest(toks) AS t FROM tk
+         |         WHERE doc_id IN (SELECT doc_id FROM tr))),
+         |sc AS (SELECT b.doc_id,
+         |         -ln((coalesce(c12.c12, 0) + 0.5) /
+         |             (coalesce(c1.c1, 0) + 0.5 * v.v)) AS nlp
+         |       FROM bge b LEFT JOIN c12 USING (w1, w2)
+         |       LEFT JOIN c1 USING (w1) CROSS JOIN v),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |          round(avg(nlp), 6) AS nll
+         |        FROM sc GROUP BY 1)
+         |SELECT tk.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams, agg.nll,
+         |       coalesce(agg.nll <= 3.40, false) AS kept
+         |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
+
     "t_fingerprint" ->
       s"""WITH tk AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
          |fp AS (SELECT list_min(${shingleSql("toks")}) AS fp FROM tk)

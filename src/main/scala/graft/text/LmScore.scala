@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Bigram language-model quality scoring — the CCNet/Gopher "perplexity
+ * filter": train a tiny n-gram LM on an in-domain slice (the reference
+ * recipe uses Wikipedia), score every candidate document by its average
+ * per-bigram negative log-likelihood, and keep the low-perplexity
+ * (in-domain-looking) tail. This is the classic model-based step of a
+ * pretraining curation pipeline, here with a closed-form model so every
+ * number is engine-replayable (the DuckDB oracle re-derives counts,
+ * smoothing, and scores exactly).
+ *
+ * Model: add-k–smoothed bigram ML estimate,
+ * `p(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)` where `c(w1·)` is the
+ * bigram-PREFIX count (so the conditional normalizes exactly) and `V` is
+ * the training vocabulary size. A document's score is the mean `-ln p`
+ * over its bigrams; lower = more in-domain.
+ *
+ * Scale shape (100 TB): both model tables are vocabulary-bounded (and
+ * prunable with `minCount`), so they BROADCAST; the candidate side is a
+ * narrow explode → two broadcast hash joins → partial aggregation that
+ * collapses back to one row per document before the only shuffle. No
+ * model state ever shuffles with the corpus.
+ */
+object LmScore {
+
+  /** Adjacent (w1, w2) pairs of a token array; empty for <2 tokens (unlike
+    * the repetition metrics' folded short-doc gram, a 1-token doc has no
+    * bigram evidence and must score null, not a truncated self-gram). */
+  def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+                    element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** Bigram counts `(w1, w2, c12)` of a training corpus, optionally pruned
+    * to `c12 >= minCount` (the Zipf-tail cut that bounds a real-corpus
+    * model; pruned mass falls through to the smoothing floor). */
+  def bigramCounts(corpus: DataFrame, textCol: String,
+                   minCount: Long = 1L): DataFrame =
+    corpus
+      .select(explode(bigramsOf(TextAnalysis.tokens(col(textCol)))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+
+  /** Bigram-prefix counts `(w1, c1)`: occurrences of w1 in positions
+    * 1..len-1, i.e. `sum(c12) GROUP BY w1` — the denominator that makes
+    * `p(·|w1)` a true conditional. */
+  def prefixCounts(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(explode(bigramsOf(TextAnalysis.tokens(col(textCol)))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"))
+      .agg(count(lit(1)).as("c1"))
+
+  /** 1-row frame with the training vocabulary size (distinct tokens, all
+    * positions) — cross-joined below so the scalar stays inside the plan
+    * instead of a driver collect. */
+  def vocabSize(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+
+  /**
+   * Score `docs` against an LM trained on `docs.filter(trainPred)`:
+   * per document, `n_bigrams` and `nll` = mean `-ln p(w2|w1)` rounded to
+   * `roundTo` decimals (ln is the one op whose last ulp may differ across
+   * engines; 6 dp keeps the oracle hash stable while preserving every
+   * meaningful digit), plus `kept = nll <= maxNll` — the filter decision.
+   * Documents with no bigrams score null and are never kept (no evidence).
+   *
+   * Output is `(idCol, n_bigrams, nll, kept)` — the aggregation key is the
+   * id ALONE so the one shuffle carries ids and partial sums, never text
+   * (the exploded bigram stream collapses map-side to one row per doc).
+   */
+  def perplexityFilter(docs: DataFrame, idCol: String, textCol: String,
+                       trainPred: Column,
+                       k: Double = 0.5, maxNll: Double = 6.0,
+                       minCount: Long = 1L, roundTo: Int = 6): DataFrame = {
+    val train = docs.filter(trainPred)
+    val bg = bigramCounts(train, textCol, minCount)
+    val pfx = prefixCounts(train, textCol)
+    val v = vocabSize(train, textCol)
+    val exploded = docs
+      .select(col(idCol),
+        explode_outer(bigramsOf(TextAnalysis.tokens(col(textCol)))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val scored = exploded
+      .join(broadcast(bg), Seq("w1", "w2"), "left")
+      .join(broadcast(pfx), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("__logp",
+        // the explode_outer placeholder row (null w1) must stay null here —
+        // coalescing its counts to 0 would hand a no-evidence doc the
+        // smoothed unseen-bigram score instead of a null
+        when(col("w1").isNotNull,
+          log((coalesce(col("c12"), lit(0L)) + lit(k)) /
+              (coalesce(col("c1"), lit(0L)) + lit(k) * col("v")))))
+    scored
+      .groupBy(col(idCol))
+      .agg(count(col("w1")).as("n_bigrams"),
+           round(avg(-col("__logp")), roundTo).as("nll"))
+      .withColumn("kept", coalesce(col("nll") <= maxNll, lit(false)))
+  }
+}

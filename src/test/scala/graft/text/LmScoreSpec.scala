@@ -1,0 +1,62 @@
+package graft.text
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class LmScoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bigramsOf: empty for <2 tokens, adjacent pairs otherwise") {
+    val out = Seq("", "one", "a b", "a b c").toDF("text")
+      .select(LmScore.bigramsOf(TextAnalysis.tokens(col("text"))).as("bg"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r =>
+        (r.getString(0), r.getString(1))))
+    // "" tokenizes to [""] (1 token) → no bigrams
+    assert(out(0).isEmpty && out(1).isEmpty)
+    assert(out(2) === Seq(("a", "b")))
+    assert(out(3) === Seq(("a", "b"), ("b", "c")))
+  }
+
+  test("add-k conditional normalizes to exactly 1 over the vocabulary") {
+    val train = Seq("a b a c a b", "b a").toDF("text")
+    val k = 0.5
+    val c12 = LmScore.bigramCounts(train, "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val c1 = LmScore.prefixCounts(train, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = LmScore.vocabSize(train, "text").collect().head.getLong(0)
+    val vocab = Seq("a", "b", "c")
+    assert(v === vocab.size)
+    // prefix counts are exactly the row sums of the bigram table
+    for (w1 <- vocab)
+      assert(c1.getOrElse(w1, 0L) ===
+        vocab.map(w2 => c12.getOrElse((w1, w2), 0L)).sum)
+    // sum_{w2 in vocab} p(w2|w1) = 1 for every prefix, seen or not
+    for (w1 <- vocab :+ "unseen") {
+      val den = c1.getOrElse(w1, 0L) + k * v
+      val sum = vocab.map(w2 => (c12.getOrElse((w1, w2), 0L) + k) / den).sum
+      assert(math.abs(sum - 1.0) < 1e-12, s"prefix $w1 sums to $sum")
+    }
+  }
+
+  test("in-domain docs score lower NLL than out-of-domain; no-evidence docs null") {
+    val docs = (
+      (1L to 20L).map(i => (i, "train", "the cat sat on the mat and the dog ran")) ++ Seq(
+        (21L, "eval", "the cat sat on the mat"),          // in-domain
+        (22L, "eval", "zq vw xk pj qr zz"),               // out-of-domain
+        (23L, "eval", "solo"))                            // 1 token: no evidence
+      ).toDF("id", "split", "text")
+    val out = LmScore.perplexityFilter(docs, "id", "text",
+        // unseen-prefix NLL is only ln(V·... ) ≈ ln 8 ≈ 2.08 with this tiny
+        // vocabulary, so the keep threshold sits well below it
+        trainPred = col("split") === "train", maxNll = 1.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))).toMap
+    val (nIn, nllIn, keptIn) = out(21L)
+    val (nOut, nllOut, keptOut) = out(22L)
+    assert(nIn === 5L && nOut === 5L)
+    assert(nllIn.get < nllOut.get)
+    assert(keptIn && !keptOut)
+    assert(out(23L) === ((0L, None, false)))
+  }
+}
