@@ -91,6 +91,7 @@ object SparkEntry {
     "t_repetition" -> (L.tRepetition _),
     "t_filter_cascade" -> (L.tFilterCascade _),
     "t_lm_perplexity" -> (L.tLmPerplexity _),
+    "t_html_extract" -> (L.tHtmlExtract _),
     "t_decontaminate" -> (L.tDecontaminate _),
     "t_decontaminate_bloom" -> (L.tDecontaminateBloom _),
     "t_decontaminate_10x" -> (L.tDecontaminate10x _),

@@ -3,7 +3,7 @@ package graft.coverage
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, SimilaritySearch}
-import graft.text.{LmScore, TextAnalysis}
+import graft.text.{HtmlExtract, LmScore, TextAnalysis}
 import graft.multimodal.Multimodal
 
 /**
@@ -729,6 +729,29 @@ object LlmOpQueries {
   def tFilterCascade(s: SparkSession, dir: String): DataFrame =
     graft.text.FilterCascade.gopherRecipe(docs(s, dir), "text")
       .select(col("doc_id"), col("n_tokens"), col("kept"), col("drop_reason"))
+      .orderBy("doc_id")
+
+  /** HTML → text extraction (oracle-checked row-for-row): every document is
+    * deterministically wrapped as a crawled page (head/style boilerplate,
+    * attributes, a script whose body contains fake markup, entity-encoded
+    * spans), then stripped by the regex chain. DuckDB replays the identical
+    * construction and chain, so the hash certifies pattern set, order, and
+    * entity-decode sequencing ([[graft.text.HtmlExtract]]). */
+  def tHtmlExtract(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>body { color: #333; }</style></head>" +
+          "<body><!-- generated --><h1>Title &amp; Header</h1><p class=\"main\">"),
+        col("text"),
+        lit("</p><script type=\"text/javascript\">var n = 1 < 2; " +
+          "log('<p>not text</p>')</script>" +
+          "<p>Tom &amp; Jerry say &quot;hi&quot;&nbsp;&#39;now&#39;</p>" +
+          "</body></html>")).as("html"))
+      .select(col("doc_id"),
+        HtmlExtract.extractText(col("html")).as("clean_text"),
+        length(col("html")).as("n_chars_html"))
+      .withColumn("n_chars_clean", length(col("clean_text")))
       .orderBy("doc_id")
 
   /** Bigram-LM perplexity filter (oracle-checked row-for-row): the

@@ -26,6 +26,22 @@ object OracleSql {
   private val stopwordsList: String =
     graft.text.TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** SQL single-quoted string literal (embedded quotes doubled). */
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The HtmlExtract regex/replace chain rendered as DuckDB SQL over a
+    * column expression — built from the SAME pattern Seqs the Spark operator
+    * folds over, so pattern set and order cannot drift. */
+  private def htmlStripSql(in: String): String = {
+    val blocks = graft.text.HtmlExtract.blockPatterns
+      .foldLeft(in)((a, p) => s"regexp_replace($a, ${sq(p)}, ' ', 'g')")
+    val tags = s"regexp_replace($blocks, '<[^>]+>', ' ', 'g')"
+    val decoded = graft.text.HtmlExtract.entityDecodes.foldLeft(tags) {
+      case (a, (e, r)) => s"replace($a, ${sq(e)}, ${sq(r)})"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   /** 3-token shingle set of a token-list column (mirror of
     * `Dedup.shinglesOfTokens`: positions 1..max(len-2,1), short docs fold
     * into one truncated shingle, distinct). */
@@ -665,6 +681,24 @@ object OracleSql {
          |        FROM m2)
          |SELECT doc_id, n_tokens, drop_reason IS NULL AS kept, drop_reason
          |FROM dec ORDER BY doc_id""".stripMargin,
+
+    // Replays tHtmlExtract: identical page construction around each
+    // document, then the HtmlExtract chain (blocks → tags → entities →
+    // whitespace) rendered from the operator's own pattern Seqs.
+    "t_html_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         |  '</title><style>body { color: #333; }</style></head>' ||
+         |  '<body><!-- generated --><h1>Title &amp; Header</h1><p class="main">' ||
+         |  text ||
+         |  '</p><script type="text/javascript">var n = 1 < 2; ' ||
+         |  'log(''<p>not text</p>'')</script>' ||
+         |  '<p>Tom &amp; Jerry say &quot;hi&quot;&nbsp;&#39;now&#39;</p>' ||
+         |  '</body></html>' AS html FROM documents),
+         |c AS (SELECT doc_id, html, ${htmlStripSql("html")} AS clean_text FROM h)
+         |SELECT doc_id, clean_text, length(html) AS n_chars_html,
+         |       length(clean_text) AS n_chars_clean
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // Replays LmScore.perplexityFilter end-to-end: bigram + prefix counts
     // over the lang='en' slice, vocabulary size, add-0.5 smoothing, mean NLL
