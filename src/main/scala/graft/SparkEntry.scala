@@ -92,6 +92,7 @@ object SparkEntry {
     "t_filter_cascade" -> (L.tFilterCascade _),
     "t_lm_perplexity" -> (L.tLmPerplexity _),
     "t_html_extract" -> (L.tHtmlExtract _),
+    "o_zorder_key" -> (Q.oZorderKey _),
     "t_decontaminate" -> (L.tDecontaminate _),
     "t_decontaminate_bloom" -> (L.tDecontaminateBloom _),
     "t_decontaminate_10x" -> (L.tDecontaminate10x _),

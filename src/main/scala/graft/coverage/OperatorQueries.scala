@@ -540,6 +540,24 @@ object OperatorQueries {
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       .limit(20)
 
+  /** Z-order (Morton) scan key over two independent event dimensions
+    * (oracle-checked row-for-row): the 16-bit grid cells and their bit
+    * interleave, exactly as `ZOrder.writeZOrdered` lays files out. DuckDB
+    * replays the clamp/scale arithmetic and the 32-term shift/mask tree
+    * (SQL generated from the same bit positions), so the hash certifies the
+    * whole key derivation; the skipping payoff itself is machine-checked in
+    * `ZOrderSpec`. */
+  def oZorderKey(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        graft.layout.ZOrder.scaleTo16Bit(col("user_id"), 0.0, 2048.0)
+          .as("cell_user"),
+        graft.layout.ZOrder.scaleTo16Bit(col("value"), 0.0, 1000.0)
+          .as("cell_value"))
+      .withColumn("z",
+        graft.layout.ZOrder.interleave16(col("cell_user"), col("cell_value")))
+      .orderBy("event_id")
+
   // ─────────────────────────── §2.8 scalar functions ───────────────────────
 
   /** dbt surrogate key: md5(coalesce(cast(x as string),'…null…')), multi-col with '-'. */

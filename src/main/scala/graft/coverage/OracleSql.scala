@@ -29,6 +29,21 @@ object OracleSql {
   /** SQL single-quoted string literal (embedded quotes doubled). */
   private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** ZOrder.scaleTo16Bit as DuckDB SQL: clamp + floor onto the 16-bit grid
+    * with the identical double-arithmetic sequence. */
+  private def scale16Sql(c: String, min: Double, max: Double): String =
+    s"least(65535, greatest(0, CAST(floor((CAST($c AS DOUBLE) - $min) / " +
+      s"${max - min} * 65536.0) AS INTEGER)))"
+
+  /** ZOrder.interleave16 as DuckDB SQL — generated from the same bit
+    * positions the Spark expression folds over (BIGINT: bit 31 is live). */
+  private def mortonSql(a: String, b: String): String = {
+    val (al, bl) = (s"CAST($a AS BIGINT)", s"CAST($b AS BIGINT)")
+    (0 until 16).map { i =>
+      s"((($al >> $i) & 1) << ${2 * i + 1}) | ((($bl >> $i) & 1) << ${2 * i})"
+    }.mkString(" | ")
+  }
+
   /** The HtmlExtract regex/replace chain rendered as DuckDB SQL over a
     * column expression — built from the SAME pattern Seqs the Spark operator
     * folds over, so pattern set and order cannot drift. */
@@ -932,6 +947,18 @@ object OracleSql {
     "o3_top_k" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    // Replays oZorderKey: 16-bit grid cells (same clamp/scale double
+    // arithmetic and bounds) + the Morton interleave generated from the
+    // same bit positions as the Spark expression tree.
+    "o_zorder_key" ->
+      s"""WITH c AS (SELECT event_id,
+         |  ${scale16Sql("user_id", 0.0, 2048.0)} AS cell_user,
+         |  ${scale16Sql("value", 0.0, 1000.0)} AS cell_value
+         |FROM events)
+         |SELECT event_id, cell_user, cell_value,
+         |  ${mortonSql("cell_user", "cell_value")} AS z
+         |FROM c ORDER BY event_id""".stripMargin,
 
     "f_md5_surrogate_key" ->
       """SELECT o_orderkey,
