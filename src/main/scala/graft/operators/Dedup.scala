@@ -31,7 +31,10 @@ object Dedup {
   private val persistedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private def persistTracked(df: DataFrame): DataFrame = {
+  // package-visible: other multi-consumer derived frames (e.g. the LM-score
+  // model tables) reuse the same tracking so the bench's per-pass cache
+  // reset and session release cover them too
+  private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     persistedFrames.add(p)
     p

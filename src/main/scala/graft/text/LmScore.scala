@@ -82,8 +82,15 @@ object LmScore {
                        k: Double = 0.5, maxNll: Double = 6.0,
                        minCount: Long = 1L, roundTo: Int = 6): DataFrame = {
     val train = docs.filter(trainPred)
-    val bg = bigramCounts(train, textCol, minCount)
-    val pfx = prefixCounts(train, textCol)
+    // ONE corpus explode: the raw bigram-count table feeds both model tables
+    // (persisted+tracked — vocab²-bounded, multi-consumer), and prefix
+    // counts are its row sums (summed BEFORE minCount pruning: the pruned
+    // tail mass must stay in the smoothing denominator), aggregated over the
+    // tiny count table rather than a second pass over the corpus
+    val bgRaw = graft.operators.Dedup.persistTracked(
+      bigramCounts(train, textCol, minCount = 1L))
+    val bg = bgRaw.filter(col("c12") >= minCount)
+    val pfx = bgRaw.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val v = vocabSize(train, textCol)
     val exploded = docs
       .select(col(idCol),
