@@ -164,6 +164,43 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Join"), "tf-idf must not plan a join: " + p)
   }
 
+  test("filter cascade decides in one narrow pass (no exchange, no join)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.text.FilterCascade.gopherRecipe(docs, "text"))
+    assert(!p.contains("Exchange"), "the decision itself must not shuffle: " + p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("LM scoring: model tables broadcast, one exchange carries (id, partial sums)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val scored = graft.text.LmScore.perplexityFilter(
+      docs, "doc_id", "text", org.apache.spark.sql.functions.col("lang") === "en")
+    val p = plan(scored)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must never sort-merge against the model: " + p)
+    assert(p.contains("partial_"), "doc aggregation lost map-side combine: " + p)
+    // exchanges: the two model-count aggs + vocab count-distinct (bounded
+    // model side) and the per-doc agg; the SCORE stream itself shuffles only
+    // collapsed (doc_id, partial sums) rows
+    assert(!p.contains("CartesianProduct"),
+      "vocab scalar must broadcast-nested-loop (1 row), not cartesian: " + p)
+  }
+
+  test("HTML extraction and z-order keys are shuffle-free narrow projections") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ph = plan(docs.select(
+      graft.text.HtmlExtract.extractText(org.apache.spark.sql.functions.col("text"))))
+    assert(!ph.contains("Exchange"), "html strip must run at scan speed: " + ph)
+    val pz = plan(docs.select(graft.layout.ZOrder.zValue(
+      org.apache.spark.sql.functions.col("doc_id"), 0, 1e6,
+      org.apache.spark.sql.functions.col("n_chars"), 0, 1e4)))
+    assert(!pz.contains("Exchange"), "morton key must be narrow: " + pz)
+    // "*(1)" is executedPlan.toString's WholeStageCodegen span marker: the
+    // whole 32-term shift/mask tree compiles into one codegen'd projection
+    assert(pz.contains("*(1) Project"), "morton projection fell out of codegen: " + pz)
+  }
+
   test("per-domain cap shuffles once on the group key") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.Sampling.capPerGroup(docs, "doc_id", "source", 5))
