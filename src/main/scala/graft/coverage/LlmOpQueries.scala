@@ -731,6 +731,17 @@ object LlmOpQueries {
       .select(col("doc_id"), col("n_tokens"), col("kept"), col("drop_reason"))
       .orderBy("doc_id")
 
+  /** JSONL interchange losslessness (oracle-checked row-for-row): the
+    * serialize→parse identity over the full documents schema. The oracle is
+    * simply the projected base table — a hash-match PROVES the JSONL
+    * encoding loses nothing on this corpus; the gzipped file sink/source
+    * and the pathological-string cases are spec-driven
+    * ([[graft.sources.JsonlCorpus]], `JsonlCorpusSpec`). */
+  def sJsonlRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.JsonlCorpus.roundTrip(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy("doc_id")
+
   /** HTML → text extraction (oracle-checked row-for-row): every document is
     * deterministically wrapped as a crawled page (head/style boilerplate,
     * attributes, a script whose body contains fake markup, entity-encoded

@@ -697,6 +697,13 @@ object OracleSql {
          |SELECT doc_id, n_tokens, drop_reason IS NULL AS kept, drop_reason
          |FROM dec ORDER BY doc_id""".stripMargin,
 
+    // sJsonlRoundtrip's contract is IDENTITY: the oracle is the projected
+    // base table itself, so a hash-match proves the serialize→parse cycle
+    // is lossless for this schema.
+    "s_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Replays tHtmlExtract: identical page construction around each
     // document, then the HtmlExtract chain (blocks → tags → entities →
     // whitespace) rendered from the operator's own pattern Seqs.
