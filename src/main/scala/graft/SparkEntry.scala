@@ -91,6 +91,7 @@ object SparkEntry {
     "t_repetition" -> (L.tRepetition _),
     "t_filter_cascade" -> (L.tFilterCascade _),
     "t_lm_perplexity" -> (L.tLmPerplexity _),
+    "t_lm_perplexity_10x" -> (L.tLmPerplexity10x _),
     "t_html_extract" -> (L.tHtmlExtract _),
     "o_zorder_key" -> (Q.oZorderKey _),
     "s_jsonl_roundtrip" -> (L.sJsonlRoundtrip _),

@@ -207,10 +207,11 @@ object LlmOpQueries {
     * input for the text-operator scaling queries). */
   private def docs10x(s: SparkSession, dir: String): DataFrame =
     matInput(s, dir, "docs10x") {
-      val d = docs(s, dir).select("doc_id", "text")
+      val d = docs(s, dir).select("doc_id", "text", "lang")
       (0 until 10).map { k =>
         d.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-          regexp_replace(col("text"), "(\\S+)", s"$$1_r$k").as("text"))
+          regexp_replace(col("text"), "(\\S+)", s"$$1_r$k").as("text"),
+          col("lang")) // carried for the LM 10× train slice; inert elsewhere
       }.reduce(_ unionByName _)
         .repartition(s.sessionState.conf.numShufflePartitions)
     }
@@ -777,6 +778,22 @@ object LlmOpQueries {
     LmScore.perplexityFilter(docs(s, dir), "doc_id", "text",
         trainPred = col("lang") === "en", k = 0.5, maxNll = 3.40)
       .orderBy("doc_id")
+
+  /** LM scoring at 10× (scaling evidence, rows-only, memoized): same model
+    * + decision over the replicated corpus. The replicas are vocabulary-
+    * disjoint but structurally isomorphic, so the keep count MUST be
+    * uniform across them — `kept_uniform` embeds that structural self-check
+    * in the row (a partition-skew or model-contamination bug would break
+    * divisibility by 10). Near-linear wall-clock vs [[tLmPerplexity]] is
+    * the claim: model tables grow with vocabulary (broadcast-bounded), the
+    * score stream stays one narrow explode + broadcast joins. */
+  def tLmPerplexity10x(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((s, dir, "__q_lm_10x"),
+      LmScore.perplexityFilter(docs10x(s, dir), "doc_id", "text",
+          trainPred = col("lang") === "en", k = 0.5, maxNll = 3.40)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("kept_uniform", col("n_kept") % 10 === 0))
 
   /** Deterministic weighted corpus mixing + shard order (oracle-checked
     * row-for-row): three disjoint slices of `documents` act as the domains
