@@ -732,6 +732,33 @@ object LlmOpQueries {
       .select(col("doc_id"), col("n_tokens"), col("kept"), col("drop_reason"))
       .orderBy("doc_id")
 
+  /** Deterministic "dirty" suffix for the normalization query: decomposed
+    * accent, curly quotes, en/em dash, zero-width, BOM, a bell control, and
+    * an NBSP — one instance of every pathology the chain handles. Built
+    * from code points (shared with the oracle, embedded as real characters
+    * in its SQL literal). */
+  private[coverage] val dirtySuffix: String = {
+    def cp(c: Int) = new String(Character.toChars(c))
+    " cafe" + cp(0x0301) + " " + cp(0x201C) + "quoted" + cp(0x201D) +
+      " " + cp(0x2013) + "n" + cp(0x2014) + "m zero" + cp(0x200B) + "width" +
+      cp(0xFEFF) + " bell" + cp(0x0007) + "end" + cp(0x00A0) + "nb"
+  }
+
+  /** Unicode normalization (oracle-checked row-for-row): every document gets
+    * the [[dirtySuffix]] appended, then the full chain — NFC compose,
+    * zero-width removal, control strip, typographic ASCII folds. DuckDB
+    * replays it with `nfc_normalize` + the same replace chains (generated
+    * from the operator's own Seqs), so form, order, and character tables
+    * are all hash-certified ([[graft.text.TextNormalize]]). */
+  def tUnicodeNormalize(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), concat(col("text"), lit(dirtySuffix)).as("dirty"))
+      .select(col("doc_id"),
+        graft.text.TextNormalize.normalizeText(col("dirty")).as("clean_text"),
+        length(col("dirty")).as("n_chars_dirty"))
+      .withColumn("n_chars_clean", length(col("clean_text")))
+      .orderBy("doc_id")
+
   /** JSONL interchange losslessness (oracle-checked row-for-row): the
     * serialize→parse identity over the full documents schema. The oracle is
     * simply the projected base table — a hash-match PROVES the JSONL

@@ -44,6 +44,18 @@ object OracleSql {
     }.mkString(" | ")
   }
 
+  /** The TextNormalize chain as DuckDB SQL — `nfc_normalize` + the same
+    * zero-width/control/fold chains, generated from the operator's Seqs. */
+  private def textNormalizeSql(in: String): String = {
+    val nfc = s"nfc_normalize($in)"
+    val noZw = graft.text.TextNormalize.zeroWidth
+      .foldLeft(nfc)((a, z) => s"replace($a, ${sq(z)}, '')")
+    val noCtl = s"regexp_replace($noZw, ${sq(graft.text.TextNormalize.controlPattern)}, '', 'g')"
+    graft.text.TextNormalize.asciiFolds.foldLeft(noCtl) {
+      case (a, (from, to)) => s"replace($a, ${sq(from)}, ${sq(to)})"
+    }
+  }
+
   /** The HtmlExtract regex/replace chain rendered as DuckDB SQL over a
     * column expression — built from the SAME pattern Seqs the Spark operator
     * folds over, so pattern set and order cannot drift. */
@@ -696,6 +708,17 @@ object OracleSql {
          |        FROM m2)
          |SELECT doc_id, n_tokens, drop_reason IS NULL AS kept, drop_reason
          |FROM dec ORDER BY doc_id""".stripMargin,
+
+    // Replays tUnicodeNormalize: the same dirty suffix (shared constant,
+    // embedded as real characters) + the generated normalization chain.
+    "t_unicode_normalize" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  text || ${sq(LlmOpQueries.dirtySuffix)} AS dirty FROM documents),
+         |c AS (SELECT doc_id, dirty,
+         |  ${textNormalizeSql("dirty")} AS clean_text FROM d)
+         |SELECT doc_id, clean_text, length(dirty) AS n_chars_dirty,
+         |       length(clean_text) AS n_chars_clean
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // sJsonlRoundtrip's contract is IDENTITY: the oracle is the projected
     // base table itself, so a hash-match proves the serialize→parse cycle
