@@ -822,6 +822,29 @@ object LlmOpQueries {
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
         .withColumn("kept_uniform", col("n_kept") % 10 === 0))
 
+  /** END-TO-END curation pipeline (oracle-checked row-for-row): the
+    * operators composed the way a production corpus release runs them —
+    * heuristic filter cascade → LM perplexity filter (trained on the
+    * cascade's own survivors) → exact dedup → reproducible shard order.
+    * DuckDB replays all four stages in one WITH-chain, so the hash
+    * certifies not just each operator but their COMPOSITION: stage
+    * boundaries, survivor sets, and the final training order. */
+  def tCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val kept1 = graft.text.FilterCascade.gopherRecipe(d, "text")
+      .filter(col("kept"))
+      .select("doc_id", "text")
+    val lmKeep = LmScore.perplexityFilter(kept1, "doc_id", "text",
+        trainPred = lit(true), k = 0.5, maxNll = 3.40)
+      .filter(col("kept")).select("doc_id")
+    val kept2 = kept1.join(lmKeep, Seq("doc_id"), "left_semi")
+    val deduped = Dedup.exactDedup(kept2, "doc_id", "text")
+    graft.operators.Shuffling.shuffled(deduped, "doc_id",
+        seed = "cur1", nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   /** Deterministic weighted corpus mixing + shard order (oracle-checked
     * row-for-row): three disjoint slices of `documents` act as the domains
     * of a pretraining recipe — wiki ×2.3 (2 full epochs + a 0.3 partial),

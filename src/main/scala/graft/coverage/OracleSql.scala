@@ -745,6 +745,86 @@ object OracleSql {
          |       length(clean_text) AS n_chars_clean
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // Replays tCurationPipeline: the four stages composed in one WITH-chain
+    // — the cascade CTEs (same expressions as t_filter_cascade), the LM
+    // CTEs over the cascade survivors (train = all survivors, same
+    // smoothing as t_lm_perplexity), exact dedup (keep lowest id per
+    // md5(text)), and the shard/pos digit arithmetic of
+    // samp_shuffle_shards with seed 'cur1'.
+    "t_curation_pipeline" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |              string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |            FROM documents),
+         |m AS (SELECT doc_id, len(toks) AS n_tokens,
+         |        CASE WHEN len(toks) > 0
+         |             THEN CAST(len(list_filter(toks, x -> list_contains(
+         |                    ${stopwordsList}, x))) AS DOUBLE) / len(toks)
+         |             ELSE 0.0 END AS stopword_ratio,
+         |        [array_to_string(toks[i:i+1], ' ')
+         |         FOR i IN range(1, greatest(len(toks)-1, 1) + 1)] AS grams,
+         |        len(list_filter(toks, x -> list_contains(${markers("en")}, x))) AS en,
+         |        len(list_filter(toks, x -> list_contains(${markers("es")}, x))) AS es,
+         |        len(list_filter(toks, x -> list_contains(${markers("fr")}, x))) AS fr,
+         |        len(list_filter(toks, x -> list_contains(${markers("de")}, x))) AS de,
+         |        len(list_filter(toks, x -> list_contains(${markers("zh")}, x))) AS zh
+         |      FROM tk),
+         |m2 AS (SELECT doc_id, n_tokens, stopword_ratio,
+         |         CASE WHEN len(grams) > 0
+         |              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+         |                   / len(grams)
+         |              ELSE 0.0 END AS dup_frac,
+         |         CASE WHEN greatest(en, es, fr, de, zh) = 0 THEN 'und'
+         |              WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+         |              WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+         |              WHEN es >= fr AND es >= zh THEN 'es'
+         |              WHEN fr >= zh THEN 'fr'
+         |              ELSE 'zh' END AS lang
+         |       FROM m),
+         |k1 AS (SELECT d.doc_id, d.text
+         |       FROM documents d JOIN m2 ON d.doc_id = m2.doc_id
+         |       WHERE NOT (m2.n_tokens < 15 OR m2.n_tokens > 100000
+         |              OR m2.stopword_ratio < 0.01 OR m2.dup_frac > 0.2
+         |              OR m2.lang <> 'en')),
+         |tk1 AS (SELECT doc_id,
+         |          string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |        FROM k1),
+         |bge AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM
+         |          (SELECT doc_id,
+         |             unnest([{'w1': toks[i], 'w2': toks[i+1]}
+         |                     FOR i IN range(1, len(toks))]) AS bg
+         |           FROM tk1)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bge GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bge GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t) AS v FROM
+         |        (SELECT unnest(toks) AS t FROM tk1)),
+         |agg AS (SELECT b.doc_id, round(avg(
+         |          -ln((coalesce(c12.c12, 0) + 0.5) /
+         |              (coalesce(c1.c1, 0) + 0.5 * v.v))), 6) AS nll
+         |        FROM bge b LEFT JOIN c12 USING (w1, w2)
+         |        LEFT JOIN c1 USING (w1) CROSS JOIN v GROUP BY 1),
+         |k2 AS (SELECT k1.doc_id, k1.text
+         |       FROM k1 JOIN agg ON k1.doc_id = agg.doc_id
+         |       WHERE agg.nll <= 3.40),
+         |dd AS (SELECT doc_id FROM
+         |         (SELECT doc_id, row_number() OVER
+         |            (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |          FROM k2)
+         |       WHERE rn = 1),
+         |keyed AS (SELECT doc_id,
+         |            md5('cur1:' || CAST(doc_id AS VARCHAR)) AS k
+         |          FROM dd),
+         |sharded AS (SELECT doc_id, k,
+         |  CAST(((strpos('0123456789abcdef', substring(k,1,1))-1)*4096
+         |       +(strpos('0123456789abcdef', substring(k,2,1))-1)*256
+         |       +(strpos('0123456789abcdef', substring(k,3,1))-1)*16
+         |       +(strpos('0123456789abcdef', substring(k,4,1))-1)) % 8 AS BIGINT)
+         |    AS shard
+         |  FROM keyed)
+         |SELECT doc_id, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+         |            AS BIGINT) AS pos
+         |FROM sharded ORDER BY shard, pos""".stripMargin,
+
     // Replays LmScore.perplexityFilter end-to-end: bigram + prefix counts
     // over the lang='en' slice, vocabulary size, add-0.5 smoothing, mean NLL
     // per doc, and the keep decision at 3.40. round(.,6) absorbs the
