@@ -609,6 +609,22 @@ object SketchExpressions {
     },
     "normalize_vector" -> { exprs =>
       arity("normalize_vector", 1)(exprs); NormalizeVectorExpr(exprs.head)
+    },
+    "unicode_normalize" -> { exprs =>
+      if (exprs.length < 1 || exprs.length > 2)
+        throw new IllegalArgumentException(
+          s"unicode_normalize takes 1-2 arguments, got ${exprs.length}")
+      val form = if (exprs.length == 1) "NFC" else {
+        if (!exprs(1).foldable)
+          throw new IllegalArgumentException(
+            "unicode_normalize: form must be a literal string")
+        exprs(1).eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize: form must be a string literal, got $other")
+        }
+      }
+      UnicodeNormalizeExpr(exprs.head, form)
     })
 
   /** SQL registration on an existing session:

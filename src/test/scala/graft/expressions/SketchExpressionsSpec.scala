@@ -68,6 +68,20 @@ class SketchExpressionsSpec extends SparkSuite {
     assert(r.getSeq[Double](6) == Seq(0.6, 0.8))
   }
 
+  test("unicode_normalize is SQL-callable with default and explicit forms") {
+    SketchExpressions.register(spark)
+    val acute = new String(Character.toChars(0x0301))
+    val composed = "caf" + new String(Character.toChars(0x00E9))
+    val r = spark.sql(
+      s"SELECT unicode_normalize('cafe$acute') AS nfc, " +
+        s"unicode_normalize('$composed', 'NFD') AS nfd").head()
+    assert(r.getString(0) === composed)
+    assert(r.getString(1) === "cafe" + acute)
+    val bad = intercept[Exception](
+      spark.sql("SELECT unicode_normalize('x', id) FROM range(1)").collect())
+    assert(bad.getMessage.contains("literal"), bad.getMessage)
+  }
+
   test("term_counts: one-pass tf map matches explode+groupBy semantics") {
     val s = spark
     import s.implicits._
