@@ -831,9 +831,14 @@ object LlmOpQueries {
     * boundaries, survivor sets, and the final training order. */
   def tCurationPipeline(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val kept1 = graft.text.FilterCascade.gopherRecipe(d, "text")
-      .filter(col("kept"))
-      .select("doc_id", "text")
+    // the cascade output feeds FOUR consumers (model build, vocab count,
+    // score stream, survivor join) — persist it tracked, like the sketch
+    // frames, so one execution evaluates the cascade once and the bench's
+    // per-pass reset still recomputes it honestly every pass
+    val kept1 = graft.operators.Dedup.persistTracked(
+      graft.text.FilterCascade.gopherRecipe(d, "text")
+        .filter(col("kept"))
+        .select("doc_id", "text"))
     val lmKeep = LmScore.perplexityFilter(kept1, "doc_id", "text",
         trainPred = lit(true), k = 0.5, maxNll = 3.40)
       .filter(col("kept")).select("doc_id")
