@@ -35,15 +35,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Shuffle width: measured optimum at bench scale (sf0.1, persisted
-    // session tables, 32 cpus) is 6-8 — the full-width sweep gave oracle
-    // subset totals of 8.7 s (w=4), 8.4 (w=6), 8.5 (w=8), 10.5 (w=16),
-    // 16.1 (w=32): with megabyte partitions the per-task launch cost under
-    // host contention dominates any parallelism a wider shuffle buys.
-    // Round 1's regression was the UNSIZED scan (one-partition tables), not
-    // the narrow shuffle. Production sessions size this to cluster cores.
+    // Shuffle width: re-swept late round 4 after the multi-second text
+    // queries joined the set. The original sweep over sub-second queries
+    // favored 6-8 (totals 8.7/8.4/8.5/10.5/16.1 s at w=4/6/8/16/32 — task
+    // launch cost dominates megabyte partitions), but the LM/curation
+    // queries explode ~3M rows and were width-starved at 8: w=8 vs w=16
+    // full-set totals 44.4 vs 33.7 s — the small queries pay ≤ 0.1 s each
+    // while t_lm_perplexity_10x halves (15.5 → 7.6) and t_curation_pipeline
+    // drops 6.5 → 2.5. Width 16 is the better global trade now.
+    // Production sessions size this to cluster cores.
     val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.min(cpus.toInt, 8).toString)
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.min(cpus.toInt, 16).toString)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
