@@ -65,41 +65,50 @@ object LmScore {
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
 
+  /** A trained model: bigram counts, prefix counts, and the 1-row vocab
+    * size — all vocabulary-bounded, all broadcast at score time. Train
+    * offline once, score any corpus (or stream) against it. */
+  final case class BigramModel(bg: DataFrame, pfx: DataFrame, v: DataFrame)
+
+  /** Train on a corpus. ONE corpus explode: the raw bigram-count table
+    * feeds both model tables (persisted+tracked — vocab²-bounded,
+    * multi-consumer), and prefix counts are its row sums (summed BEFORE
+    * minCount pruning: the pruned tail mass must stay in the smoothing
+    * denominator), aggregated over the tiny count table rather than a
+    * second pass over the corpus. */
+  def train(corpus: DataFrame, textCol: String,
+            minCount: Long = 1L): BigramModel = {
+    val bgRaw = graft.operators.Dedup.persistTracked(
+      bigramCounts(corpus, textCol, minCount = 1L))
+    BigramModel(
+      bg = bgRaw.filter(col("c12") >= minCount),
+      pfx = bgRaw.groupBy("w1").agg(sum(col("c12")).as("c1")),
+      v = vocabSize(corpus, textCol))
+  }
+
   /**
-   * Score `docs` against an LM trained on `docs.filter(trainPred)`:
-   * per document, `n_bigrams` and `nll` = mean `-ln p(w2|w1)` rounded to
-   * `roundTo` decimals (ln is the one op whose last ulp may differ across
-   * engines; 6 dp keeps the oracle hash stable while preserving every
-   * meaningful digit), plus `kept = nll <= maxNll` — the filter decision.
-   * Documents with no bigrams score null and are never kept (no evidence).
+   * Score `docs` against a trained model: per document, `n_bigrams` and
+   * `nll` = mean `-ln p(w2|w1)` rounded to `roundTo` decimals (ln is the
+   * one op whose last ulp may differ across engines; 6 dp keeps the oracle
+   * hash stable while preserving every meaningful digit), plus
+   * `kept = nll <= maxNll` — the filter decision. Documents with no
+   * bigrams score null and are never kept (no evidence).
    *
    * Output is `(idCol, n_bigrams, nll, kept)` — the aggregation key is the
    * id ALONE so the one shuffle carries ids and partial sums, never text
    * (the exploded bigram stream collapses map-side to one row per doc).
    */
-  def perplexityFilter(docs: DataFrame, idCol: String, textCol: String,
-                       trainPred: Column,
-                       k: Double = 0.5, maxNll: Double = 6.0,
-                       minCount: Long = 1L, roundTo: Int = 6): DataFrame = {
-    val train = docs.filter(trainPred)
-    // ONE corpus explode: the raw bigram-count table feeds both model tables
-    // (persisted+tracked — vocab²-bounded, multi-consumer), and prefix
-    // counts are its row sums (summed BEFORE minCount pruning: the pruned
-    // tail mass must stay in the smoothing denominator), aggregated over the
-    // tiny count table rather than a second pass over the corpus
-    val bgRaw = graft.operators.Dedup.persistTracked(
-      bigramCounts(train, textCol, minCount = 1L))
-    val bg = bgRaw.filter(col("c12") >= minCount)
-    val pfx = bgRaw.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val v = vocabSize(train, textCol)
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            model: BigramModel, k: Double = 0.5, maxNll: Double = 6.0,
+            roundTo: Int = 6): DataFrame = {
     val exploded = docs
       .select(col(idCol),
         explode_outer(bigramsOf(TextAnalysis.tokens(col(textCol)))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val scored = exploded
-      .join(broadcast(bg), Seq("w1", "w2"), "left")
-      .join(broadcast(pfx), Seq("w1"), "left")
-      .crossJoin(broadcast(v))
+      .join(broadcast(model.bg), Seq("w1", "w2"), "left")
+      .join(broadcast(model.pfx), Seq("w1"), "left")
+      .crossJoin(broadcast(model.v))
       .withColumn("__logp",
         // the explode_outer placeholder row (null w1) must stay null here —
         // coalescing its counts to 0 would hand a no-evidence doc the
@@ -113,4 +122,12 @@ object LmScore {
            round(avg(-col("__logp")), roundTo).as("nll"))
       .withColumn("kept", coalesce(col("nll") <= maxNll, lit(false)))
   }
+
+  /** Train-and-score in one call: the model comes from `docs.filter(trainPred)`. */
+  def perplexityFilter(docs: DataFrame, idCol: String, textCol: String,
+                       trainPred: Column,
+                       k: Double = 0.5, maxNll: Double = 6.0,
+                       minCount: Long = 1L, roundTo: Int = 6): DataFrame =
+    score(docs, idCol, textCol, train(docs.filter(trainPred), textCol, minCount),
+      k, maxNll, roundTo)
 }
