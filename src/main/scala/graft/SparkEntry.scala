@@ -97,6 +97,7 @@ object SparkEntry {
     "s_jsonl_roundtrip" -> (L.sJsonlRoundtrip _),
     "t_unicode_normalize" -> (L.tUnicodeNormalize _),
     "t_curation_pipeline" -> (L.tCurationPipeline _),
+    "t_chunk_windows" -> (L.tChunkWindows _),
     "t_decontaminate" -> (L.tDecontaminate _),
     "t_decontaminate_bloom" -> (L.tDecontaminateBloom _),
     "t_decontaminate_10x" -> (L.tDecontaminate10x _),

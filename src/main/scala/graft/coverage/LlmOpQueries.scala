@@ -822,6 +822,16 @@ object LlmOpQueries {
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
         .withColumn("kept_uniform", col("n_kept") % 10 === 0))
 
+  /** Context-window chunking (oracle-checked row-for-row): every document
+    * split into 32-token windows with stride 24 (25% overlap). DuckDB
+    * replays the start-sequence arithmetic and list slicing, so window
+    * boundaries, the trailing-partial rule, and per-window token counts
+    * are all hash-certified ([[graft.text.Chunking]]). */
+  def tChunkWindows(s: SparkSession, dir: String): DataFrame =
+    graft.text.Chunking.chunkByTokens(docs(s, dir), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+
   /** END-TO-END curation pipeline (oracle-checked row-for-row): the
     * operators composed the way a production corpus release runs them —
     * heuristic filter cascade → LM perplexity filter (trained on the

@@ -745,6 +745,21 @@ object OracleSql {
          |       length(clean_text) AS n_chars_clean
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // Replays tChunkWindows: the start sequence (1, 1+24, …, up to
+    // max(len-32,0)+24 inclusive — range() is end-exclusive, hence +1),
+    // clamped list slices, and the trailing-partial token count.
+    "t_chunk_windows" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |              string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |            FROM documents),
+         |s AS (SELECT doc_id, toks,
+         |        unnest(range(1, greatest(len(toks) - 32, 0) + 24 + 1, 24)) AS st
+         |      FROM tk)
+         |SELECT doc_id, (st - 1) // 24 + 1 AS chunk_idx,
+         |       array_to_string(toks[st : st + 31], ' ') AS chunk_text,
+         |       least(32, len(toks) - st + 1) AS n_tokens
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // Replays tCurationPipeline: the four stages composed in one WITH-chain
     // — the cascade CTEs (same expressions as t_filter_cascade), the LM
     // CTEs over the cascade survivors (train = all survivors, same
