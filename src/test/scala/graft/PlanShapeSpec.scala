@@ -201,6 +201,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(pz.contains("*(1) Project"), "morton projection fell out of codegen: " + pz)
   }
 
+  test("chunking is a shuffle-free narrow explode") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.text.Chunking.chunkByTokens(docs, "doc_id", "text", 32, 24))
+    assert(!p.contains("Exchange"), "chunking must not shuffle: " + p)
+    assert(p.contains("Generate"), "expected the posexplode Generate node: " + p)
+  }
+
   test("per-domain cap shuffles once on the group key") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.Sampling.capPerGroup(docs, "doc_id", "source", 5))
