@@ -30,6 +30,16 @@ object SnapshotStore {
 
   private val Pointer = "_latest"
 
+  /** Version of a `snapshot-<n>` directory name; None for anything else
+    * (a stray `snapshot-tmp`, a hand-copied `snapshot-3.bak`, …) so foreign
+    * entries can never brick publish or prune. */
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("snapshot-")) {
+      val suffix = name.stripPrefix("snapshot-")
+      if (suffix.nonEmpty && suffix.forall(_.isDigit)) scala.util.Try(suffix.toLong).toOption
+      else None
+    } else None
+
   private def fc(spark: SparkSession, root: String) =
     org.apache.hadoop.fs.FileContext.getFileContext(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
@@ -45,7 +55,7 @@ object SnapshotStore {
     val f = fs(spark, root)
     if (!f.exists(p)) 0L
     else f.listStatus(p).map(_.getPath.getName)
-      .collect { case n if n.startsWith("snapshot-") => n.stripPrefix("snapshot-").toLong }
+      .flatMap(versionOf)
       .foldLeft(-1L)(math.max) + 1L
   }
 
@@ -96,8 +106,9 @@ object SnapshotStore {
     val current = latest(spark, root).map(_.split('/').last)
     val all = f.listStatus(new org.apache.hadoop.fs.Path(root))
       .map(_.getPath.getName)
-      .filter(_.startsWith("snapshot-"))
-      .sortBy(_.stripPrefix("snapshot-").toLong)
+      .flatMap(n => versionOf(n).map(v => (n, v)))
+      .sortBy(_._2)
+      .map(_._1)
     val victims = all.dropRight(keep).filterNot(current.contains)
     victims.foreach { n =>
       f.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true)

@@ -17,13 +17,15 @@ import graft.functions.surrogateKey
  * yields false via the CASE's ELSE branch.
  *
  * Scale notes (100 TB): the broadcasts are SIZE-GATED by what each dim can
- * grow to. `dim_status` (enumerated statuses), `dim_carrier` (carriers), and
- * `dim_location` (origins/destinations) are bounded small-cardinality
- * dimensions — explicit `broadcast()` so the fact side never shuffles for
- * them. `dim_order` and `dim_time` are LINEAR-ISH IN THE FACT (≈ one row per
- * distinct order / per distinct event timestamp — dim_time is keyed on the
- * full ISO string): an unconditional broadcast hint on them is a
- * driver/executor OOM at 100× the reference scale, so they carry NO hint.
+ * grow to. `dim_status` (enumerated statuses) and `dim_carrier` (carriers)
+ * are bounded small-cardinality dimensions — explicit `broadcast()` so the
+ * fact side never shuffles for them. `dim_order`, `dim_time`, AND
+ * `dim_location` are LINEAR-ISH IN THE FACT (≈ one row per distinct order /
+ * per distinct event timestamp / per distinct origin+destination name — in
+ * the reference fixture dim_location is 1,234 rows for 617 facts, every name
+ * unique, so "bounded cities" is a data contract the data does NOT honor):
+ * an unconditional broadcast hint on them is a driver/executor OOM at 100×
+ * the reference scale, so they carry NO hint.
  * The planner then picks: auto-broadcast when runtime stats say they fit
  * (`spark.sql.autoBroadcastJoinThreshold`, or AQE's runtime conversion), and
  * a shuffle join otherwise — which becomes an Exchange-free sort-merge join
@@ -46,8 +48,8 @@ object Facts {
     val tim = dimTime.select("time_sk", "full_timestamp").as("tim")
     val sta = broadcast(dimStatus.select("status_sk", "status_name")).as("sta")
     val loc = dimLocation.select("location_sk", "location_name")
-    val locOrig = broadcast(loc).as("loc_orig")
-    val locDest = broadcast(loc).as("loc_dest")
+    val locOrig = loc.as("loc_orig")
+    val locDest = loc.as("loc_dest")
     val car = broadcast(dimCarrier.select("carrier_sk", "carrier_name")).as("car")
 
     e

@@ -68,6 +68,6 @@ object Shuffling {
                     nShards: Int, path: String): Unit =
     shuffled(df, keyCol, seed, nShards)
       .repartition(nShards, col("shard"))
-      .sortWithinPartitions("pos")
+      .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -33,10 +33,13 @@ object DashboardQueries {
         round(avg("f.weight_kg"), 2).as("avg_weight_kg"))
       .orderBy(desc("on_time_rate"))
 
-  /** Active-shipment map — 3 dim joins + filter (`Business_KPI_dashboard.py:55-68`). */
+  /** Active-shipment map — 3 dim joins + filter (`Business_KPI_dashboard.py:55-68`).
+    * `dim_location` carries NO broadcast hint: it is linear-ish in the fact
+    * (see [[graft.models.Facts]]) — the planner auto-broadcasts it while
+    * stats fit and shuffle-joins when it outgrows the threshold. */
   def activeShipments(w: Warehouse): DataFrame =
     w.factEvent.as("f")
-      .join(broadcast(w.dimLocation).as("l"),
+      .join(w.dimLocation.as("l"),
         col("f.origin_location_sk") === col("l.location_sk"), "left")
       .join(broadcast(w.dimStatus).as("s"),
         col("f.status_sk") === col("s.status_sk"), "left")

@@ -70,12 +70,15 @@ object LmScore {
     * offline once, score any corpus (or stream) against it. */
   final case class BigramModel(bg: DataFrame, pfx: DataFrame, v: DataFrame)
 
-  /** Train on a corpus. ONE corpus explode: the raw bigram-count table
-    * feeds both model tables (persisted+tracked — vocab²-bounded,
-    * multi-consumer), and prefix counts are its row sums (summed BEFORE
-    * minCount pruning: the pruned tail mass must stay in the smoothing
-    * denominator), aggregated over the tiny count table rather than a
-    * second pass over the corpus. */
+  /** Train on a corpus. The raw bigram-count table feeds both bigram AND
+    * prefix model tables from ONE bigram explode (persisted+tracked —
+    * vocab²-bounded, multi-consumer), with prefix counts as its row sums
+    * (summed BEFORE minCount pruning: the pruned tail mass must stay in the
+    * smoothing denominator). Vocabulary is a deliberate SECOND, token-level
+    * pass over the training corpus: it cannot be derived from the bigram
+    * table exactly — a single-token document's token appears in no bigram —
+    * so training costs two corpus scans total (both over the training slice
+    * only, which is the small in-domain subset in the CCNet recipe). */
   def train(corpus: DataFrame, textCol: String,
             minCount: Long = 1L): BigramModel = {
     val bgRaw = graft.operators.Dedup.persistTracked(
