@@ -148,7 +148,13 @@ object LlmOpQueries {
       d.unionByName(mutated)
     }
 
-  /** MinHash-LSH near-duplicate pairs, Jaccard-verified (rows-only).
+  /** MinHash-LSH near-duplicate pairs, Jaccard-verified (oracle-checked:
+    * the query runs `portableHashing` — md5-derived 60-bit shingle hashes
+    * and raw band-key strings — so the DuckDB oracle replays the WHOLE
+    * banded pipeline: slot minima, circular densification, band keys,
+    * bucket pruning, candidate join, exact-Jaccard verify, counts. LSH
+    * oracle cost is near-linear, unlike the O(N²) all-pairs oracle of the
+    * bounded `_verified` twin, so the FULL corpus row is now certified).
     * 32 hashes × 8 bands: the small-sketch config — near-dup detection at
     * 0.7 Jaccard needs band rows of ~4 (collision prob ≈ j^4 per band), and
     * halving the signature halves the dominant per-row cost.
@@ -158,7 +164,8 @@ object LlmOpQueries {
   def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "__q_minhash_pairs"),
       Dedup.nearDuplicatePairs(nearDupCorpus(s, dir), "doc_id", "text",
-          threshold = 0.7, numHashes = 32, bands = 8)
+          threshold = 0.7, numHashes = 32, bands = 8,
+          portableHashing = true)
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
             .as("n_planted_found")))
@@ -216,14 +223,17 @@ object LlmOpQueries {
         .repartition(s.sessionState.conf.numShufflePartitions)
     }
 
-  /** Scaling evidence for the banded MinHash join (rows-only, memoized):
-    * same query as [[dedupMinhashPairs]] over the 10× corpus. Sub-linear
-    * wall-clock growth vs the 1× run in the same bench JSON demonstrates the
-    * candidate generation is bucket-bounded, not all-pairs. */
+  /** Scaling evidence for the banded MinHash join (oracle-checked like
+    * [[dedupMinhashPairs]] — DuckDB replays the 10× replication plus the
+    * same portable LSH chain — and memoized): same query over the 10×
+    * corpus. Sub-linear wall-clock growth vs the 1× run in the same bench
+    * JSON demonstrates the candidate generation is bucket-bounded, not
+    * all-pairs. */
   def dedupMinhashPairs10x(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "__q_minhash_pairs_10x"),
       Dedup.nearDuplicatePairs(nearDupCorpus10x(s, dir), "doc_id", "text",
-          threshold = 0.7, numHashes = 32, bands = 8)
+          threshold = 0.7, numHashes = 32, bands = 8,
+          portableHashing = true)
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
             .as("n_planted_found")))
@@ -255,16 +265,20 @@ object LlmOpQueries {
           sum("n_grams").as("n_grams_total"),
           sum("n_dup_grams").as("n_dup_grams_total")))
 
-  /** SimHash (128-bit, tf-weighted) near-duplicate pairs (rows-only,
-    * memoized). maxHamming 12: the testdata docs are short (~30 tokens), so
-    * the one-token planted mutation shifts up to ~12 of 128 bits — measured
-    * planted-pair distances span 1-12 on this corpus; 12/128 is the radius
-    * that captures all 50 planted pairs (recall beyond the 8-chunk pigeonhole
-    * guarantee of 7 is probabilistic, and complete here). */
+  /** SimHash (128-bit, tf-weighted) near-duplicate pairs (oracle-checked:
+    * the query runs `portableHashing` — per-token md5 vote bits, sketch
+    * emitted as its eight 16-bit chunks — so DuckDB replays chunk values,
+    * bucket pruning, the candidate join, and the Hamming radius digit-by-
+    * digit; memoized). maxHamming 12: the testdata docs are short (~30
+    * tokens), so the one-token planted mutation shifts up to ~12 of 128
+    * bits — measured planted-pair distances span 1-12 on this corpus;
+    * 12/128 is the radius that captures all 50 planted pairs (recall beyond
+    * the 8-chunk pigeonhole guarantee of 7 is probabilistic, and complete
+    * here). */
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "__q_simhash_pairs"),
       Dedup.simhashNearDuplicates(nearDupCorpus(s, dir), "doc_id", "text",
-          maxHamming = 12)
+          maxHamming = 12, portableHashing = true)
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
             .as("n_planted_found")))

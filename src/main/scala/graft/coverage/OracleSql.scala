@@ -111,8 +111,141 @@ object OracleSql {
     * explicit 'g' flag. */
   private def docs10xSql: String =
     """SELECT d.doc_id + k.k * 10000000 AS doc_id,
-      |       regexp_replace(d.text, '(\S+)', '\1_r' || CAST(k.k AS VARCHAR), 'g') AS text
+      |       regexp_replace(d.text, '(\S+)', '\1_r' || CAST(k.k AS VARCHAR), 'g') AS text,
+      |       d.lang AS lang
       |FROM documents d CROSS JOIN (SELECT unnest(range(10)) AS k) k""".stripMargin
+
+  /** The duplicate-bearing corpus exactly as `LlmOpQueries.nearDupCorpus`
+    * builds it: all documents ∪ every-10th with one token appended, ids
+    * shifted +1,000,000. */
+  private def nearDupCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text || ' extraword' AS text
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** The near-dup corpus replicated 10× under disjoint vocabularies
+    * (`LlmOpQueries.nearDupCorpus10x`): ids offset per replica, every
+    * non-whitespace run suffixed `_r<k>`. */
+  private def nearDupCorpus10xSql: String =
+    s"""SELECT d.doc_id + k.k * 10000000 AS doc_id,
+       |       regexp_replace(d.text, '(\\S+)', '\\1_r' || CAST(k.k AS VARCHAR), 'g') AS text
+       |FROM ($nearDupCorpusSql) d
+       |CROSS JOIN (SELECT unnest(range(10)) AS k) k""".stripMargin
+
+  /** `Dedup.portableHash60` as DuckDB SQL: the value of the first 15 hex
+    * chars of an md5-hex expression, via per-digit strpos arithmetic (the
+    * same engine-portable idiom as the shard replays; 15 digits < 2^60
+    * never overflow BIGINT). */
+  private def hex60Sql(h: String): String =
+    (0 until 15).map { i =>
+      s"(strpos('0123456789abcdef', substring($h, ${i + 1}, 1))-1)*${BigInt(16).pow(14 - i)}"
+    }.mkString("(", "\n      + ", ")")
+
+  /**
+   * Replays `Dedup.nearDuplicatePairs(portableHashing = true)` end-to-end
+   * over `corpusSql` (32 hashes × 8 bands, bucket cap 256, Jaccard ≥ 0.7):
+   * md5-60-bit shingle hashes → one-permutation slot minima → circular
+   * densification (each slot borrows the nearest non-empty slot scanning
+   * forward) → comma-joined band keys → over-full-bucket pruning →
+   * candidate pairs → exact n-gram Jaccard verify → counts. LSH replay is
+   * near-LINEAR in the corpus (the all-pairs oracle of the `_verified`
+   * twins is O(N²)), which is what lets the FULL-corpus count rows carry a
+   * real oracle.
+   */
+  private def minhashPortableSql(corpusSql: String): String =
+    s"""WITH corpus AS ($corpusSql),
+       |tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |       FROM corpus),
+       |sh AS (SELECT doc_id, ${shingleSql("toks")} AS shs FROM tk),
+       |hs AS (SELECT doc_id, ${hex60Sql("md5(s)")} AS h
+       |       FROM (SELECT doc_id, unnest(shs) AS s FROM sh)),
+       |slotmin AS (SELECT doc_id, h % 32 AS slot, min(h) AS m
+       |            FROM hs GROUP BY 1, 2),
+       |allslot AS (SELECT d.doc_id, s.slot
+       |            FROM (SELECT DISTINCT doc_id FROM slotmin) d
+       |            CROSS JOIN (SELECT unnest(range(32)) AS slot) s),
+       |dense AS (SELECT doc_id, slot, v FROM (
+       |    SELECT a.doc_id, a.slot, sm.m AS v,
+       |           row_number() OVER (PARTITION BY a.doc_id, a.slot
+       |             ORDER BY (sm.slot - a.slot + 32) % 32) AS rn
+       |    FROM allslot a JOIN slotmin sm USING (doc_id))
+       |  WHERE rn = 1),
+       |sig AS (SELECT doc_id, list(v ORDER BY slot) AS sig
+       |        FROM dense GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b.b,
+       |                 array_to_string(sig[4*b.b+1:4*b.b+4], ',') AS bkey
+       |          FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) b),
+       |pruned AS (SELECT * FROM bands
+       |           QUALIFY count(*) OVER (PARTITION BY b, bkey) <= 256),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |         FROM pruned a JOIN pruned c
+       |           ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+       |ver AS (SELECT id_a, id_b,
+       |          CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) = 0 THEN 0.0
+       |               ELSE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+       |                    / len(list_distinct(list_concat(sa.shs, sb.shs))) END AS jaccard
+       |        FROM cand
+       |        JOIN sh sa ON sa.doc_id = cand.id_a
+       |        JOIN sh sb ON sb.doc_id = cand.id_b)
+       |SELECT count(*) AS n_pairs,
+       |       CAST(sum(CASE WHEN id_b = id_a + 1000000 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_planted_found
+       |FROM ver WHERE jaccard >= 0.7""".stripMargin
+
+  /** One 16-bit chunk of the portable SimHash as a conditional-sum over the
+    * 32 per-token digit columns (see `SimHashHexChunksExpr`: bit j of chunk
+    * c votes with bit j%4 of hex digit 4c + (3 - j/4); strict majority). */
+  private def simhashChunkSql(c: Int): String =
+    (0 until 16).map { j =>
+      val p = 4 * c + (3 - j / 4) + 1 // 1-based hex digit position
+      s"CASE WHEN 2*SUM((d$p >> ${j % 4}) & 1) > count(*) THEN ${1 << j} ELSE 0 END"
+    }.mkString("CAST(", "\n        + ", " AS BIGINT)")
+
+  /**
+   * Replays `Dedup.simhashNearDuplicates(portableHashing = true)` over
+   * `corpusSql` (Hamming ≤ 12, bucket cap 256): per-token md5 digests →
+   * per-digit bit votes → strict-majority chunk values → chunk-bucket
+   * pruning → candidate pairs → exact chunk-wise Hamming → counts.
+   */
+  private def simhashPortableSql(corpusSql: String): String = {
+    val digitCols = (1 to 32).map { p =>
+      s"(strpos('0123456789abcdef', substring(h, $p, 1))-1) AS d$p"
+    }.mkString(",\n       ")
+    val chunkCols = (0 until 8).map(c => s"${simhashChunkSql(c)} AS c$c")
+      .mkString(",\n    ")
+    val chunkList = (0 until 8).map(c => s"c$c").mkString("[", ", ", "]")
+    val hamming = (0 until 8)
+      .map(c => s"bit_count(xor(ca.c$c, cb.c$c))").mkString(" + ")
+    s"""WITH corpus AS ($corpusSql),
+       |tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |       FROM corpus),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+       |dg AS (SELECT doc_id,
+       |       $digitCols
+       |       FROM (SELECT doc_id, md5(t) AS h FROM tok)),
+       |ck AS (SELECT doc_id,
+       |    $chunkCols
+       |  FROM dg GROUP BY doc_id),
+       |chunks AS (SELECT doc_id,
+       |                  unnest($chunkList) AS chunk_val,
+       |                  generate_subscripts($chunkList, 1) - 1 AS chunk
+       |           FROM ck),
+       |pruned AS (SELECT * FROM chunks
+       |           QUALIFY count(*) OVER (PARTITION BY chunk, chunk_val) <= 256),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |         FROM pruned a JOIN pruned c
+       |           ON a.chunk = c.chunk AND a.chunk_val = c.chunk_val
+       |          AND a.doc_id < c.doc_id),
+       |ham AS (SELECT id_a, id_b, $hamming AS hamming
+       |        FROM cand
+       |        JOIN ck ca ON ca.doc_id = cand.id_a
+       |        JOIN ck cb ON cb.doc_id = cand.id_b)
+       |SELECT count(*) AS n_pairs,
+       |       CAST(sum(CASE WHEN id_b = id_a + 1000000 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_planted_found
+       |FROM ham WHERE hamming <= 12""".stripMargin
+  }
 
   /** Exact all-pairs n-gram Jaccard (≥ 0.7) over the bounded every-10th /
     * mutated-copy sub-corpus — the shared ground truth for BOTH sketch
@@ -139,6 +272,38 @@ object OracleSql {
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.7
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** The bigram-LM chain (`LmScore.perplexityFilter`) over `corpusSql`
+    * (must provide doc_id, lang, text), up to the per-doc `agg` CTE —
+    * callers append their own final SELECT over `tk`/`agg`. Shared by the
+    * 1× (per-doc rows) and 10× (aggregate) oracle entries so the model
+    * arithmetic cannot drift between them. */
+  private def lmPerDocSql(corpusSql: String): String =
+    s"""WITH corpus AS ($corpusSql),
+       |tk AS (SELECT doc_id, lang,
+       |              string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |            FROM corpus),
+       |bgd AS (SELECT doc_id,
+       |          unnest([{'w1': toks[i], 'w2': toks[i+1]}
+       |                  FOR i IN range(1, len(toks))]) AS bg
+       |        FROM tk),
+       |bge AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bgd),
+       |tr AS (SELECT doc_id FROM tk WHERE lang = 'en'),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bge
+       |        WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bge
+       |       WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1),
+       |v AS (SELECT count(DISTINCT t) AS v FROM
+       |        (SELECT unnest(toks) AS t FROM tk
+       |         WHERE doc_id IN (SELECT doc_id FROM tr))),
+       |sc AS (SELECT b.doc_id,
+       |         -ln((coalesce(c12.c12, 0) + 0.5) /
+       |             (coalesce(c1.c1, 0) + 0.5 * v.v)) AS nlp
+       |       FROM bge b LEFT JOIN c12 USING (w1, w2)
+       |       LEFT JOIN c1 USING (w1) CROSS JOIN v),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+       |          round(avg(nlp), 6) AS nll
+       |        FROM sc GROUP BY 1)""".stripMargin
 
   val sql: Map[String, String] = Map(
     "samp_deterministic" ->
@@ -846,34 +1011,33 @@ object OracleSql {
     // last-ulp ln() and summation-order differences between engines; every
     // meaningful digit of the score is still certified.
     "t_lm_perplexity" ->
-      s"""WITH tk AS (SELECT doc_id, lang,
-         |              string_split_regex(trim(lower(text)), '\\s+') AS toks
-         |            FROM documents),
-         |bgd AS (SELECT doc_id,
-         |          unnest([{'w1': toks[i], 'w2': toks[i+1]}
-         |                  FOR i IN range(1, len(toks))]) AS bg
-         |        FROM tk),
-         |bge AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bgd),
-         |tr AS (SELECT doc_id FROM tk WHERE lang = 'en'),
-         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bge
-         |        WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1, 2),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM bge
-         |       WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1),
-         |v AS (SELECT count(DISTINCT t) AS v FROM
-         |        (SELECT unnest(toks) AS t FROM tk
-         |         WHERE doc_id IN (SELECT doc_id FROM tr))),
-         |sc AS (SELECT b.doc_id,
-         |         -ln((coalesce(c12.c12, 0) + 0.5) /
-         |             (coalesce(c1.c1, 0) + 0.5 * v.v)) AS nlp
-         |       FROM bge b LEFT JOIN c12 USING (w1, w2)
-         |       LEFT JOIN c1 USING (w1) CROSS JOIN v),
-         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
-         |          round(avg(nlp), 6) AS nll
-         |        FROM sc GROUP BY 1)
+      s"""${lmPerDocSql("SELECT doc_id, lang, text FROM documents")}
          |SELECT tk.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams, agg.nll,
          |       coalesce(agg.nll <= 3.40, false) AS kept
          |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
+
+    // 10× scaling twin: the same LM chain over the replicated corpus (the
+    // replicas are vocabulary-disjoint, so the one model table is
+    // effectively 10 disjoint models — which the SQL replay handles
+    // naturally). Certifies the scaled output, including the structural
+    // uniformity self-check, not just its timing.
+    "t_lm_perplexity_10x" ->
+      s"""${lmPerDocSql(docs10xSql)}
+         |SELECT count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN coalesce(agg.nll <= 3.40, false)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN coalesce(agg.nll <= 3.40, false)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) % 10 = 0 AS kept_uniform
+         |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin,
+
+    // Full-corpus MinHash-LSH count rows: the Spark queries run the
+    // engine-portable (md5-keyed) hashing mode, so these replay the entire
+    // banded pipeline rather than an O(N²) all-pairs join (which is what
+    // kept them rows-only through round 4).
+    "dedup_minhash_pairs" -> minhashPortableSql(nearDupCorpusSql),
+    "dedup_minhash_pairs_10x" -> minhashPortableSql(nearDupCorpus10xSql),
+    "dedup_simhash_pairs" -> simhashPortableSql(nearDupCorpusSql),
 
     "t_fingerprint" ->
       s"""WITH tk AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),

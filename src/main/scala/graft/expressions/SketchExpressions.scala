@@ -161,6 +161,76 @@ case class SimHash128Expr(child: Expression)
 }
 
 /**
+ * Engine-PORTABLE 128-bit SimHash, emitted directly as its eight 16-bit
+ * chunk values, from an `array<string>` of per-element md5 hex digests
+ * (32 lowercase hex chars = 128 vote bits per element; repeats allowed —
+ * tf-weighted votes, like [[SimHash128Expr]]).
+ *
+ * Bit layout is defined hex-digit-wise so an external engine can replay it
+ * with string arithmetic alone: chunk `c` (0..7) reads hex digits
+ * `4c..4c+3` big-endian (digit `4c` is the high nibble), i.e. bit `j` of
+ * chunk `c` votes with bit `j%4` of hex digit `4c + (3 - j/4)`. Sketch bit
+ * = strict majority (2·votes > n). The DuckDB oracle reproduces every chunk
+ * with `strpos`-digit extraction + conditional sums — this is what upgrades
+ * the full-corpus SimHash driver row from rows-only to hash-certified
+ * (round-4 verdict #1); [[SimHash128Expr]] over xxhash64 stays the
+ * production-default sketch.
+ */
+case class SimHashHexChunksExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_hex_chunks"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // counts(d*4 + b) = votes for bit b of hex digit d (d = 0..31, b = 0..3)
+    val counts = new Array[Int](128)
+    var i = 0
+    while (i < n) {
+      val hex = arr.getUTF8String(i)
+      if (hex != null && hex.numBytes() >= 32) {
+        val bytes = hex.getBytes
+        var d = 0
+        while (d < 32) {
+          val ch = bytes(d)
+          val v =
+            if (ch >= '0' && ch <= '9') ch - '0'
+            else if (ch >= 'a' && ch <= 'f') ch - 'a' + 10
+            else if (ch >= 'A' && ch <= 'F') ch - 'A' + 10
+            else 0
+          val base = d * 4
+          counts(base) += v & 1
+          counts(base + 1) += (v >> 1) & 1
+          counts(base + 2) += (v >> 2) & 1
+          counts(base + 3) += (v >> 3) & 1
+          d += 1
+        }
+      }
+      i += 1
+    }
+    val chunks = new Array[Long](8)
+    var c = 0
+    while (c < 8) {
+      var value = 0L
+      var j = 0
+      while (j < 16) {
+        val digit = 4 * c + (3 - j / 4)
+        if (2 * counts(digit * 4 + (j % 4)) > n) value |= (1L << j)
+        j += 1
+      }
+      chunks(c) = value
+      c += 1
+    }
+    new GenericArrayData(chunks)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Sign-LSH sketch of an `array<float>` vector: `nBits` sign bits of
  * projections onto pseudo-random hyperplanes derived from a splitmix64 mix of
  * (table, bit, dim) — deterministic, no fitted model. One imperative pass over
@@ -513,6 +583,11 @@ object SketchExpressions {
   def simhash128(hashes: Column): Column =
     ColumnBridge.column(SimHash128Expr(ColumnBridge.expression(hashes)))
 
+  /** Column wrapper: engine-portable 128-bit SimHash as its eight 16-bit
+    * chunk values, from an array<string> md5-hex column. */
+  def simhash_hex_chunks(hexes: Column): Column =
+    ColumnBridge.column(SimHashHexChunksExpr(ColumnBridge.expression(hexes)))
+
   /** Column wrapper: sign-LSH sketch of an array<float> vector column. */
   def sign_lsh_sketch(vec: Column, table: Int, nBits: Int): Column =
     ColumnBridge.column(
@@ -591,6 +666,9 @@ object SketchExpressions {
     },
     "simhash128" -> { exprs =>
       arity("simhash128", 1)(exprs); SimHash128Expr(exprs.head)
+    },
+    "simhash_hex_chunks" -> { exprs =>
+      arity("simhash_hex_chunks", 1)(exprs); SimHashHexChunksExpr(exprs.head)
     },
     "sign_lsh_sketch" -> { exprs =>
       arity("sign_lsh_sketch", 3)(exprs)

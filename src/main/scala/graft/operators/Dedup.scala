@@ -79,6 +79,20 @@ object Dedup {
   def contentFingerprint(text: Column): Column = md5(text)
 
   /**
+   * Engine-PORTABLE 60-bit hash: the value of the first 15 hex chars of the
+   * md5 digest (non-negative, < 2^60 so it fits signed 64-bit in any
+   * engine). xxhash64 stays the production default for the sketch paths —
+   * it is ~5× cheaper — but xxhash64 band values exist only inside Spark,
+   * which capped the full-corpus LSH driver rows at rows-only checks
+   * (round-4 verdict #1): with md5-derived hashes the DuckDB oracle replays
+   * the ENTIRE banded pipeline (slots, densification, band keys, bucket
+   * pruning, candidate join) with string/digit arithmetic, certifying the
+   * count rows end-to-end.
+   */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /**
    * Exact duplicate clusters: fingerprint → groupBy → clusters with count>1.
    * The groupBy shuffles only (fp, id) pairs; map-side partial agg collapses
    * per-partition duplicates first.
@@ -186,14 +200,20 @@ object Dedup {
    * agreement fraction, computed on the collided pair only.
    */
   /** (id, band, band_hash) rows from a signature frame — `bands` small rows
-    * per document, the only thing LSH joins ever shuffle. */
-  private def bandRows(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    * per document, the only thing LSH joins ever shuffle. In `portable`
+    * mode the band key is the raw comma-joined slot values (a string an
+    * external engine reproduces exactly from its own replayed signature);
+    * the default hashes it to 8 bytes with xxhash64 for shuffle volume. */
+  private def bandRows(sig: DataFrame, numHashes: Int, bands: Int,
+                       portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    val bandKey: (Column, Column) => Column =
+      if (portable) (c, _) => c else (c, b) => xxhash64(c, b)
     sig.select(col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
+        b => bandKey(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
@@ -278,14 +298,19 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16,
-      maxBucketSize: Int = 256): DataFrame = {
+      maxBucketSize: Int = 256,
+      portableHashing: Boolean = false): DataFrame = {
+    val shingleHash: Column => Column =
+      if (portableHashing) portableHash60 else (c: Column) => xxhash64(c)
     val sig = persistTracked(
       df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
         .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
         .select(col("id"), col("sh"),
-          minhashSignatureOfShingles(col("sh"), numHashes).as("sig")))
+          graft.expressions.SketchExpressions.minhash_signature(
+            transform(col("sh"), shingleHash), numHashes).as("sig")))
 
-    val banded = pruneFullBuckets(bandRows(sig, numHashes, bands),
+    val banded = pruneFullBuckets(
+      bandRows(sig, numHashes, bands, portableHashing),
       Seq("band", "band_hash"), maxBucketSize)
 
     val candidates = banded.as("a")
@@ -467,19 +492,49 @@ object Dedup {
    */
   def simhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 7, maxBucketSize: Int = 256): DataFrame = {
-    val sk = persistTracked(
-      df.select(col(idCol).as("id"), simhash128(col(textCol)).as("sk")))
-    val chunked = simhashChunks(sk, maxBucketSize)
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") &&
-        col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming128(col("a.sk"), col("b.sk")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      maxHamming: Int = 7, maxBucketSize: Int = 256,
+      portableHashing: Boolean = false): DataFrame = {
+    if (portableHashing) {
+      // Engine-portable variant: per-token md5 votes, sketch emitted
+      // directly as its eight 16-bit chunks (see SimHashHexChunksExpr).
+      // Same shuffle shape — 8 small chunk rows per document — and the
+      // DuckDB oracle replays chunks, buckets, pairs, and Hamming exactly.
+      val sk = persistTracked(
+        df.select(col(idCol).as("id"),
+          graft.expressions.SketchExpressions.simhash_hex_chunks(
+            transform(tokens(col(textCol)), t => md5(t))).as("skc")))
+      val chunked0 = sk
+        .select(col("id"), col("skc"), posexplode(col("skc")))
+        .withColumnRenamed("pos", "chunk")
+        .withColumnRenamed("col", "chunk_val")
+      val chunked = pruneFullBuckets(chunked0, Seq("chunk", "chunk_val"), maxBucketSize)
+      val ham = (0 until 8).map { i =>
+        bit_count(element_at(col("a.skc"), i + 1)
+          .bitwiseXOR(element_at(col("b.skc"), i + 1)))
+      }.reduce(_ + _)
+      chunked.as("a")
+        .join(chunked.as("b"),
+          col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          ham.as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+    } else {
+      val sk = persistTracked(
+        df.select(col(idCol).as("id"), simhash128(col(textCol)).as("sk")))
+      val chunked = simhashChunks(sk, maxBucketSize)
+      chunked.as("a")
+        .join(chunked.as("b"),
+          col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          hamming128(col("a.sk"), col("b.sk")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+    }
   }
 
   /** The eight 16-bit chunk rows per sketch (skew-guarded) — the SimHash

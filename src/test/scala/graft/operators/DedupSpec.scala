@@ -107,6 +107,30 @@ class DedupSpec extends SparkSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("portable (md5) hashing mode finds the same minhash pair set as the default") {
+    // portableHashing swaps xxhash64 for md5-derived 60-bit hashes and raw
+    // string band keys so the DuckDB oracle can replay the banded pipeline;
+    // the pair DECISIONS must be hash-family-independent on this fixture.
+    val default = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val portable = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5,
+        portableHashing = true)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(portable == default)
+    Dedup.unpersistSketches()
+  }
+
+  test("portable simhash mode finds the exact pair with distance 0 and no far pairs") {
+    val rows = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3,
+        portableHashing = true).collect()
+    val pairs = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(rows.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+      .get.getAs[Int]("hamming") == 0)
+    assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L || p._1 == 4L || p._1 == 5L))
+    Dedup.unpersistSketches()
+  }
+
   test("bucket pruning (inverted anti-join) is a no-op on healthy buckets, drops over-full ones") {
     // pruneFullBuckets broadcasts the OVER-full bucket list (tiny) and
     // left_anti joins — behavior must be identical to the keep-list form:
