@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> (L.dedupMinhashPairs _),
     "dedup_minhash_verified" -> (L.dedupMinhashVerified _),
     "dedup_span_report" -> (L.dedupSpanReport _),
+    "dedup_span_excise" -> (L.dedupSpanExcise _),
     "dedup_minhash_pairs_10x" -> (L.dedupMinhashPairs10x _),
     "dedup_simhash_pairs" -> (L.dedupSimhashPairs _),
     "dedup_simhash_verified" -> (L.dedupSimhashVerified _),

@@ -223,6 +223,20 @@ object LlmOpQueries {
         .repartition(s.sessionState.conf.numShufflePartitions)
     }
 
+  /** Maximal duplicate-span excision (oracle-checked): the Lee-et-al
+    * ExactSubstr deliverable — per doc, merged maximal duplicated token
+    * ranges (keep-first: the globally first occurrence survives) and the
+    * text with those ranges removed. Raw-gram mode so DuckDB replays the
+    * positional gram census, first-occurrence exemption, interval merge,
+    * and token-level excision; DedupSpec pins the hashed 100 TB mode to
+    * identical output and covers overlap/abut merging, within-doc repeats,
+    * and full-document excision. */
+  def dedupSpanExcise(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .exciseDuplicateSpans(docs(s, dir), "doc_id", "text", n = 8,
+        hashGrams = false)
+      .orderBy("doc_id")
+
   /** Scaling evidence for the banded MinHash join (oracle-checked like
     * [[dedupMinhashPairs]] — DuckDB replays the 10× replication plus the
     * same portable LSH chain — and memoized): same query over the 10×

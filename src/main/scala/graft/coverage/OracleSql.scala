@@ -681,6 +681,60 @@ object OracleSql {
         |FROM g LEFT JOIN dup ON g.gram = dup.gram
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
+    // Maximal duplicate-span excision: POSITIONAL 8-token grams (repeats
+    // included), a gram occurrence is excisable iff its content occurs >= 2
+    // times corpus-wide AND it is not the global first occurrence (min
+    // (doc_id, gpos)); marked starts merge gaps-and-islands style where
+    // spans [p, p+8) overlap or abut, and surviving tokens reassemble in
+    // order. Replays Dedup.exciseDuplicateSpans end-to-end.
+    "dedup_span_excise" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |            FROM documents),
+        |pg0 AS (SELECT doc_id, toks,
+        |               unnest(range(greatest(len(toks) - 7, 0))) AS gpos
+        |        FROM tk),
+        |pg AS (SELECT doc_id, gpos,
+        |              array_to_string(toks[gpos+1:gpos+8], ' ') AS gram
+        |       FROM pg0),
+        |fo AS (SELECT doc_id, gpos,
+        |              row_number() OVER (PARTITION BY gram
+        |                ORDER BY doc_id, gpos) AS rn,
+        |              count(*) OVER (PARTITION BY gram) AS cnt
+        |       FROM pg),
+        |mk AS (SELECT doc_id, gpos FROM fo WHERE cnt >= 2 AND rn > 1),
+        |isl AS (SELECT doc_id, gpos,
+        |          CASE WHEN gpos <= coalesce(max(gpos + 8) OVER (
+        |                 PARTITION BY doc_id ORDER BY gpos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |               THEN 0 ELSE 1 END AS brk
+        |        FROM mk),
+        |grp AS (SELECT doc_id, gpos,
+        |               sum(brk) OVER (PARTITION BY doc_id ORDER BY gpos) AS g
+        |        FROM isl),
+        |sp AS (SELECT doc_id, min(gpos) AS s, max(gpos) + 8 AS e
+        |       FROM grp GROUP BY doc_id, g),
+        |spstr AS (SELECT doc_id, count(*) AS n_spans,
+        |                 string_agg(s || ':' || e, ',' ORDER BY s) AS spans
+        |          FROM sp GROUP BY doc_id),
+        |tp AS (SELECT doc_id, unnest(toks) AS t,
+        |              generate_subscripts(toks, 1) - 1 AS i
+        |       FROM tk),
+        |keptt AS (SELECT tp.doc_id, count(*) AS n_kept,
+        |                 string_agg(tp.t, ' ' ORDER BY tp.i) AS text_deduped
+        |          FROM tp LEFT JOIN sp
+        |            ON sp.doc_id = tp.doc_id AND tp.i >= sp.s AND tp.i < sp.e
+        |          WHERE sp.doc_id IS NULL
+        |          GROUP BY tp.doc_id)
+        |SELECT tk.doc_id, len(tk.toks) AS n_tokens,
+        |       CAST(coalesce(spstr.n_spans, 0) AS BIGINT) AS n_spans,
+        |       coalesce(spstr.spans, '') AS spans,
+        |       CAST(len(tk.toks) - coalesce(keptt.n_kept, 0) AS BIGINT)
+        |         AS n_tokens_removed,
+        |       coalesce(keptt.text_deduped, '') AS text_deduped
+        |FROM tk LEFT JOIN spstr USING (doc_id)
+        |LEFT JOIN keptt ON keptt.doc_id = tk.doc_id
+        |ORDER BY tk.doc_id""".stripMargin,
+
     // Exact all-pairs n-gram Jaccard over the same bounded sub-corpus the
     // Spark query LSH-buckets: equality therefore certifies FULL LSH recall
     // on every >=-threshold pair. The corpus cap (<= 200 docs at any sf)

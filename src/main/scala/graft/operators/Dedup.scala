@@ -156,6 +156,93 @@ object Dedup {
   }
 
   /**
+   * Maximal duplicate-span EXCISION — the actual Lee-et-al ExactSubstr
+   * deliverable that [[duplicateSpans]]' gram census only reports on: per
+   * document, the merged maximal token ranges whose content occurs elsewhere
+   * in the corpus, and the document text with those ranges removed.
+   *
+   * Semantics (suffix-array-free distributed formulation): a POSITIONAL
+   * n-token gram (doc, start) is duplicated iff its content occurs ≥ 2 times
+   * in the corpus (across documents OR repeated within one). Any duplicated
+   * substring of ≥ n tokens contains only duplicated n-grams, so the union
+   * of duplicated-gram spans [start, start+n) — merged where they overlap or
+   * abut — recovers the maximal duplicated regions at n-token resolution
+   * (the classic gram relaxation of the suffix-array scan; boundaries are
+   * exact to within n−1 tokens). KEEP-FIRST: the globally first occurrence
+   * of each gram content (min (doc, start)) is exempt, so exactly one copy
+   * of every duplicated region survives — the first document keeps its
+   * boilerplate, later ones lose it, and a region repeated within one
+   * document keeps only its first instance.
+   *
+   * Scale shape: one positional-gram explode (narrow), one groupBy on the
+   * gram key (THE shuffle — with `hashGrams` it carries 8-byte xxhash64
+   * keys, the 100 TB mode; raw-string mode exists so external engines can
+   * replay byte-for-byte), a first-occurrence re-join on the same key both
+   * sides already hash on, then a per-document collect of marked starts
+   * (bounded by document length) merged into intervals by a single
+   * `aggregate` scan — no window over the corpus, no driver loop. Excision
+   * itself is a narrow per-row token filter against the (few) merged spans.
+   *
+   * Returns (idCol, n_tokens, n_spans, spans "s:e,…" token-index ranges,
+   * n_tokens_removed, text_deduped) — scalar columns, oracle-hashable.
+   */
+  def exciseDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 8, hashGrams: Boolean = true): DataFrame = {
+    val toks = persistTracked(
+      df.select(col(idCol), tokens(col(textCol)).as("__toks")))
+    // positional grams: (id, start, content-key); docs shorter than n emit
+    // none (sequence() would count DOWN on a negative span — guard it out)
+    val posGrams = toks
+      .select(col(idCol), posexplode(
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))))
+      .withColumnRenamed("pos", "__gpos")
+      .withColumn("__gram",
+        if (hashGrams) xxhash64(col("col")) else col("col"))
+      .drop("col")
+    // duplicated gram contents and their global first occurrence
+    val firsts = posGrams.groupBy("__gram")
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("__gpos"))).as("__first"))
+      .filter(col("__cnt") >= 2)
+      .select(col("__gram"), col("__first"))
+    // non-first occurrences of duplicated grams = excision start marks
+    val marked = posGrams.join(firsts, Seq("__gram"))
+      .filter(!(col(idCol) === col("__first")(idCol) &&
+        col("__gpos") === col("__first.__gpos")))
+      .select(col(idCol), col("__gpos"))
+    // per-doc interval merge: sorted starts → one aggregate() scan; spans
+    // [p, p+n) merge when the next start overlaps OR abuts (p <= last end)
+    val emptySpans = array().cast("array<struct<s:int,e:int>>")
+    val spans = marked.groupBy(idCol)
+      .agg(sort_array(collect_list(col("__gpos"))).as("__starts"))
+      .select(col(idCol), aggregate(col("__starts"), emptySpans,
+        (acc, p) => {
+          val last = element_at(acc, -1)
+          when(size(acc) > 0 && p <= last.getField("e"),
+            concat(slice(acc, lit(1), size(acc) - 1), array(struct(
+              last.getField("s").as("s"),
+              greatest(last.getField("e"), p + n).as("e")))))
+          .otherwise(concat(acc, array(struct(
+            p.as("s"), (p + n).as("e")))))
+        }).as("__spans"))
+    val keptToks = filter(col("__toks"), (_, i) =>
+      !exists(col("__spans"), sp =>
+        i >= sp.getField("s") && i < sp.getField("e")))
+    toks.join(spans, Seq(idCol), "left")
+      .withColumn("__spans", coalesce(col("__spans"), emptySpans))
+      .select(col(idCol),
+        size(col("__toks")).as("n_tokens"),
+        size(col("__spans")).as("n_spans"),
+        concat_ws(",", transform(col("__spans"), sp =>
+          concat_ws(":", sp.getField("s"), sp.getField("e")))).as("spans"),
+        (size(col("__toks")) - size(keptToks)).as("n_tokens_removed"),
+        concat_ws(" ", keptToks).as("text_deduped"))
+  }
+
+  /**
    * 3-token shingles from a PRECOMPUTED token-array column.
    *
    * The tokens column must be a materialized attribute (its own projection),

@@ -91,6 +91,78 @@ class DedupSpec extends SparkSuite {
     assert(raw.exists(_.getAs[Long]("n_dup_grams") > 0)) // planted copies are visible
   }
 
+  test("exciseDuplicateSpans: keep-first, maximal merge, full excision, untouched docs") {
+    // docs 1/2 are exact 14-token copies: doc 1 (global first occurrence of
+    // every gram) keeps its text untouched; doc 2's seven n=4 gram spans
+    // [0,4),[1,5)..[10,14) overlap pairwise and must merge to ONE maximal
+    // span [0,14) that excises the entire document.
+    val r = Dedup.exciseDuplicateSpans(docs, "doc_id", "text", n = 4,
+        hashGrams = false)
+      .orderBy("doc_id").collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(byId(1L).getAs[Int]("n_spans") == 0)
+    assert(byId(1L).getAs[String]("text_deduped") ==
+      "the quick brown fox jumps over the lazy dog near the river bank today")
+    assert(byId(2L).getAs[String]("spans") == "0:14")
+    assert(byId(2L).getAs[Int]("n_tokens_removed") == 14)
+    assert(byId(2L).getAs[String]("text_deduped") == "")
+    // doc 3 shares tokens 0..12 with docs 1/2 (differs only in the last
+    // token): duplicated n=4 starts are 0..9, merging to the single maximal
+    // span [0,13) — the last token survives
+    assert(byId(3L).getAs[String]("spans") == "0:13")
+    assert(byId(3L).getAs[String]("text_deduped") == "tonight")
+    // unrelated docs lose nothing
+    assert(byId(4L).getAs[Int]("n_spans") == 0)
+    assert(byId(4L).getAs[Int]("n_tokens_removed") == 0)
+    Dedup.unpersistSketches()
+  }
+
+  test("exciseDuplicateSpans: disjoint duplicated regions stay separate spans") {
+    val s = spark
+    import s.implicits._
+    // shared4a (4 tokens) and shared4b (4 tokens) both appear in doc 1 and
+    // doc 2, separated in doc 2 by a 3-token unique gap — too wide for n=4
+    // spans to merge: doc 2 must report exactly two spans and keep the gap.
+    val df = Seq(
+      (1L, "alpha beta gamma delta filler one two three epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta gap unique words epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val r = Dedup.exciseDuplicateSpans(df, "doc_id", "text", n = 4,
+        hashGrams = false).orderBy("doc_id").collect()
+    val d2 = r.find(_.getLong(0) == 2L).get
+    assert(d2.getAs[String]("spans") == "0:4,7:11")
+    assert(d2.getAs[String]("text_deduped") == "gap unique words")
+    val d1 = r.find(_.getLong(0) == 1L).get
+    assert(d1.getAs[Int]("n_spans") == 0) // first occurrence of both regions
+    Dedup.unpersistSketches()
+  }
+
+  test("exciseDuplicateSpans: within-document repeat keeps only the first instance") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "one two three four middle words here one two three four")
+    ).toDF("doc_id", "text")
+    val r = Dedup.exciseDuplicateSpans(df, "doc_id", "text", n = 4,
+        hashGrams = false).collect()
+    assert(r.head.getAs[String]("spans") == "7:11")
+    assert(r.head.getAs[String]("text_deduped") ==
+      "one two three four middle words here")
+    Dedup.unpersistSketches()
+  }
+
+  test("exciseDuplicateSpans: hashed gram mode (100 TB path) matches raw grams") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val raw = Dedup.exciseDuplicateSpans(real, "doc_id", "text", n = 8,
+      hashGrams = false).orderBy("doc_id").collect().toSeq
+    val hashed = Dedup.exciseDuplicateSpans(real, "doc_id", "text", n = 8,
+      hashGrams = true).orderBy("doc_id").collect().toSeq
+    assert(hashed == raw)
+    assert(raw.exists(_.getAs[Int]("n_spans") > 0)) // planted copies excised
+    Dedup.unpersistSketches()
+  }
+
   test("unpersistSketches releases tracked sketch storage and is idempotent") {
     Dedup.unpersistSketches() // drain anything left by earlier tests
     Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5).count()
