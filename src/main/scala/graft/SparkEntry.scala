@@ -73,6 +73,9 @@ object SparkEntry {
     "dedup_minhash_verified" -> (L.dedupMinhashVerified _),
     "dedup_span_report" -> (L.dedupSpanReport _),
     "dedup_span_excise" -> (L.dedupSpanExcise _),
+    "t_bpe_merges" -> (L.tBpeMerges _),
+    "t_bpe_tokenize" -> (L.tBpeTokenize _),
+    "dedup_streaming_replay" -> (L.dedupStreamingReplay _),
     "dedup_minhash_pairs_10x" -> (L.dedupMinhashPairs10x _),
     "dedup_simhash_pairs" -> (L.dedupSimhashPairs _),
     "dedup_simhash_verified" -> (L.dedupSimhashVerified _),
@@ -111,6 +114,7 @@ object SparkEntry {
     "sim_brute_force_topk" -> (L.simBruteForceTopK _),
     "sim_lsh_recall" -> (L.simLshRecall _),
     "sim_ivf_recall" -> (L.simIvfRecall _),
+    "sim_ivf_indexed" -> (L.simIvfIndexed _),
     "mm_decode_featurize" -> (L.mmDecodeFeaturize _)
   )
 

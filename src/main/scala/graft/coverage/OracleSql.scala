@@ -305,7 +305,120 @@ object OracleSql {
        |          round(avg(nlp), 6) AS nll
        |        FROM sc GROUP BY 1)""".stripMargin
 
+  /**
+   * One BPE merge stage as SQL: rewrite word table `prev` into `out` by
+   * merging, greedily left-to-right, every adjacent (a, b) occurrence of
+   * the pair in `pick` (a 0-or-1-row CTE; empty → stage is a no-op).
+   * Greedy-left-to-right over a run of consecutive matches = take the
+   * run's even offsets — islands (i − row_number over matches) + parity.
+   * Mirrors `BpeSegmentExpr`'s in-place scan exactly.
+   */
+  private def bpeMergeStageSql(prev: String, out: String,
+                               pick: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT word, any_value(cnt) AS cnt,
+       |         list(osym ORDER BY i) FILTER (WHERE osym IS NOT NULL) AS s
+       |  FROM (
+       |    SELECT word, cnt, i,
+       |           CASE WHEN ch = 1 THEN (SELECT a || b FROM $pick)
+       |                WHEN coalesce(lag(ch) OVER (PARTITION BY word ORDER BY i), 0) = 1
+       |                  THEN NULL
+       |                ELSE sym END AS osym
+       |    FROM (
+       |      SELECT word, cnt, i, sym, mk, isl,
+       |             CASE WHEN mk = 1 AND (row_number() OVER (
+       |                    PARTITION BY word, isl ORDER BY i) - 1) % 2 = 0
+       |                  THEN 1 ELSE 0 END AS ch
+       |      FROM (
+       |        SELECT word, cnt, i, sym, mk,
+       |               CASE WHEN mk = 1 THEN i - row_number() OVER (
+       |                      PARTITION BY word, mk ORDER BY i) ELSE NULL END AS isl
+       |        FROM (
+       |          SELECT word, cnt, i, sym,
+       |                 CASE WHEN sym = (SELECT a FROM $pick)
+       |                      AND lead(sym) OVER (PARTITION BY word ORDER BY i)
+       |                          = (SELECT b FROM $pick)
+       |                      THEN 1 ELSE 0 END AS mk
+       |          FROM (SELECT word, cnt, generate_subscripts(s, 1) AS i,
+       |                       unnest(s) AS sym FROM $prev)))))
+       |  GROUP BY word)""".stripMargin
+
+  /** Pair census + argmax pick for one learn round (count DESC, then
+    * lexicographically smallest pair — the cross-engine tie-break). */
+  private def bpePickStageSql(prev: String, k: Int): String =
+    s"""p$k AS MATERIALIZED (SELECT a, b, sum(cnt) AS c FROM
+       |  (SELECT cnt, unnest(s[1:len(s)-1]) AS a, unnest(s[2:len(s)]) AS b
+       |   FROM $prev)
+       |  GROUP BY a, b),
+       |pick$k AS (SELECT a, b FROM p$k ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
+
+  /** The full BPE learn chain (word counts → ASCII gate → top-`vocabCap`
+    * vocab → `nMerges` pick/merge rounds), ending at CTE `w<nMerges>` with
+    * picks `pick1..pick<nMerges>` in scope. Generated from the SAME
+    * (nMerges, vocabCap, gate) configuration the Spark operator uses, so
+    * the two cannot drift. */
+  private def bpeLearnChainSql(nMerges: Int, vocabCap: Int): String = {
+    val head =
+      s"""wc AS (SELECT w AS word, count(*) AS cnt FROM
+         |        (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |         FROM documents)
+         |       WHERE regexp_matches(w, '^[\\x21-\\x7e]+$$')
+         |       GROUP BY w),
+         |topv AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT $vocabCap),
+         |w0 AS MATERIALIZED (SELECT word, cnt, regexp_extract_all(word, '.') AS s FROM topv)""".stripMargin
+    val stages = (1 to nMerges).map { k =>
+      bpePickStageSql(s"w${k - 1}", k) + ",\n" +
+        bpeMergeStageSql(s"w${k - 1}", s"w$k", s"pick$k")
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  /** Apply chain: every DISTINCT corpus word (no gate — apply handles any
+    * word) run through the learned merges in rank order, reusing the same
+    * stage machinery against pick1..pick<nMerges>. Ends at `aw<nMerges>`. */
+  private def bpeApplyChainSql(nMerges: Int): String = {
+    val head =
+      s"""aw0 AS MATERIALIZED (SELECT word, 1 AS cnt, regexp_extract_all(word, '.') AS s FROM
+         |  (SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+         |   FROM documents))""".stripMargin
+    val stages = (1 to nMerges).map { k =>
+      bpeMergeStageSql(s"aw${k - 1}", s"aw$k", s"pick$k")
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  private val BpeMerges = 24
+  private val BpeVocabCap = 2000
+
   val sql: Map[String, String] = Map(
+    // Trained-BPE learn replay: re-derive every merge round from scratch
+    // (pair counts, argmax tie-break, greedy merge) — rows where the
+    // vocabulary exhausted early simply don't exist on either side.
+    "t_bpe_merges" ->
+      s"""WITH ${bpeLearnChainSql(BpeMerges, BpeVocabCap)}
+         |SELECT CAST(rank AS BIGINT) AS rank, a, b FROM (
+         |${(1 to BpeMerges).map(k =>
+             s"  SELECT $k AS rank, a, b FROM pick$k").mkString("\n  UNION ALL\n")}
+         |) WHERE a IS NOT NULL ORDER BY rank""".stripMargin,
+
+    // Trained-BPE apply replay: the oracle learns its OWN merges (chain
+    // above), applies them to every corpus word, and reassembles per-doc
+    // segmentations — certifying learn AND apply with no circularity.
+    "t_bpe_tokenize" ->
+      s"""WITH ${bpeLearnChainSql(BpeMerges, BpeVocabCap)},
+         |${bpeApplyChainSql(BpeMerges)},
+         |seg AS (SELECT word, array_to_string(s, '@@') AS seg, len(s) AS nsub
+         |        FROM aw$BpeMerges),
+         |tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |       FROM documents),
+         |tp AS (SELECT doc_id, unnest(toks) AS word,
+         |              generate_subscripts(toks, 1) AS i FROM tk)
+         |SELECT tp.doc_id, count(*) AS n_tokens,
+         |       CAST(sum(seg.nsub) AS BIGINT) AS n_subwords,
+         |       string_agg(seg.seg, ' ' ORDER BY tp.i) AS text_bpe
+         |FROM tp JOIN seg USING (word)
+         |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
+
     "samp_deterministic" ->
       s"""SELECT doc_id FROM documents
          |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.1)}
@@ -734,6 +847,45 @@ object OracleSql {
         |FROM tk LEFT JOIN spstr USING (doc_id)
         |LEFT JOIN keptt ON keptt.doc_id = tk.doc_id
         |ORDER BY tk.doc_id""".stripMargin,
+
+    // Streaming-dedup replay ground truth: each batch crossed against the
+    // corpus plus every EARLIER batch only (batch 3 shares nothing planted;
+    // any natural near-dups it has are in the truth too). Certifies the
+    // foreachBatch state evolution — see LlmOpQueries.dedupStreamingReplay.
+    "dedup_streaming_replay" ->
+      s"""WITH c0 AS (
+         |  SELECT doc_id, text, 0 AS batch FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id < 1000),
+         |b1 AS (
+         |  SELECT doc_id + 10000000 AS doc_id, text || ' extraword' AS text,
+         |         1 AS batch
+         |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 1000),
+         |b2 AS (
+         |  SELECT doc_id + 20000000 AS doc_id,
+         |         text || ' extraword extrabatch' AS text, 2 AS batch
+         |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 1000),
+         |b3 AS (
+         |  SELECT doc_id + 30000000 AS doc_id, text, 3 AS batch
+         |  FROM documents WHERE doc_id % 10 = 5 AND doc_id < 1000),
+         |news AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+         |         UNION ALL SELECT * FROM b3),
+         |olds AS (SELECT * FROM c0 UNION ALL SELECT * FROM b1
+         |         UNION ALL SELECT * FROM b2),
+         |shn AS (SELECT doc_id, batch, ${shingleSql("toks")} AS sh FROM (
+         |  SELECT doc_id, batch,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM news)),
+         |sho AS (SELECT doc_id, batch, ${shingleSql("toks")} AS sh FROM (
+         |  SELECT doc_id, batch,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM olds)),
+         |pairs AS (SELECT n.doc_id AS new_id, o.doc_id AS corpus_id,
+         |       CASE WHEN len(list_distinct(list_concat(n.sh, o.sh))) = 0 THEN 0.0
+         |            ELSE CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+         |                 / len(list_distinct(list_concat(n.sh, o.sh))) END AS jaccard
+         |FROM shn n JOIN sho o ON o.batch < n.batch)
+         |SELECT new_id, corpus_id, jaccard FROM pairs WHERE jaccard >= 0.7
+         |ORDER BY new_id, corpus_id""".stripMargin,
 
     // Exact all-pairs n-gram Jaccard over the same bounded sub-corpus the
     // Spark query LSH-buckets: equality therefore certifies FULL LSH recall

@@ -46,6 +46,18 @@ object TableLayout {
                     buckets: Int = 32): Unit =
     writeBucketed(df, table, Seq(key), buckets)
 
+  /** Drop a managed table AND its warehouse location. `mode("overwrite")`
+    * alone is not enough across JVM sessions: a table directory orphaned by
+    * a previous session (catalog entry gone, files present) makes CREATE
+    * fail with LOCATION_ALREADY_EXISTS. */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Multi-column bucket key variant — e.g. the MinHash band index bucketed
     * by (band, band_hash) so incremental-dedup candidate joins read the
     * corpus side shuffle-free (only the new batch exchanges; proven in
@@ -53,6 +65,7 @@ object TableLayout {
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     buckets: Int): Unit = {
     require(keys.nonEmpty, "at least one bucket key")
+    dropTable(df.sparkSession, table)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)

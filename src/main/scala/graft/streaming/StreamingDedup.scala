@@ -55,7 +55,7 @@ object StreamingDedup {
   /** One micro-batch: dedup against the index, then grow the index. Factored
     * out of the foreachBatch closure so batch semantics are testable without
     * a streaming harness. */
-  private[streaming] def processBatch(
+  private[graft] def processBatch(
       spark: SparkSession, batch: DataFrame,
       corpusPath: String, indexPath: String, pairsPath: String,
       idCol: String, textCol: String,

@@ -125,6 +125,57 @@ class SimilaritySearchSpec extends SparkSuite {
     assert(recall >= 0.95, s"clustered-corpus recall@5 = $recall")
   }
 
+  test("persisted IVF index: probe matches inline path bit-for-bit, corpus side shuffle-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 400).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 5)
+    SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding",
+      "ivf_spec_idx", nLists = 8, trainIters = 2, buckets = 4)
+    val indexed = SimilaritySearch.ivfTopKIndexed(spark, "ivf_spec_idx",
+      q, "vec_id", "embedding", k = 5, nProbe = 3)
+    val inline = SimilaritySearch.ivfTopK(corpus, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nLists = 8, nProbe = 3, trainIters = 2)
+    // training is deterministic, so the persisted index must reproduce the
+    // inline path's answers exactly
+    assert(indexed.orderBy("query_id", "rank").collect().toSeq ==
+      inline.orderBy("query_id", "rank").collect().toSeq)
+
+    // plan certification: with broadcast off, the candidate join reads the
+    // bucketed assignment table with ZERO Exchange on the corpus side —
+    // only the (tiny) probe stream shuffles (band-index pattern)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probed = SimilaritySearch.ivfTopKIndexed(spark, "ivf_spec_idx",
+        q, "vec_id", "embedding", k = 5, nProbe = 3)
+      // assert on the static plan (AQE may still upgrade the probe side to
+      // a runtime broadcast — in which case the corpus side is trivially
+      // exchange-free too)
+      val root = probed.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      val joins = root.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, "no shuffled join found in indexed probe plan")
+      val corpusSide = joins.head.children.find(c =>
+        c.toString.contains("ivf_spec_idx")).getOrElse(
+        fail("assignment-table scan not under the candidate join"))
+      assert(corpusSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"corpus side of indexed probe shuffled:\n$corpusSide")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("cosineNearDuplicates finds a planted duplicate vector") {
     val s = spark
     import s.implicits._
