@@ -74,7 +74,15 @@ object Bench {
     // engine's materialized CTE); resetDerivedCaches() below invalidates
     // them before every timed pass, so each pass pays that computation once
     // rather than the first pass filling a cache the rest re-read.
-    val prepared = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY: comma-separated query-name filter for isolated
+    // profiling runs; absent → the full set (the driver's mode).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(o) => SparkEntry.queries.filter { case (n, _) => o(n) }
+      case None => SparkEntry.queries
+    }
+    val prepared = selected.map { case (name, fn) =>
       name -> (try Some(fn(spark, sfDir)) catch { case _: Throwable => None })
     }
 
@@ -89,7 +97,7 @@ object Bench {
     // keeps one stall from poisoning every repeat of a single query, and the
     // min recovers the true warm execution time the baseline methodology
     // asks for (BASELINE.md §d).
-    val names = SparkEntry.queries.keys.toSeq
+    val names = selected.keys.toSeq
     val times = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     for (pass <- 1 to 5) {
