@@ -66,9 +66,9 @@ object Bench {
 
     // Prepared-statement model: each query's DataFrame (analysis +
     // optimization + physical planning) is built ONCE; timed passes measure
-    // execution. Dataset.count() wraps the cached logical plan in a fresh
-    // aggregate each call, so every timed run re-executes all stages —
-    // shuffles included — from the persisted session tables. The only frames
+    // execution. Each noop-sink write plans a fresh write job over the cached
+    // logical plan, so every timed run re-executes all stages — shuffles
+    // included — from the persisted session tables. The only frames
     // persisted beyond the input tables are the dedup operators' internal
     // sketch intermediates (multi-consumer within one plan, like a SQL
     // engine's materialized CTE); resetDerivedCaches() below invalidates
@@ -86,9 +86,19 @@ object Bench {
       name -> (try Some(fn(spark, sfDir)) catch { case _: Throwable => None })
     }
 
+    // Timed action: the noop sink, NOT count(). count() lets Catalyst prune
+    // every column a no-filter projection computes — t_filter_cascade's whole
+    // regex-metric stage collapsed to counting cached input rows (0.04 s at
+    // sf1 where the evaluated query costs seconds), and every projection-only
+    // query's scaling ratio read as a flat 1.0× artifact. The noop sink
+    // evaluates the full SELECT on the executors and discards it — the same
+    // work DuckDB's fetchall-based baseline pays, minus driver transfer.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // warmup pass (untimed): JIT, codegen cache, table buffer pool, broadcasts
     prepared.foreach { case (_, df) =>
-      try df.foreach(_.count()) catch { case _: Throwable => () }
+      try df.foreach(run) catch { case _: Throwable => () }
     }
 
     // Timed: 5 interleaved passes over the whole query set, min per query.
@@ -113,7 +123,7 @@ object Bench {
           val t0 = System.nanoTime()
           val ok = try {
             prepared(name) match {
-              case Some(df) => df.count(); true
+              case Some(df) => run(df); true
               case None => failed += name; false
             }
           } catch { case _: Throwable => failed += name; false }
