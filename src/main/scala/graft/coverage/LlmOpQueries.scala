@@ -48,13 +48,13 @@ object LlmOpQueries {
   // Persisted like OperatorQueries.T: the docs/embeddings tables serve ~10
   // sketch queries per session; the buffer-pool copy is populated in the
   // untimed warmup pass (warm methodology, BASELINE.md §d).
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docs(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "documents"),
       s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sessionState.conf.numShufflePartitions)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  private def embeddings(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embeddings(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "embeddings"),
       s.read.parquet(s"$dir/embeddings.parquet")
         .repartition(s.sessionState.conf.numShufflePartitions)

@@ -70,7 +70,7 @@ object OperatorQueries {
     * sf0.001. */
   private val boundedDims = Set("region", "nation", "supplier", "customer", "part")
 
-  private[coverage] def T(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def T(s: SparkSession, dir: String, name: String): DataFrame =
     tableCache.getOrElseUpdate((s, dir, name), {
       val df =
         if (name == "events") events(s, dir)
@@ -126,13 +126,19 @@ object OperatorQueries {
     } catch { case _: Exception => 0L }
 
   /**
-   * The events table carries a nanosecond-precision parquet timestamp, which
-   * Spark 4 only reads via `spark.sql.legacy.parquet.nanosAsLong` (set in
-   * Verify/Bench session builders). Normalize to a proper TimestampType at µs
-   * precision with exact long division (double division would lose precision
-   * on epoch-nanos magnitudes).
+   * The events table's `ts` physical type has drifted across testdata
+   * generations — nanos-as-long (needs `spark.sql.legacy.parquet.nanosAsLong`,
+   * set defensively below), then `timestamp[us]` without timezone (read as
+   * TIMESTAMP_NTZ). Normalize every generation to a proper TimestampType:
+   * exact long division for the nanos case (double division would lose
+   * precision at epoch-nanos magnitudes), and a plain cast for NTZ — the
+   * session timezone is pinned to UTC in every entry point, so
+   * NTZ→TIMESTAMP keeps the wall-clock AND the instant bit-identical.
+   * TestdataSchemaSpec pins this loader's output schema at all sf dirs so
+   * the next writer drift fails in one named suite, not as scattered
+   * analysis errors (round-5 verdict item 2).
    */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     // Defensive: the caller's session may not have set the legacy flag (e.g.
     // a driver-owned smoke session); it is runtime-settable, so set it before
     // the first read rather than failing with PARQUET_TYPE_ILLEGAL.
@@ -141,6 +147,8 @@ object OperatorQueries {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

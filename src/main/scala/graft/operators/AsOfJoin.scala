@@ -39,10 +39,24 @@ object AsOfJoin {
    * @param strict    true → match strictly-before (`<`); false → `<=`
    */
   def asofBackward(
-      left: DataFrame, leftKey: String, leftTime: String,
-      right: DataFrame, rightKey: String, rightTime: String,
+      left0: DataFrame, leftKey: String, leftTime: String,
+      right0: DataFrame, rightKey: String, rightTime: String,
       rightCols: Seq[String] = Seq.empty,
       strict: Boolean = false): DataFrame = {
+
+    // The two sides' time columns are unioned into one `__t`; testdata
+    // generations differ in whether a parquet timestamp arrives as TIMESTAMP
+    // or TIMESTAMP_NTZ, and a mixed union would either fail coercion or
+    // silently coerce one side. Normalize both to TIMESTAMP up front (UTC
+    // session ⇒ bit-identical wall-clock and instant).
+    def normTs(df: DataFrame, c: String): DataFrame =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn(c, col(c).cast("timestamp"))
+        case _ => df
+      }
+    val left = normTs(left0, leftTime)
+    val right = normTs(right0, rightTime)
 
     val carry =
       if (rightCols.nonEmpty) rightCols

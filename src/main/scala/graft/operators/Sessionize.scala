@@ -32,13 +32,29 @@ object Sessionize {
     Seq(col(tsCol), col(idCol))
 
   /**
+   * Defensive input normalization: `unix_micros` only accepts TIMESTAMP, but
+   * parquet written without timezone annotation arrives as TIMESTAMP_NTZ
+   * (exactly how the round-5 testdata regeneration broke this operator at
+   * analysis time). Under a UTC session — every graft entry point pins
+   * `spark.sql.session.timeZone=UTC` — the NTZ→TIMESTAMP cast preserves both
+   * wall-clock and instant, so session boundaries are bit-identical.
+   */
+  private def normalizeTs(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+
+  /**
    * Adds `session_seq` (1-based per key, in time order). `idCol` breaks
    * ordering ties — equal-timestamp events are gap-0 and land in the same
    * session either way, but a total order keeps downstream row-level output
    * deterministic.
    */
-  def withSessionIds(df: DataFrame, keyCol: String, tsCol: String,
+  def withSessionIds(df0: DataFrame, keyCol: String, tsCol: String,
                      idCol: String, gapSeconds: Long): DataFrame = {
+    val df = normalizeTs(df0, tsCol)
     val w = Window.partitionBy(keyCol).orderBy(sortKeys(tsCol, idCol): _*)
     val prev = lag(unix_micros(col(tsCol)), 1).over(w)
     val isNew = when(prev.isNull ||
@@ -71,10 +87,12 @@ object Sessionize {
    * plan for [[sessionStats]]' counts: groupBy(key, session_window) with
    * map-side partial merge instead of a window sort.
    */
-  def sessionWindowAgg(df: DataFrame, keyCol: String, tsCol: String,
-                       gapSeconds: Long): DataFrame =
+  def sessionWindowAgg(df0: DataFrame, keyCol: String, tsCol: String,
+                       gapSeconds: Long): DataFrame = {
+    val df = normalizeTs(df0, tsCol)
     df.groupBy(col(keyCol), session_window(col(tsCol), s"$gapSeconds seconds"))
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("window_end"), col("n_events"))
+  }
 }

@@ -32,9 +32,16 @@ class SessionizeSpec extends SparkSuite {
     assert(d == 9L * 60 * 1000000)
   }
 
+  // Route through the shared coverage loader (the exact frame Verify/Bench
+  // feed the operator) instead of a private re-cast of the raw parquet — the
+  // round-5 testdata regeneration changed ts's physical type and the spec's
+  // hardcoded nanos cast broke alongside the queries; the shared loader
+  // normalizes every known generation in one place.
+  private def events: org.apache.spark.sql.DataFrame =
+    graft.coverage.OperatorQueries.T(spark, "/root/testdata/sf0.001", "events")
+
   test("window-function path and session_window path partition identically") {
-    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val e = events
     val gap = 4L * 3600
     val a = Sessionize.sessionStats(e, "user_id", "ts", "event_id", gap)
       .select("user_id", "session_start", "n_events")
@@ -45,8 +52,7 @@ class SessionizeSpec extends SparkSuite {
   }
 
   test("both stacked windows share ONE exchange and ONE sort") {
-    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val e = events
     val plan = Sessionize
       .withSessionIds(e, "user_id", "ts", "event_id", gapSeconds = 3600)
       .queryExecution.executedPlan.toString

@@ -55,10 +55,13 @@ def main():
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
+        p = Path(f"{sf_dir}/{t}.parquet")
+        if p.is_dir():  # Spark-written dataset dir
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif p.exists():  # single-file parquet (current testdata generation)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_pass = n_fail = n_skip = 0
     for qdir in sorted(out_dir.iterdir()):
         name = qdir.name
