@@ -693,12 +693,23 @@ object OperatorQueries {
     * so an estimator regression past the bound flips the hash compare
     * (rows-only checks can't see inside a row — round-3 verdict #3's
     * lesson, applied to the sketch queries). Spark's HLL++ is
-    * deterministic for fixed data, so the verdict is stable, and the timed
-    * query still pays both aggregates. */
+    * deterministic for fixed data, so the verdict is stable.
+    *
+    * Shape (round-5 verdict item 3): asking for `countDistinct` and the HLL
+    * in ONE agg makes Catalyst's one-distinct rewrite key the partial
+    * aggregate on user_id and carry the full 400-word HLL register buffer
+    * PER GROUP (the r5 plan's `Results [411]` — megabytes of sketch rows
+    * through the shuffle; 0.51 s at sf0.1). HLL registers are max-merged,
+    * so the sketch over the DISTINCT value set is bit-identical to the
+    * sketch over the multiset — dedup first (zero-Exchange partial+final on
+    * the user_id-co-partitioned cache), then compute exact count and HLL in
+    * one pass over the deduped keys: ONE sketch buffer per partition, not
+    * per user. Same rewrite a planner applies at 100 TB. */
   def a8ApproxCountDistinct(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
-      .agg(approx_count_distinct("user_id", 0.02).as("approx_users"),
-        countDistinct("user_id").as("exact_users"))
+      .select("user_id").distinct()
+      .agg(count("user_id").as("exact_users"),
+        approx_count_distinct("user_id", 0.02).as("approx_users"))
       .select(col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast("double") /
           col("exact_users") <= 0.05).as("within_5pct"))

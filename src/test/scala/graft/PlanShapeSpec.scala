@@ -173,20 +173,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("LM scoring: model tables broadcast, one exchange carries (id, partial sums)") {
+  test("LM scoring: model broadcasts as 1-row maps, score path fused and shuffle-free") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val scored = graft.text.LmScore.perplexityFilter(
       docs, "doc_id", "text", org.apache.spark.sql.functions.col("lang") === "en")
     val p = plan(scored)
-    assert(p.contains("BroadcastHashJoin"), p)
+    // model (bigram/prefix maps + vocab scalar) rides as broadcast 1-row
+    // relations; the corpus side is one narrow fused projection — the only
+    // exchanges in the plan belong to the model-build aggregations
+    assert(p.contains("bigram_nll"), "fused scoring expression missing: " + p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"),
       "the corpus side must never sort-merge against the model: " + p)
-    assert(p.contains("partial_"), "doc aggregation lost map-side combine: " + p)
-    // exchanges: the two model-count aggs + vocab count-distinct (bounded
-    // model side) and the per-doc agg; the SCORE stream itself shuffles only
-    // collapsed (doc_id, partial sums) rows
+    assert(p.contains("partial_"), "model aggregation lost map-side combine: " + p)
     assert(!p.contains("CartesianProduct"),
-      "vocab scalar must broadcast-nested-loop (1 row), not cartesian: " + p)
+      "model rows must broadcast-nested-loop (1 row), not cartesian: " + p)
   }
 
   test("HTML extraction and z-order keys are shuffle-free narrow projections") {

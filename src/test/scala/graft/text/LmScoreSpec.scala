@@ -59,4 +59,33 @@ class LmScoreSpec extends SparkSuite {
     assert(keptIn && !keptOut)
     assert(out(23L) === ((0L, None, false)))
   }
+
+  test("fused one-pass scoring ≡ the exploded join formulation, row for row") {
+    // real data, both directions of exceptAll — any n_bigrams/nll/kept drift
+    // between BigramNllExpr and the explode + broadcast-join reference fails
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = LmScore.train(docs.filter(col("lang") === "en"), "text")
+    val fused = LmScore.score(docs, "doc_id", "text", model, maxNll = 3.40)
+    val exploded = LmScore.scoreExploded(docs, "doc_id", "text", model, maxNll = 3.40)
+    assert(fused.count() === docs.count())
+    assert(fused.exceptAll(exploded).isEmpty && exploded.exceptAll(fused).isEmpty)
+  }
+
+  test("fused scoring plans no shuffle and no join on the score path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = LmScore.train(docs.filter(col("lang") === "en"), "text")
+    val p = LmScore.score(docs, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    // the only exchanges belong to the model-build side (bigram/prefix/vocab
+    // aggregations); the document stream itself must stay narrow: its scan
+    // feeds broadcast nested-loop joins (1-row model maps) and one projection
+    assert(p.contains("bigram_nll"), p)
+    assert(!p.contains("SortMergeJoin"), "corpus side must never sort-merge: " + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // no per-bigram Generate on the score side: every Generate in the plan is
+    // under the model-build aggregates, which sit below broadcast exchanges
+    val scoreSide = p.substring(0, p.indexOf("BroadcastNestedLoopJoin"))
+    assert(!scoreSide.contains("Generate"),
+      "score path regained a per-bigram explode: " + p)
+  }
 }
