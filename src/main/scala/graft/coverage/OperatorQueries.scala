@@ -40,6 +40,7 @@ object OperatorQueries {
   def clearCache(): Unit = {
     tableCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     tableCache.clear()
+    keyedWidthCache.clear()
   }
 
   /**
@@ -101,9 +102,19 @@ object OperatorQueries {
       } else if (sz > 256 * 1024) {
         layoutKey.get(name) match {
           case Some(key) =>
-            // Keyed layout: full session shuffle width for every keyed table
-            // so co-joined tables' HashPartitionings match (see layoutKey).
-            df.repartition(s.sessionState.conf.numShufflePartitions, col(key))
+            // Keyed layout: ONE shared width for every keyed table so
+            // co-joined tables' HashPartitionings match (see layoutKey) —
+            // but sized by data, not hardcoded to the session width: the
+            // width of every keyed cache drives the task count of every
+            // downstream stage over it, and at bench scale (megabytes) a
+            // 16-task stage pays more in task launches than a 5-task stage
+            // pays in lost parallelism (round-5 verdict item 4: the sub-MB
+            // dashboard queries were floor-bound on stage width). The
+            // shared value comes from the LARGEST keyed table at ~2 MB of
+            // parquet per partition, clamped to [4, session width] — at
+            // production bytes the formula saturates at the session width,
+            // so this is purely a small-scale floor trim.
+            df.repartition(keyedWidth(s, dir), col(key))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           case None =>
             // Width ~ bytes: at bench scale each task costs ~ms to schedule,
@@ -116,6 +127,21 @@ object OperatorQueries {
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         }
       } else df
+    })
+
+  /** Shared hash-partition width for ALL keyed caches of one sf dir (widths
+    * must MATCH across co-joined tables or the smaller side re-shuffles):
+    * largest keyed table / ~2 MB parquet per partition, clamped to
+    * [4, session shuffle width]. */
+  private val keyedWidthCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+
+  private def keyedWidth(s: SparkSession, dir: String): Int =
+    keyedWidthCache.getOrElseUpdate((s, dir), {
+      val maxBytes = layoutKey.keysIterator
+        .map(t => fileSize(s, s"$dir/$t.parquet")).max
+      math.max(4L, math.min(maxBytes / (2L * 1024 * 1024),
+        s.sessionState.conf.numShufflePartitions.toLong)).toInt
     })
 
   private def fileSize(s: SparkSession, path: String): Long =
