@@ -100,17 +100,27 @@ object LmScore {
    * bigrams score null and are never kept (no evidence).
    *
    * Plan shape (round-5 verdict item 5): the model collapses to single-row
-   * broadcast MAP columns — nested `w1→(w2→c12)` plus `w1→c1` — and
-   * [[graft.expressions.BigramNllExpr]] scores each token array in one
-   * narrow pass. ZERO shuffles and zero per-bigram rows on the score path
-   * (the exploded formulation below pushed |tokens| rows per doc through
-   * two joins and an aggregate — the 10× bench's dominant cost). Training
-   * still executes inside the plan: the map aggregation re-runs with every
-   * broadcast build, exactly like the old model-table broadcasts.
+   * MAP values — nested `w1→(w2→c12)` plus `w1→c1` — carried as SCALAR
+   * SUBQUERIES, and [[graft.expressions.BigramNllExpr]] scores each token
+   * array in one narrow pass. ZERO shuffles, zero joins, and zero
+   * per-bigram rows on the score path (the exploded formulation below
+   * pushed |tokens| rows per doc through two joins and an aggregate — the
+   * 10× bench's dominant cost). Training still executes inside every run:
+   * the subquery stages re-execute with each query execution, exactly like
+   * the old model-table broadcasts.
+   *
+   * Why subqueries and not 1-row broadcast JOINS: a joined map column is
+   * physically COPIED into every output row when the join materializes
+   * UnsafeRows — at sf1-10× that was ~MB of model bytes memcpy'd per
+   * document plus a hash-view rebuild per row (the map object differs per
+   * row), measured 52.9× wall-clock for 10× data. The subquery result
+   * ships once per task binary instead; the expression's per-task hash
+   * view then builds exactly once.
    */
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: BigramModel, k: Double = 0.5, maxNll: Double = 6.0,
             roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.scalarSubquery
     val bgRow = model.bg
       .groupBy("w1")
       .agg(map_from_entries(collect_list(struct(col("w2"), col("c12")))).as("m"))
@@ -118,12 +128,9 @@ object LmScore {
     val pfxRow = model.pfx
       .agg(map_from_entries(collect_list(struct(col("w1"), col("c1")))).as("__pfx"))
     docs
-      .crossJoin(broadcast(bgRow))
-      .crossJoin(broadcast(pfxRow))
-      .crossJoin(broadcast(model.v))
       .withColumn("__s", graft.expressions.LmExpressions.bigram_nll(
-        TextAnalysis.tokens(col(textCol)), col("__bg"), col("__pfx"),
-        col("v"), k))
+        TextAnalysis.tokens(col(textCol)), scalarSubquery(bgRow),
+        scalarSubquery(pfxRow), scalarSubquery(model.v), k))
       .select(col(idCol),
         col("__s").getField("n_bigrams").as("n_bigrams"),
         round(col("__s").getField("nll_sum") /

@@ -173,21 +173,27 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("LM scoring: model broadcasts as 1-row maps, score path fused and shuffle-free") {
+  test("LM scoring: model rides as scalar subqueries, score path fused and shuffle-free") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val scored = graft.text.LmScore.perplexityFilter(
       docs, "doc_id", "text", org.apache.spark.sql.functions.col("lang") === "en")
     val p = plan(scored)
-    // model (bigram/prefix maps + vocab scalar) rides as broadcast 1-row
-    // relations; the corpus side is one narrow fused projection — the only
-    // exchanges in the plan belong to the model-build aggregations
+    // model (nested bigram map, prefix map, vocab scalar) rides as scalar
+    // subqueries whose training aggregations live inside the projection's
+    // subquery EXPRESSIONS; collecting the operator tree's node names gives
+    // the per-document score path alone — it must contain no join and no
+    // explode. A broadcast JOIN of the map would copy model bytes into
+    // every output row (the sf1-10× super-linearity found in round 6).
     assert(p.contains("bigram_nll"), "fused scoring expression missing: " + p)
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("SortMergeJoin"),
-      "the corpus side must never sort-merge against the model: " + p)
-    assert(p.contains("partial_"), "model aggregation lost map-side combine: " + p)
-    assert(!p.contains("CartesianProduct"),
-      "model rows must broadcast-nested-loop (1 row), not cartesian: " + p)
+    assert(p.contains("Subquery"), "model must ride as subqueries: " + p)
+    val root = scored.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case other => other
+    }
+    val banned = root.collect { case n => n.nodeName }
+      .filter(n => n.contains("Join") || n.contains("Generate"))
+    assert(banned.isEmpty, s"score path must not join/explode, found $banned in: $p")
   }
 
   test("HTML extraction and z-order keys are shuffle-free narrow projections") {

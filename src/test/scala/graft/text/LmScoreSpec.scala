@@ -71,21 +71,30 @@ class LmScoreSpec extends SparkSuite {
     assert(fused.exceptAll(exploded).isEmpty && exploded.exceptAll(fused).isEmpty)
   }
 
-  test("fused scoring plans no shuffle and no join on the score path") {
+  test("fused scoring is a single narrow projection — no join, no shuffle, no explode") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val model = LmScore.train(docs.filter(col("lang") === "en"), "text")
     val p = LmScore.score(docs, "doc_id", "text", model)
       .queryExecution.executedPlan.toString
-    // the only exchanges belong to the model-build side (bigram/prefix/vocab
-    // aggregations); the document stream itself must stay narrow: its scan
-    // feeds broadcast nested-loop joins (1-row model maps) and one projection
+    // the model rides as scalar subqueries; their plans (the training
+    // aggregations) live inside the projection's subquery EXPRESSIONS, not
+    // in the operator tree — so collecting the tree's node names gives the
+    // per-document score path alone: it must be scan → projections, with no
+    // join/shuffle/explode. A joined model column would copy the map bytes
+    // into every row — the sf1-10× super-linearity this shape prevents.
     assert(p.contains("bigram_nll"), p)
-    assert(!p.contains("SortMergeJoin"), "corpus side must never sort-merge: " + p)
-    assert(!p.contains("CartesianProduct"), p)
-    // no per-bigram Generate on the score side: every Generate in the plan is
-    // under the model-build aggregates, which sit below broadcast exchanges
-    val scoreSide = p.substring(0, p.indexOf("BroadcastNestedLoopJoin"))
-    assert(!scoreSide.contains("Generate"),
-      "score path regained a per-bigram explode: " + p)
+    assert(p.contains("Subquery"), "model must ride as subqueries: " + p)
+    val exec = LmScore.score(docs, "doc_id", "text", model)
+      .queryExecution.executedPlan
+    val root = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case other => other
+    }
+    val nodes = root.collect { case n => n.nodeName }
+    val banned = nodes.filter(n =>
+      n.contains("Join") || n.contains("Generate") || n.contains("Exchange"))
+    assert(banned.isEmpty,
+      s"score path must be a narrow projection, found $banned in: $p")
   }
 }
