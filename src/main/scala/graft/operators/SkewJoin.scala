@@ -57,4 +57,61 @@ object SkewJoin {
           salted(largeKey) === replicated(smallKey))
       .drop("__salt")
   }
+
+  /**
+   * TARGETED salting — the production form: detect the hot keys from a
+   * SAMPLE of the large side, salt only those, and replicate each small-side
+   * row only if its key is hot. Blanket salting ([[saltedJoin]]) pays the
+   * `saltFactor`× small-side replication and the widened join condition for
+   * EVERY key, hot or not; at scale the replication alone multiplies the
+   * dim's shuffle volume. Here cold keys join exactly as in a plain shuffle
+   * join (salt 0, one dim copy) and only the hot keys fan out.
+   *
+   * Correctness does not depend on the detection: salting any subset of
+   * keys is result-preserving (each large row still meets each matching
+   * small row exactly once — for a hot key, on the row's own salt; for a
+   * cold key, on salt 0), so sampling noise costs only efficiency, never
+   * rows. The sample → count → threshold pipeline is the same decision
+   * AQE's skew-join makes from map-output statistics, expressed
+   * declaratively; the hot-key list is aggregate-bounded (≤ 1/hotShare
+   * keys can each hold ≥ hotShare of the sample) and broadcasts.
+   *
+   * @param sampleFraction fraction of the large side sampled for detection
+   *                       (scale this DOWN as the input grows — detection
+   *                       needs a fixed absolute sample, not a fixed rate)
+   * @param hotShare       a key is hot if it holds ≥ this share of sampled
+   *                       rows (also floor-of-2 rows, so a 1-row sample
+   *                       cannot declare a hot key)
+   */
+  def saltedJoinTargeted(large: DataFrame, largeKey: String,
+                         small: DataFrame, smallKey: String,
+                         saltFactor: Int = 8,
+                         sampleFraction: Double = 0.01,
+                         hotShare: Double = 0.01): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val sampled = large.select(col(largeKey).as("__k"))
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+    val total = sampled.agg(count(lit(1)).as("__n"))
+    val hot = sampled.groupBy("__k").agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(total))
+      .filter(col("__c") >= greatest(col("__n") * hotShare, lit(2.0)))
+      .select(col("__k"), lit(1).as("__hot"))
+
+    val salted = large
+      .join(broadcast(hot), large(largeKey) === hot("__k"), "left")
+      .withColumn("__salt", when(col("__hot").isNotNull,
+        pmod(xxhash64(large.columns.map(col): _*), lit(saltFactor)).cast("int"))
+        .otherwise(lit(0)))
+      .drop("__k", "__hot")
+    val replicated = small
+      .join(broadcast(hot), small(smallKey) === hot("__k"), "left")
+      .withColumn("__salt", explode(when(col("__hot").isNotNull,
+        array((0 until saltFactor).map(lit): _*)).otherwise(array(lit(0)))))
+      .drop("__k", "__hot")
+      .hint("shuffle_hash")
+    salted.join(replicated,
+        salted("__salt") === replicated("__salt") &&
+          salted(largeKey) === replicated(smallKey))
+      .drop("__salt")
+  }
 }

@@ -102,4 +102,61 @@ class SkewJoinSpec extends SparkSuite {
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("targeted: result equals plain join on the skewed corpus and row count is exact") {
+    val s = spark
+    import s.implicits._
+    val large = ((1 to 2000).map(i => (0L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong, i.toLong * 10))).toDF("k", "payload")
+    val small = (0 to 100).map(i => (i.toLong, s"dim_$i")).toDF("dk", "attr")
+    val salted = SkewJoin
+      .saltedJoinTargeted(large, "k", small, "dk", saltFactor = 8,
+        sampleFraction = 0.5, hotShare = 0.05)
+      .select("k", "payload", "attr")
+    val plain = large.join(small, col("k") === col("dk"))
+      .select("k", "payload", "attr")
+    assert(salted.count() == 2100)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("targeted: only hot keys' dim rows replicate; cold keys keep one copy") {
+    val s = spark
+    import s.implicits._
+    // hot key 0 (95% of rows); a 50% sample cannot miss it
+    val large = ((1 to 2000).map(i => (0L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong, i.toLong))).toDF("k", "payload")
+    val small = (0 to 100).map(i => (i.toLong, s"dim_$i")).toDF("dk", "attr")
+    val saltFactor = 8
+    // replicate the operator's dim-side construction to count copies per key
+    val sampled = large.select(col("k").as("__k")).sample(false, 0.5, 42L)
+    val total = sampled.agg(count(lit(1)).as("__n"))
+    val hot = sampled.groupBy("__k").agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(total))
+      .filter(col("__c") >= greatest(col("__n") * 0.05, lit(2.0)))
+      .select(col("__k"), lit(1).as("__hot"))
+    val copies = small.join(broadcast(hot), small("dk") === hot("__k"), "left")
+      .withColumn("__salt", explode(when(col("__hot").isNotNull,
+        array((0 until saltFactor).map(lit): _*)).otherwise(array(lit(0)))))
+      .groupBy("dk").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(copies(0L) == saltFactor.toLong, s"hot key got ${copies(0L)} copies")
+    assert(copies.filterKeys(_ != 0L).values.forall(_ == 1L),
+      "a cold key's dim row was replicated")
+  }
+
+  test("targeted: matches plain join on the planted-skew bench shape") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(
+        when(pmod(col("l_orderkey"), lit(5)) === 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("l_orderkey"),
+        col("l_extendedprice"))
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    val salted = SkewJoin
+      .saltedJoinTargeted(li, "l_orderkey", ord, "o_orderkey", saltFactor = 4)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
 }
