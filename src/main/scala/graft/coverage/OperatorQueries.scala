@@ -182,6 +182,24 @@ object OperatorQueries {
   /** Exact double summation: cast to DECIMAL(18,2) first, back to double after. */
   private def sumDec(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /**
+   * Deterministic total order for BOUNDED results — grouped/rolled-up
+   * outputs whose cardinality is a key domain (segments, dates, priorities),
+   * not the data volume. `coalesce(1)` + in-partition sort replaces the
+   * global-sort Exchange, whose RangePartitioning must first SAMPLE the
+   * child — re-executing the whole plan once just to pick split bounds —
+   * and then shuffle. One task sorting a few thousand rows is the right
+   * plan at ANY scale for these outputs (the partial aggregation upstream
+   * of the group-by exchange keeps the heavy work parallel); row-level
+   * results keep `orderBy` — a single-task sort of per-row output would
+   * serialize the final stage at 100 TB. This is j2's pattern
+   * (round-2/r5-accepted), made shared in round 6.
+   */
+  private[coverage] implicit class BoundedSort(private val df: DataFrame) {
+    def orderedSmall(cols: Column*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(cols: _*)
+  }
+
   // ───────────────────────────── §2.1 scans / sources / sinks ──────────────
 
   /** S4: parquet glob scan + count-only aggregate (scan never materializes columns). */
@@ -192,7 +210,7 @@ object OperatorQueries {
   def s6CtasProjection(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "region")
       .withColumn("load_tag", lit("batch-1"))
-      .orderBy("r_regionkey")
+      .orderedSmall(col("r_regionkey"))
 
   /**
    * S7/J11: incremental-load anti-join dedup — `incoming NOT IN existing`.
@@ -261,7 +279,7 @@ object OperatorQueries {
           .when(col("l_tax") > 0.06, "TAXED")
           .otherwise("NORMAL"))
       .groupBy("label").agg(count(lit(1)).as("n"))
-      .orderBy("label")
+      .orderedSmall(col("label"))
 
   /** P8: range predicates (open + BETWEEN bounds). */
   def p8RangePredicate(s: SparkSession, dir: String): DataFrame =
@@ -277,7 +295,7 @@ object OperatorQueries {
     T(s, dir, "events")
       .filter(col("event_type").isin("click", "view", "purchase"))
       .groupBy("event_type").agg(count(lit(1)).as("n"))
-      .orderBy("event_type")
+      .orderedSmall(col("event_type"))
 
   /** P10: TRY_CAST validity predicate — parse failures become NULL, never throw. */
   def p10TryCast(s: SparkSession, dir: String): DataFrame =
@@ -295,7 +313,7 @@ object OperatorQueries {
         col("n.n_regionkey") === col("r.r_regionkey"), "left")
       .filter(col("r.r_name") =!= "ASIA")
       .select(col("n.n_name"), col("r.r_name").as("region_name"))
-      .orderBy("n_name")
+      .orderedSmall(col("n_name"))
 
   // ──────────────────────────────── §2.3 joins ─────────────────────────────
 
@@ -306,7 +324,7 @@ object OperatorQueries {
         col("o.o_custkey") === col("c.c_custkey"), "left")
       .groupBy(col("c.c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n_orders"), sumDec(col("o.o_totalprice")).as("total_price"))
-      .orderBy(asc_nulls_first("segment"))
+      .orderedSmall(asc_nulls_first("segment"))
 
   /**
    * J2/J4/J5: role-playing dim — nation joined twice through different FK
@@ -346,7 +364,7 @@ object OperatorQueries {
       .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
         col("error_count"), col("total_events"),
         (col("error_count") * 100.0 / col("total_events")).as("error_pct"))
-      .orderBy("event_date")
+      .orderedSmall(col("event_date"))
   }
 
   /**
@@ -383,7 +401,7 @@ object OperatorQueries {
     graft.operators.RangeJoin.pointInInterval(
         pts, "l_extendedprice", bands, "lo", "hi", binWidth = 500.0)
       .groupBy("band_key").agg(count(lit(1)).as("n_in_band"))
-      .orderBy("band_key")
+      .orderedSmall(col("band_key"))
   }
 
   /**
@@ -423,7 +441,7 @@ object OperatorQueries {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lines"),
         sumDec(col("l_extendedprice")).as("sum_price"))
-      .orderBy("o_orderpriority")
+      .orderedSmall(col("o_orderpriority"))
   }
 
   /** Left-semi join (EXISTS) — dbt relationships-test shape. */
@@ -461,7 +479,7 @@ object OperatorQueries {
     c.unionByName(sup)
       .groupBy("name")
       .agg(min("acctbal").as("min_acctbal"), count(lit(1)).as("n"))
-      .orderBy("name")
+      .orderedSmall(col("name"))
   }
 
   /** A4: daily count (non-null counting of a key column). */
@@ -470,7 +488,7 @@ object OperatorQueries {
       .groupBy(col("ts").cast("date").as("d"))
       .agg(count("event_id").as("n_events"))
       .select(date_format(col("d"), "yyyy-MM-dd").as("event_date"), col("n_events"))
-      .orderBy("event_date")
+      .orderedSmall(col("event_date"))
 
   /** A5/O1: two-key grouped count + multi-key ORDER BY (dq-summary shape). */
   def a5TwoKeyCount(s: SparkSession, dir: String): DataFrame =
@@ -479,7 +497,7 @@ object OperatorQueries {
       .agg(count(lit(1)).as("n"))
       .select(date_format(col("d"), "yyyy-MM-dd").as("event_date"),
         col("event_type"), col("n"))
-      .orderBy("event_date", "event_type")
+      .orderedSmall(col("event_date"), col("event_type"))
 
   /** A6: conditional aggregation (carrier-KPI shape) — ROUND on non-negative rate. */
   def a6ConditionalAgg(s: SparkSession, dir: String): DataFrame =
@@ -490,7 +508,7 @@ object OperatorQueries {
         sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
         round(sum(when(col("event_type") =!= "error", 1).otherwise(0)) * 100.0 /
           nullif(count(lit(1)), lit(0)), 2).as("ok_rate"))
-      .orderBy("user_id")
+      .orderedSmall(col("user_id"))
 
   /** A7: AVG as exact decimal sum / count (single double division). */
   def a7Avg(s: SparkSession, dir: String): DataFrame =
@@ -498,7 +516,7 @@ object OperatorQueries {
       .groupBy("event_type")
       .agg((sumDec(col("value")) / count("value")).as("avg_value"),
         count(lit(1)).as("n"))
-      .orderBy("event_type")
+      .orderedSmall(col("event_type"))
 
   /** A8: exact COUNT DISTINCT (scalar). */
   def a8CountDistinct(s: SparkSession, dir: String): DataFrame =
@@ -554,14 +572,14 @@ object OperatorQueries {
         expr("percentile(l_quantity, 0.5)").as("p50_qty"),
         expr("percentile(l_quantity, 0.9)").as("p90_qty"),
         count(lit(1)).as("n"))
-      .orderBy("l_returnflag")
+      .orderedSmall(col("l_returnflag"))
 
   /** ROLLUP hierarchy totals (beyond-reference; grouping-set machinery). */
   def aRollup(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("sum_qty"))
-      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      .orderedSmall(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** Pivot with explicit values (beyond-reference; compiled to conditional aggs). */
   def aPivot(s: SparkSession, dir: String): DataFrame =
@@ -570,7 +588,7 @@ object OperatorQueries {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(count(lit(1)))
       .na.fill(0L)
-      .orderBy("l_returnflag")
+      .orderedSmall(col("l_returnflag"))
 
   // ─────────────────────────── §2.6 sorts / top-k ──────────────────────────
 
@@ -621,7 +639,7 @@ object OperatorQueries {
         month(col("d")).cast("long").as("month"),
         dayofmonth(col("d")).cast("long").as("day"),
         (dayofweek(col("d")) - 1).cast("long").as("day_of_week"))
-      .orderBy("d")
+      .orderedSmall(col("d"))
 
   /** Lexicographic string comparison semantics (the reference's temporal quirk). */
   def fStringCompare(s: SparkSession, dir: String): DataFrame =
