@@ -2,6 +2,7 @@ package graft.coverage
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.coverage.OperatorQueries.BoundedSort
 import graft.operators.{Dedup, SimilaritySearch}
 import graft.text.{HtmlExtract, LmScore, TextAnalysis}
 import graft.multimodal.Multimodal
@@ -103,7 +104,7 @@ object LlmOpQueries {
     docs(s, dir)
       .select(TextAnalysis.languageId(col("text")).as("lang_id"))
       .groupBy("lang_id").agg(count(lit(1)).as("n"))
-      .orderBy("lang_id")
+      .orderedSmall(col("lang_id"))
 
   /** Document fingerprints: distinct count + collision stats. The canonical
     * fingerprint here is the lexicographic MIN 3-shingle (engine-independent,
@@ -694,7 +695,7 @@ object LlmOpQueries {
       .stratifiedSample(docs(s, dir), "doc_id", "lang",
         Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.1))
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
-      .orderBy("lang")
+      .orderedSmall(col("lang"))
 
   /** Train/valid/test split, stable under corpus appends (oracle-checked). */
   def sampSplitCounts(s: SparkSession, dir: String): DataFrame =
@@ -702,7 +703,7 @@ object LlmOpQueries {
       .withSplit(docs(s, dir), "doc_id",
         trainFraction = 0.8, validFraction = 0.1)
       .groupBy("split").agg(count(lit(1)).as("n_docs"))
-      .orderBy("split")
+      .orderedSmall(col("split"))
 
   /** Per-source document cap at 10 (domain balancing) — emits the kept ids,
     * so the oracle certifies row-for-row WHICH documents survive. */
