@@ -198,6 +198,16 @@ object OperatorQueries {
   private[coverage] implicit class BoundedSort(private val df: DataFrame) {
     def orderedSmall(cols: Column*): DataFrame =
       df.coalesce(1).sortWithinPartitions(cols: _*)
+
+    /** Same contract, for bounded outputs whose FINAL stage holds real
+      * parallel work (a window over the pre-partitioned cache) rather than
+      * a final aggregate: `coalesce(1)` would collapse that whole stage to
+      * one task, so insert a true shuffle barrier instead — the heavy stage
+      * keeps its width, and only the bounded result crosses the 1-partition
+      * exchange. Still strictly cheaper than `orderBy`, whose
+      * RangePartitioning SAMPLES the child by executing the stage twice. */
+    def orderedSmallBarrier(cols: Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
   }
 
   // ───────────────────────────── §2.1 scans / sources / sinks ──────────────
@@ -663,7 +673,7 @@ object OperatorQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("user_id", "event_id", "event_type")
-      .orderBy("user_id")
+      .orderedSmallBarrier(col("user_id"))
   }
 
   /** Running per-user sum (exact decimal accumulation) + event index. */
@@ -708,7 +718,7 @@ object OperatorQueries {
         sum("n_events").as("n_events"),
         max("n_events").as("max_session_events"),
         max("duration_us").as("max_session_duration_us"))
-      .orderBy("user_id")
+      .orderedSmallBarrier(col("user_id"))
 
   /**
    * Sessionization at 10× (scaling evidence, rows-only): the events table
