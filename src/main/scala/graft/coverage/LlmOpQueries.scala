@@ -190,7 +190,7 @@ object LlmOpQueries {
       Dedup.nearDuplicatePairs(
           nearDupCorpus(s, dir).filter(base % 10 === 0 && base < 1000),
           "doc_id", "text", threshold = 0.7, numHashes = 32, bands = 8)
-        .orderBy("id_a", "id_b")
+        .orderedSmallBarrier(col("id_a"), col("id_b"))
     })
 
   /**
@@ -357,7 +357,7 @@ object LlmOpQueries {
           nearDupCorpus(s, dir).filter(base % 10 === 0 && base < 1000 &&
             size(TextAnalysis.tokens(col("text"))) >= 20),
           "doc_id", "text", threshold = 0.7)
-        .orderBy("id_a", "id_b")
+        .orderedSmallBarrier(col("id_a"), col("id_b"))
     })
 
   /** Near-dup CLUSTER assignment (oracle-checked row-for-row): a bounded
@@ -421,7 +421,7 @@ object LlmOpQueries {
               .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))))
       Dedup.incrementalNearDupPairs(corpus, incoming, "doc_id", "text",
           threshold = 0.7, numHashes = 32, bands = 8)
-        .orderBy("new_id", "corpus_id")
+        .orderedSmallBarrier(col("new_id"), col("corpus_id"))
     })
 
   /** Streaming-dedup state evolution, replayed deterministically
@@ -465,7 +465,7 @@ object LlmOpQueries {
       }
       s.read.parquet(s"$root/pairs")
         .select(col("new_id"), col("corpus_id"), col("jaccard"))
-        .orderBy("new_id", "corpus_id")
+        .orderedSmallBarrier(col("new_id"), col("corpus_id"))
     })
 
   /** n-gram Jaccard on the planted pairs directly (rows-only, deterministic). */
@@ -543,7 +543,7 @@ object LlmOpQueries {
       SimilaritySearch.cosineNearDuplicates(corpus,
           "vec_id", "v", threshold = 0.99, nTables = 8, nBits = bits)
         .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
+        .orderedSmallBarrier(col("id_a"), col("id_b"))
     })
 
   /** Scaling evidence for the embedding near-dup path (rows-only, memoized):
@@ -594,7 +594,7 @@ object LlmOpQueries {
   def simBruteForceTopK(s: SparkSession, dir: String): DataFrame =
     exactTopK(s, dir)
       .select("query_id", "corpus_id", "rank")
-      .orderBy("query_id", "rank")
+      .orderedSmallBarrier(col("query_id"), col("rank"))
 
   /**
    * LSH ANN vs brute force: recall@5 for the same queries, GATED — the
@@ -710,7 +710,7 @@ object LlmOpQueries {
   def sampDomainCap(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling
       .capPerGroup(docs(s, dir), "doc_id", "source", cap = 10)
-      .select("source", "doc_id").orderBy("source", "doc_id")
+      .select("source", "doc_id").orderedSmallBarrier(col("source"), col("doc_id"))
 
   /** Gopher-style per-document bigram repetition metrics (oracle-checked). */
   def tRepetition(s: SparkSession, dir: String): DataFrame =
