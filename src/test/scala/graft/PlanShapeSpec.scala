@@ -217,6 +217,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("Generate"), "expected the posexplode Generate node: " + p)
   }
 
+  test("bounded aggregate outputs plan no range partitioning (no sampling double-execution)") {
+    // orderBy's RangePartitioning SAMPLES its child by executing the plan
+    // once before the real shuffle — for key-domain-bounded outputs the
+    // round-6 contract is coalesce(1)/repartition(1) + in-partition sort.
+    // Regressing any of these back to orderBy roughly doubles the query.
+    val qs = Seq(
+      OperatorQueries.a5TwoKeyCount(spark, dir),
+      OperatorQueries.a6ConditionalAgg(spark, dir),
+      OperatorQueries.j1LeftJoinAgg(spark, dir),
+      OperatorQueries.j7AggAggJoin(spark, dir),
+      OperatorQueries.aRollup(spark, dir),
+      OperatorQueries.wSessionize(spark, dir),
+      OperatorQueries.wRowNumberLatest(spark, dir))
+    for (q <- qs) {
+      val p = plan(q)
+      assert(!p.contains("rangepartitioning"),
+        "bounded output regressed to a global range sort: " + p)
+    }
+    // the window-holding queries keep their width: the 1-partition exchange
+    // must sit ABOVE the window, not collapse it
+    val pw = plan(OperatorQueries.wSessionize(spark, dir))
+    assert(pw.contains("Window"), pw)
+    assert(pw.contains("SinglePartition") || pw.contains("Exchange"),
+      "expected the bounded-result barrier exchange: " + pw)
+  }
+
   test("per-domain cap shuffles once on the group key") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.Sampling.capPerGroup(docs, "doc_id", "source", 5))
