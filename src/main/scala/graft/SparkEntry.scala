@@ -57,6 +57,7 @@ object SparkEntry {
     "w_running_sum" -> (Q.wRunningSum _),
     "w_lag_rank" -> (Q.wLagRank _),
     "w_sessionize" -> (Q.wSessionize _),
+    "w_sessionize_salted" -> (Q.wSessionizeSalted _),
     "w_sessionize_10x" -> (Q.wSessionize10x _),
     "a8_approx_count_distinct" -> (Q.a8ApproxCountDistinct _),
     "a_rollup" -> (Q.aRollup _),

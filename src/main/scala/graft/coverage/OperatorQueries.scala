@@ -721,6 +721,25 @@ object OperatorQueries {
       .orderedSmallBarrier(col("user_id"))
 
   /**
+   * The skew-safe salted form of [[wSessionize]] under the SAME oracle SQL:
+   * the heavy shuffle carries (user, day-bucket) so a hot key spreads over
+   * its time range, and the boundary repair runs on per-session rows. A
+   * hash-identical result against the plain form's oracle certifies the
+   * bucket-boundary merge logic end-to-end in the driver gate, not just in
+   * SessionizeSpec.
+   */
+  def wSessionizeSalted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize
+      .sessionStatsSalted(T(s, dir, "events"), "user_id", "ts", "event_id",
+        gapSeconds = 4L * 3600, bucketSpanSeconds = 24L * 3600)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"),
+        max("duration_us").as("max_session_duration_us"))
+      .orderedSmallBarrier(col("user_id"))
+
+  /**
    * Sessionization at 10× (scaling evidence, rows-only): the events table
    * replicated 10 times under DISJOINT user-id ranges — 10× the users at the
    * same per-user event density, so per-key window work is constant and the

@@ -390,6 +390,31 @@ object OracleSql {
   private val BpeMerges = 24
   private val BpeVocabCap = 2000
 
+  // Shared by `w_sessionize` and `w_sessionize_salted`: the salted Spark
+  // form is exactly the plain operator's semantics under a different
+  // physical plan, so both hash-compare against one SQL.
+  private val sessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+      |x AS (SELECT user_id, event_id, t,
+      |             lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+      |      FROM e),
+      |n AS (SELECT user_id, event_id, t,
+      |             CASE WHEN prev IS NULL OR t - prev >= 14400000000 THEN 1
+      |                  ELSE 0 END AS is_new
+      |      FROM x),
+      |sid AS (SELECT user_id, t,
+      |               SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      |        FROM n),
+      |sess AS (SELECT user_id, session_seq, count(*) AS n_events,
+      |                max(t) - min(t) AS duration_us
+      |         FROM sid GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       CAST(sum(n_events) AS BIGINT) AS n_events,
+      |       CAST(max(n_events) AS BIGINT) AS max_session_events,
+      |       CAST(max(duration_us) AS BIGINT) AS max_session_duration_us
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     // Trained-BPE learn replay: re-derive every merge round from scratch
     // (pair counts, argmax tie-break, greedy merge) — rows where the
@@ -752,27 +777,12 @@ object OracleSql {
         |JOIN orders ON l.l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
-    "w_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
-        |x AS (SELECT user_id, event_id, t,
-        |             lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
-        |      FROM e),
-        |n AS (SELECT user_id, event_id, t,
-        |             CASE WHEN prev IS NULL OR t - prev >= 14400000000 THEN 1
-        |                  ELSE 0 END AS is_new
-        |      FROM x),
-        |sid AS (SELECT user_id, t,
-        |               SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |                                 ROWS UNBOUNDED PRECEDING) AS session_seq
-        |        FROM n),
-        |sess AS (SELECT user_id, session_seq, count(*) AS n_events,
-        |                max(t) - min(t) AS duration_us
-        |         FROM sid GROUP BY 1, 2)
-        |SELECT user_id, count(*) AS n_sessions,
-        |       CAST(sum(n_events) AS BIGINT) AS n_events,
-        |       CAST(max(n_events) AS BIGINT) AS max_session_events,
-        |       CAST(max(duration_us) AS BIGINT) AS max_session_duration_us
-        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w_sessionize" -> sessionizeSql,
+
+    // the salted (skew-safe) Spark form must produce the BIT-SAME result as
+    // the plain form — one oracle serves both, so a boundary-merge bug in
+    // sessionStatsSalted flips this row's hash compare
+    "w_sessionize_salted" -> sessionizeSql,
 
     // exact-substring duplicate spans: distinct 8-token grams per doc, a
     // gram is a duplicate iff it appears under >= 2 doc ids (grams are

@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
  * over a single sort (same partitioning + ordering), so sessionizing 100 TB
  * costs exactly one exchange of (key, ts, id) plus per-partition sorts; no
  * self-join, no collect. Skewed keys (one user = one partition's worth of
- * events) are the operator's intrinsic limit — mitigate upstream by salting
- * the key with a coarse time bucket when a single key exceeds a partition.
+ * events) are this form's intrinsic limit — [[sessionStatsSalted]] is the
+ * salt-by-time-bucket variant that spreads a hot key over its time range
+ * and repairs bucket boundaries on per-session rows.
  *
  * Streaming path: `sessionWindowAgg` — `session_window` groupBy, usable
  * under a watermark in Structured Streaming for incremental sessionization
@@ -79,6 +80,69 @@ object Sessionize {
         max(tsCol).as("session_end"),
         (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
           .as("duration_us"))
+
+  /**
+   * Skew-safe [[sessionStats]] — the salt-by-time-bucket mitigation the
+   * plain form's scaladoc promises, implemented: when ONE key's events
+   * exceed a partition (a bot account, a monitoring client), the plain
+   * window puts them all on one reducer. Here the heavy shuffle carries
+   * (key, time-bucket) — a hot key spreads over its time range — and each
+   * bucket sessionizes locally; a second pass then repairs the bucket
+   * boundaries by gap-merging adjacent PER-SESSION rows (volume = sessions,
+   * not events — the whole point: the only full-data shuffle is the salted
+   * one).
+   *
+   * Correctness argument: `bucketSpanSeconds ≥ gapSeconds` (required) means
+   * two events separated by an empty bucket are ≥ bucketSpan ≥ gap apart —
+   * never one session — so merges only ever join sessions from the SAME or
+   * ADJACENT buckets, and chained spans (a session crossing many buckets)
+   * resolve because gap-merging per-session intervals is associative in
+   * time order. The repair is itself a sessionization of sessions: a
+   * session starts where `start − prev_end ≥ gap`. SessionizeSpec pins
+   * bit-equality with [[sessionStats]] on planted cross-boundary and
+   * multi-bucket-spanning sessions.
+   */
+  def sessionStatsSalted(df0: DataFrame, keyCol: String, tsCol: String,
+                         idCol: String, gapSeconds: Long,
+                         bucketSpanSeconds: Long): DataFrame = {
+    require(bucketSpanSeconds >= gapSeconds,
+      "bucketSpanSeconds must be >= gapSeconds (an empty bucket between two " +
+        "events must certify a session break)")
+    val df = normalizeTs(df0, tsCol)
+    val bk = (unix_micros(col(tsCol)) / lit(bucketSpanSeconds * 1000000L))
+      .as("__bk")
+    // phase 1: local sessions per (key, bucket) — the SALTED shuffle
+    val w = Window.partitionBy(col(keyCol), col("__bk"))
+      .orderBy(sortKeys(tsCol, idCol): _*)
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val isNew = when(prev.isNull ||
+      unix_micros(col(tsCol)) - prev >= gapSeconds * 1000000L, 1L).otherwise(0L)
+    val local = df.withColumn("__bk", bk)
+      .withColumn("__ln", sum(isNew).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__bk"), col("__ln"))
+      .agg(count(lit(1)).as("n_events"),
+        min(tsCol).as("session_start"), max(tsCol).as("session_end"))
+    // phase 2: gap-merge the per-session intervals across buckets — shuffle
+    // volume is one row per LOCAL session, ordered by start time (two
+    // sessions of one key can never share a start: they cannot overlap)
+    val w2 = Window.partitionBy(keyCol).orderBy(col("session_start"))
+    val prevEnd = lag(unix_micros(col("session_end")), 1).over(w2)
+    val isNewSess = when(prevEnd.isNull ||
+      unix_micros(col("session_start")) - prevEnd >= gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    local
+      .withColumn("session_seq", sum(isNewSess).over(
+        w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(sum("n_events").as("n_events"),
+        min("session_start").as("session_start"),
+        max("session_end").as("session_end"))
+      .withColumn("duration_us",
+        unix_micros(col("session_end")) - unix_micros(col("session_start")))
+      .select(col(keyCol), col("session_seq"), col("n_events"),
+        col("session_start"), col("session_end"), col("duration_us"))
+  }
 
   /**
    * The same session partitioning via the built-in `session_window` — the

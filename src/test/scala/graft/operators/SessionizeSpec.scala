@@ -64,6 +64,60 @@ class SessionizeSpec extends SparkSuite {
     assert(count("\\[Sort ") + count("\\bSort \\[") <= 2, s"plan:\n$plan")
   }
 
+  test("salted sessionization ≡ plain on cross-boundary and multi-bucket sessions") {
+    val s = spark
+    import s.implicits._
+    val gap = 600L           // 10 min
+    val span = 3600L         // 1 h buckets
+    def t(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+    // user 1: a session STRADDLING the 1 h boundary (events at 3500 s and
+    //         3900 s — gap 400 < 600 across buckets 0|1), plus an isolated
+    //         session deep in bucket 2
+    // user 2: a CHAIN spanning 3 buckets — events every 500 s from 3300 to
+    //         7800 (buckets 0,1,2 all involved; every adjacent pair merges)
+    // user 3: two sessions separated by an entirely EMPTY bucket (must NOT
+    //         merge: 3000 s vs 10 000 s)
+    val rows =
+      Seq((1L, 1L, 3500L), (2L, 1L, 3900L), (3L, 1L, 9000L)) ++
+        (0 to 9).map(i => (10L + i, 2L, 3300L + 500L * i)) ++
+        Seq((30L, 3L, 3000L), (31L, 3L, 10000L))
+    val df = rows.map { case (id, u, sec) => (id, u, t(sec)) }
+      .toDF("event_id", "user_id", "ts")
+    val plain = Sessionize.sessionStats(df, "user_id", "ts", "event_id", gap)
+    val salted = Sessionize.sessionStatsSalted(df, "user_id", "ts", "event_id",
+      gap, bucketSpanSeconds = span)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      s"salted:\n${salted.collect().mkString("\n")}\nplain:\n${plain.collect().mkString("\n")}")
+    // sanity on the shape itself: user 2's chain is ONE session of 10 events
+    val u2 = salted.filter(col("user_id") === 2).collect()
+    assert(u2.length == 1 && u2.head.getAs[Long]("n_events") == 10L)
+    val u3 = salted.filter(col("user_id") === 3).count()
+    assert(u3 == 2L, "empty-bucket separation must not merge")
+  }
+
+  test("salted sessionization ≡ plain on the real events table") {
+    val e = events
+    val plain = Sessionize.sessionStats(e, "user_id", "ts", "event_id", 4L * 3600)
+    val salted = Sessionize.sessionStatsSalted(e, "user_id", "ts", "event_id",
+      4L * 3600, bucketSpanSeconds = 24L * 3600)
+    assert(plain.count() > 0)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted form shuffles events on (key, bucket) and rejects span < gap") {
+    val e = events
+    val p = Sessionize.sessionStatsSalted(e, "user_id", "ts", "event_id",
+        4L * 3600, bucketSpanSeconds = 24L * 3600)
+      .queryExecution.executedPlan.toString
+    // the full-data exchange must carry the bucket column (the salt); the
+    // key-only exchanges later in the plan carry per-session rows only
+    assert(p.contains("__bk"), "events shuffle lost the time-bucket salt: " + p)
+    intercept[IllegalArgumentException] {
+      Sessionize.sessionStatsSalted(e, "user_id", "ts", "event_id",
+        gapSeconds = 3600, bucketSpanSeconds = 600)
+    }
+  }
+
   test("session_window sessionizes a stream incrementally under a watermark") {
     val s = spark
     import s.implicits._
