@@ -26,7 +26,5 @@ object ColumnBridge {
    * never per row.
    */
   def scalarSubquery(ds: Dataset[_]): Column =
-    column(ScalarSubquery(
-      ds.queryExecution.analyzed.asInstanceOf[
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]))
+    column(ScalarSubquery(ds.queryExecution.analyzed))
 }
