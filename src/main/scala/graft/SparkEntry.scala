@@ -62,6 +62,7 @@ object SparkEntry {
     "a8_approx_count_distinct" -> (Q.a8ApproxCountDistinct _),
     "a_rollup" -> (Q.aRollup _),
     "a_percentile" -> (Q.aPercentile _),
+    "a_percentile_approx" -> (Q.aPercentileApprox _),
     "a_pivot" -> (Q.aPivot _),
     // LLM-training-data operators (documents / embeddings tables)
     "t_token_count" -> (L.tTokenCount _),

@@ -584,6 +584,34 @@ object OperatorQueries {
         count(lit(1)).as("n"))
       .orderedSmall(col("l_returnflag"))
 
+  /**
+   * The 100 TB percentile path, oracle-certified via the a8 pattern: exact
+   * `percentile` buffers EVERY group value on one reducer — the thing that
+   * cannot run at scale — while `approx_percentile` (GK-style mergeable
+   * sketch, one pass, bounded memory) is what production runs. The sketch
+   * value itself is engine-specific (and its merge order varies run to
+   * run), so the query emits the exact percentiles plus the ERROR-BOUND
+   * VERDICT (|approx − exact| / exact ≤ 5%, actual error ≲ 0.5% at
+   * accuracy 10⁴ — far from the boundary, so merge-order jitter cannot
+   * flip it); the DuckDB oracle recomputes the exact values and expects
+   * `true`, so an estimator regression past the bound breaks the hash.
+   */
+  def aPercentileApprox(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+        expr("percentile(l_quantity, 0.9)").as("p90_exact"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("__p50a"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("__p90a"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("p50_exact"), col("p90_exact"), col("n"),
+        (abs(col("__p50a") - col("p50_exact")) /
+          col("p50_exact") <= 0.05).as("p50_within_5pct"),
+        (abs(col("__p90a") - col("p90_exact")) /
+          col("p90_exact") <= 0.05).as("p90_within_5pct"))
+      .orderedSmall(col("l_returnflag"))
+
   /** ROLLUP hierarchy totals (beyond-reference; grouping-set machinery). */
   def aRollup(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")

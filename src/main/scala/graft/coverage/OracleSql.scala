@@ -760,6 +760,17 @@ object OracleSql {
         |SELECT query_id, corpus_id, rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // the sketch value is engine-specific: the oracle recomputes the EXACT
+    // percentiles and expects the error-bound verdicts to hold (a8 pattern)
+    "a_percentile_approx" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50_exact,
+        |       quantile_cont(l_quantity, 0.9) AS p90_exact,
+        |       count(*) AS n,
+        |       TRUE AS p50_within_5pct,
+        |       TRUE AS p90_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "a_percentile" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.25) AS p25_qty,
