@@ -94,6 +94,8 @@ object SparkEntry {
     "samp_stratified" -> (L.sampStratified _),
     "samp_split_counts" -> (L.sampSplitCounts _),
     "samp_domain_cap" -> (L.sampDomainCap _),
+    "samp_token_budget" -> (L.sampTokenBudget _),
+    "t_bm25_topk" -> (L.tBm25TopK _),
     "t_repetition" -> (L.tRepetition _),
     "t_filter_cascade" -> (L.tFilterCascade _),
     "t_lm_perplexity" -> (L.tLmPerplexity _),

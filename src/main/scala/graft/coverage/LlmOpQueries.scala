@@ -712,6 +712,34 @@ object LlmOpQueries {
       .capPerGroup(docs(s, dir), "doc_id", "source", cap = 10)
       .select("source", "doc_id").orderedSmallBarrier(col("source"), col("doc_id"))
 
+  /** Token-budget sampling per source at 300 whitespace tokens — domain
+    * balancing by VOLUME (the "N tokens per source" pretraining-mix rule);
+    * emits the kept (source, doc_id, n_tok) rows so the oracle certifies
+    * row-for-row WHICH documents fill each budget and with how many tokens. */
+  def sampTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val withTok = docs(s, dir)
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.operators.Sampling
+      .tokenBudgetPerGroup(withTok, "doc_id", "source", "n_tok", budget = 300L)
+      .select("source", "doc_id", "n_tok")
+      .orderedSmallBarrier(col("source"), col("doc_id"))
+  }
+
+  /** BM25 top-20 retrieval for a fixed 3-term probe query — corpus stats
+    * (N, avgdl, per-term df) ride as one struct scalar subquery, scoring is
+    * a narrow no-explode pass, top-k is TakeOrderedAndProject. The oracle
+    * replays the full Okapi formula (round-6 absorbs last-ulp ln). */
+  def tBm25TopK(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25
+      .scoreAgainstTerms(docs(s, dir), "doc_id", "text",
+        Bm25QueryTerms, k1 = 1.2, b = 0.75)
+      .orderBy(desc("bm25"), asc("doc_id")).limit(20)
+
+  /** The probe terms, shared with [[OracleSql]] so engine and oracle can't
+    * drift: mixed document frequencies (a corpus-common term, a mid-df term,
+    * a rare term) exercise the idf spread. */
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "vector", "customer")
+
   /** Gopher-style per-document bigram repetition metrics (oracle-checked). */
   def tRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionMetrics(docs(s, dir), "text", n = 2)

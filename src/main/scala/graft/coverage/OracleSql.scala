@@ -81,6 +81,49 @@ object OracleSql {
   private def thr(fraction: Double): String =
     s"'${graft.operators.Sampling.hexThreshold(fraction)}'"
 
+  /** Full Okapi-BM25 replay for `t_bm25_topk`, generated from the SAME term
+    * list the Spark query scores ([[LlmOpQueries.Bm25QueryTerms]]) with the
+    * same k1/b and the same operand grouping as [[graft.text.Bm25]]
+    * (idf · (tf·(k1+1)) / (tf + k1·((1−b) + (b·dl)/avgdl))); round(.,6)
+    * absorbs last-ulp ln/arith differences, LmScore's convention. */
+  private def bm25TopKSql: String = {
+    val terms = graft.coverage.LlmOpQueries.Bm25QueryTerms.map(_.toLowerCase)
+    val (k1, b) = (1.2, 0.75)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = ${sq(t)})) AS tf$i"
+    }.mkString(",\n       |         ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(", ")
+    val perTerm = terms.indices.map { i =>
+      s"""(CASE WHEN tf$i > 0
+         |THEN ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5))
+         |     * (CAST(tf$i AS DOUBLE) * ($k1 + 1.0))
+         |     / (CAST(tf$i AS DOUBLE) + $k1 * (1.0 - $b + $b * dl / avgdl))
+         |ELSE 0.0 END)""".stripMargin.replace("\n", " ")
+    }.mkString(" + ")
+    val matched = terms.indices
+      .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+       |         CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |              ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+       |              END AS DOUBLE) AS dl
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl,
+       |         $tfCols
+       |  FROM tk),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+       |              $dfCols
+       |       FROM tf)
+       |SELECT doc_id, CAST($matched AS BIGINT) AS n_terms_matched,
+       |       round($perTerm, 6) AS bm25
+       |FROM tf, st
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** Exact shingle-overlap contamination report — shared by
     * `t_decontaminate` (exact broadcast operator) and
     * `t_decontaminate_bloom` (Bloom-pre-filtered variant with identical
@@ -569,6 +612,28 @@ object OracleSql {
         |           ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
+
+    // Replays Sampling.tokenBudgetPerGroup: admit a document iff the tokens
+    // already admitted before it (hash order within source) are under the
+    // budget — the pre-sum rule, so the straddling document is kept.
+    "samp_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         |              ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+         |         END AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |         coalesce(sum(CAST(n_tok AS BIGINT)) OVER (PARTITION BY source
+         |           ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS tok_before
+         |  FROM t WHERE n_tok > 0)
+         |SELECT source, doc_id, n_tok FROM c
+         |WHERE tok_before < 300 ORDER BY source, doc_id""".stripMargin,
+
+    "t_bm25_topk" -> bm25TopKSql,
 
     "t_repetition" ->
       s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks

@@ -104,34 +104,43 @@ object ConnectedComponents {
   private def symmetrize(edges: DataFrame, srcCol: String,
                          dstCol: String): DataFrame = {
     // Propagation below only follows u←v, so both directions must exist.
-    // No distinct() — duplicate edges only re-send the same min, and
-    // deduping would cost an extra shuffle of the whole edge list.
+    // No distinct() on the edges — duplicate edges only re-send the same
+    // min, and deduping would cost an extra shuffle of the whole edge list.
+    // One SELF-LOOP per distinct node rides along (the distinct is one
+    // node-sized shuffle, paid once — sym is persisted or a leaf in every
+    // caller): with u←u present, the per-round neighbour aggregate
+    // min_{v∈N(u)∪{u}} label(v) IS the hash-min — the separate
+    // labels⋈nbrMin join (one more exchange of the label table per round)
+    // disappears.
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
-    e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    sym.unionByName(
+      sym.select(col("u")).distinct().select(col("u"), col("u").as("v")))
   }
 
-  /** Round 0 fused into initialization: label(u) = min(u, min neighbour). */
+  /** Round 0 fused into initialization: label(u) = min over N(u)∪{u} —
+    * the self-loop puts u itself under the same min. */
   private def initLabels(sym: DataFrame): DataFrame =
-    sym.groupBy("u").agg(min("v").as("mv"))
-      .select(col("u").as("id"), least(col("u"), col("mv")).as("label"))
+    sym.groupBy("u").agg(min("v").as("label"))
+      .select(col("u").as("id"), col("label"))
 
-  /** One propagation round: hash-min over neighbours, then pointer jumping
-    * (label(x) := min(label(x), label(label(x))) — labels are always node
-    * ids present in the table, so the jump is an equi-join onto itself).
+  /** One propagation round: hash-min over neighbours-and-self (the
+    * self-loops make the single aggregate min(label(u), min neighbour
+    * labels)), then pointer jumping (label(x) := min(label(x),
+    * label(label(x))) — labels are always node ids present in the table,
+    * so the jump is an equi-join onto itself).
     *
     * Formulated as joins only, never a Union of `labels` with a frame
     * derived FROM `labels`: that self-referential union trips Spark's
     * Union constraint-rewrite ("key not found: id#…" from
     * `UnionBase.rewriteConstraints`) because the same attribute ids reach
-    * both children. The join shape is equivalent — every labelled node has
-    * ≥ 1 neighbour by construction, so the inner join drops nobody. */
+    * both children. The join shape is equivalent — every node appears as a
+    * `v` by construction (self-loops), so the inner join drops nobody. */
   private def round(sym: DataFrame, labels: DataFrame): DataFrame = {
-    val nbrMin = sym
+    val hashMin = sym
       .join(labels.withColumnRenamed("id", "v"), Seq("v"))
-      .groupBy(col("u").as("id")).agg(min("label").as("nl"))
-    val hashMin = labels.join(nbrMin, Seq("id"))
-      .select(col("id"), least(col("label"), col("nl")).as("label"))
+      .groupBy(col("u").as("id")).agg(min("label").as("label"))
     hashMin.as("a")
       .join(hashMin.select(col("id").as("label"), col("label").as("ll")),
         Seq("label"), "left")

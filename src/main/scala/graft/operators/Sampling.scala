@@ -104,6 +104,50 @@ object Sampling {
   }
 
   /**
+   * Token-budget sampling (domain balancing by VOLUME, not document count):
+   * walk each group's documents in deterministic hash order and keep a
+   * document iff the tokens already admitted BEFORE it are under `budget` —
+   * the "take N billion tokens per source" rule of pretraining-mix
+   * construction, where domains differ 100× in document length and a
+   * per-document cap ([[capPerGroup]]) would over-sample verbose domains.
+   * Keeping on the PRE-sum (not the inclusive sum) admits the straddling
+   * document — every non-empty group contributes at least one document, and
+   * the admitted volume overshoots by strictly less than one document —
+   * and is append-stable in the same sense as [[deterministicSample]]: a
+   * kept document stays kept as long as no new document hashes ahead of it.
+   *
+   * Shape: one shuffle on the group key, then a running sum inside each
+   * group — a window, because a cumulative admission rule is inherently
+   * sequential per group. The skew escape is a PRE-CAP, not salting (a
+   * prefix sum does not decompose over salt buckets): tokens are integral
+   * and ≥ 1 per admissible document, so at most `budget` documents can ever
+   * be admitted — a preliminary [[capPerGroup]] at `budget` (itself
+   * salt-decomposable via `skewBuckets`) bounds every group to `budget`
+   * rows before the sequential window sees them, which keeps the one
+   * serialized task bounded by the budget rather than by the hot domain's
+   * size. Rows with tokens ≤ 0 are dropped first (they would ride for free
+   * and break the ≥ 1 token bound the pre-cap relies on).
+   */
+  def tokenBudgetPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+                          tokensCol: String, budget: Long,
+                          salt: String = "", skewBuckets: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val positive = df.filter(col(tokensCol) > 0)
+    val bounded =
+      if (budget <= Int.MaxValue)
+        capPerGroup(positive, keyCol, groupCol, budget.toInt, salt, skewBuckets)
+      else positive // a > 2^31 budget admits any group whole; no pre-cap needed
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hexBucket(col(keyCol), salt), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bounded
+      .withColumn("__tok_before",
+        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+      .filter(col("__tok_before") < budget)
+      .drop("__tok_before")
+  }
+
+  /**
    * Adds a `split` column partitioning rows into train/valid/test by hash
    * range — disjoint, exhaustive, and stable under appends: a row's split
    * never changes when the corpus grows, the property that keeps eval sets

@@ -58,6 +58,41 @@ class SamplingSpec extends SparkSuite {
     assert(capped.count() <= docs.count())
   }
 
+  test("token budget admits exactly the hash-order prefix with pre-sum under budget") {
+    val withTok = docs.withColumn("n_tok",
+      graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
+    val budget = 200L
+    val kept = Sampling.tokenBudgetPerGroup(withTok, "doc_id", "source", "n_tok", budget)
+
+    // Reference semantics recomputed independently: walk each group in
+    // (hexBucket, doc_id) order, admit while the running pre-sum < budget.
+    val all = withTok.select(col("source"), col("doc_id"), col("n_tok"),
+        Sampling.hexBucket(col("doc_id")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = all.groupBy(_._1).values.flatMap { rs =>
+      var acc = 0L
+      rs.sortBy(r => (r._4, r._2)).flatMap { r =>
+        val keep = acc < budget; acc += r._3
+        if (keep) Some(r._2) else None
+      }
+    }.toSet
+    val got = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // every non-empty group contributes at least one document
+    assert(kept.select("source").distinct().count() ==
+      docs.select("source").distinct().count())
+  }
+
+  test("token budget: skew-bucketed pre-cap selects the identical rows") {
+    val withTok = docs.withColumn("n_tok",
+      graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
+    val plain = Sampling.tokenBudgetPerGroup(withTok, "doc_id", "source", "n_tok", 150L)
+    val salted = Sampling.tokenBudgetPerGroup(withTok, "doc_id", "source", "n_tok", 150L,
+      skewBuckets = 3)
+    assert(plain.select("doc_id").exceptAll(salted.select("doc_id")).isEmpty)
+    assert(salted.select("doc_id").exceptAll(plain.select("doc_id")).isEmpty)
+  }
+
   test("stratified fractions apply per stratum") {
     val byLang = docs.groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
