@@ -96,6 +96,7 @@ object SparkEntry {
     "samp_domain_cap" -> (L.sampDomainCap _),
     "samp_token_budget" -> (L.sampTokenBudget _),
     "t_bm25_topk" -> (L.tBm25TopK _),
+    "t_nb_classify" -> (L.tNbClassify _),
     "t_repetition" -> (L.tRepetition _),
     "t_filter_cascade" -> (L.tFilterCascade _),
     "t_lm_perplexity" -> (L.tLmPerplexity _),

@@ -740,6 +740,23 @@ object LlmOpQueries {
     * a rare term) exercise the idf spread. */
   val Bm25QueryTerms: Seq[String] = Seq("spark", "vector", "customer")
 
+  /** In-engine multinomial Naive Bayes: train token-count model on the
+    * hash-split train docs (labels = lang), score and tag EVERY document —
+    * the distributed-trained classifier component of a curation pipeline.
+    * The oracle replays training counts, smoothing, priors, and the argmax
+    * (synthetic text carries no real language signal — the certification
+    * target is the exact train+score computation, not accuracy). */
+  def tNbClassify(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.operators.Sampling.withSplit(docs(s, dir), "doc_id")
+    graft.text.NaiveBayes
+      .trainScore(split, "doc_id", "text", "lang", NbClasses,
+        col("split") === "train")
+      .orderBy("doc_id")
+  }
+
+  /** Class space for [[tNbClassify]], shared with [[OracleSql]]. */
+  val NbClasses: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
   /** Gopher-style per-document bigram repetition metrics (oracle-checked). */
   def tRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionMetrics(docs(s, dir), "text", n = 2)

@@ -124,6 +124,54 @@ object OracleSql {
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Multinomial-Naive-Bayes replay for `t_nb_classify`, generated from the
+    * SAME class list the Spark operator uses
+    * ([[LlmOpQueries.NbClasses]]) with the same factored score
+    * (Σ ln(count+1) − n·ln(total_c + V) + ln((docs_c+1)/(n_train+K))),
+    * round-6 scores, and the same first-class-wins tie-break on the
+    * ROUNDED values. */
+  private def nbClassifySql: String = {
+    val classes = graft.coverage.LlmOpQueries.NbClasses
+    val k = classes.size
+    val idx = classes.indices
+    val cCols = classes.zipWithIndex.map { case (c, i) =>
+      s"sum(CASE WHEN lang = ${sq(c)} THEN 1 ELSE 0 END) AS c$i" }.mkString(", ")
+    val totCols = idx.map(i => s"CAST(sum(c$i) AS DOUBLE) AS tot$i").mkString(", ")
+    val nCols = classes.zipWithIndex.map { case (c, i) =>
+      s"CAST(sum(CASE WHEN lang = ${sq(c)} THEN 1 ELSE 0 END) AS DOUBLE) AS n$i"
+    }.mkString(", ")
+    val sCols = idx.map(i =>
+      s"sum(ln(coalesce(c.c$i, 0) + 1.0)) AS s$i").mkString(", ")
+    val scoreCols = classes.zipWithIndex.map { case (c, i) =>
+      s"round(s$i - CAST(n_tokens AS DOUBLE) * ln(tot$i + v) " +
+        s"+ ln((n$i + 1.0) / (n + $k.0)), 6) AS score_$c"
+    }.mkString(",\n       |       ")
+    val best = s"greatest(${classes.map(c => s"score_$c").mkString(", ")})"
+    val predicted = classes.map(c =>
+      s"WHEN score_$c = $best THEN ${sq(c)}").mkString(" ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang,
+       |         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+       |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |              < ${thr(0.8)} THEN 'train' ELSE 'other' END AS split
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+       |trtok AS (SELECT lang, unnest(toks) AS t FROM tk WHERE split = 'train'),
+       |counts AS (SELECT t, $cCols FROM trtok GROUP BY t),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS v, $totCols FROM counts),
+       |sd AS (SELECT CAST(count(*) AS DOUBLE) AS n, $nCols
+       |       FROM tk WHERE split = 'train'),
+       |per AS (SELECT o.doc_id, count(o.t) AS n_tokens, $sCols
+       |        FROM tok o LEFT JOIN counts c USING (t) GROUP BY o.doc_id),
+       |scored AS (
+       |  SELECT doc_id, n_tokens,
+       |       $scoreCols
+       |  FROM per, st, sd)
+       |SELECT doc_id, n_tokens, ${classes.map(c => s"score_$c").mkString(", ")},
+       |       CASE $predicted END AS predicted
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   /** Exact shingle-overlap contamination report — shared by
     * `t_decontaminate` (exact broadcast operator) and
     * `t_decontaminate_bloom` (Bloom-pre-filtered variant with identical
@@ -634,6 +682,8 @@ object OracleSql {
          |WHERE tok_before < 300 ORDER BY source, doc_id""".stripMargin,
 
     "t_bm25_topk" -> bm25TopKSql,
+
+    "t_nb_classify" -> nbClassifySql,
 
     "t_repetition" ->
       s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
