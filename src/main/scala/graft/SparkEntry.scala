@@ -36,6 +36,7 @@ object SparkEntry {
     "j_asof_join" -> (Q.jAsofJoin _),
     "j_range_join" -> (Q.jRangeJoin _),
     "j_skew_salted" -> (Q.jSkewSalted _),
+    "j_scd2_merge" -> (Q.jScd2Merge _),
     "a1_group_multi_agg" -> (Q.a1GroupMultiAgg _),
     "a2_distinct" -> (Q.a2Distinct _),
     "u1_union_dedup" -> (Q.u1UnionDedup _),

@@ -396,6 +396,55 @@ object OperatorQueries {
   }
 
   /**
+   * SCD Type-2 dimension merge (beyond-reference): two deterministic CDC
+   * batches applied to the customer dimension — segment moves, no-op rows,
+   * and brand-new keys at t1; balance bumps and second-generation segment
+   * moves at t2 — emitting the full versioned snapshot (closed history +
+   * open rows). The oracle replays both merges generically (full join +
+   * null-safe attribute diff per batch), so the hash certifies the
+   * close/insert/no-op/new-key behavior row-for-row including version
+   * chains three deep.
+   */
+  def jScd2Merge(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ScdMerge
+    val attrs = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val cust = T(s, dir, "customer")
+    val init = ScdMerge.scd2Init(cust, "c_custkey", attrs,
+      lit("2024-01-01 00:00:00"))
+    val b1 = cust
+      .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 1)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0,
+          concat(lit("MOVED_"), col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")))
+      .select(col("c_custkey") +: attrs.map(col): _*)
+      .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey") +: attrs.map(col): _*))
+    val s1 = ScdMerge.scd2Apply(init, b1, "c_custkey", attrs,
+      lit("2024-02-01 00:00:00"))
+    val b2 = cust
+      .filter(col("c_custkey") % 5 === 0 || col("c_custkey") % 14 === 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 14 === 0, lit("SEG_B2"))
+          .otherwise(col("c_mktsegment")))
+      .select(col("c_custkey") +: attrs.map(col): _*)
+    ScdMerge.scd2Apply(s1, b2, "c_custkey", attrs,
+        lit("2024-03-01 00:00:00"))
+      // timestamps → strings with an 'open' sentinel for NULL valid_to: the
+      // driver's comparator has no null-timestamp (NaT) equality, the same
+      // date→string convention the dashboard queries use
+      .select(col("c_custkey") +: attrs.map(col)
+        :+ date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from")
+        :+ coalesce(date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss"),
+          lit("open")).as("valid_to")
+        :+ col("is_current"): _*)
+      .orderBy("c_custkey", "valid_from")
+  }
+
+  /**
    * Range join (beyond-reference): lineitem prices bucketed into the 50
    * price bands derived from the largest orders. Binned equi-join plan — the
    * raw BETWEEN join would be a BroadcastNestedLoopJoin (RangeJoinSpec pins

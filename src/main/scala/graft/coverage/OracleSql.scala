@@ -124,6 +124,67 @@ object OracleSql {
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Generic SCD2-merge replay for `j_scd2_merge`: per batch, a FULL JOIN
+    * of the open slice with the batch, a null-safe any-attribute diff, and
+    * the four-way split (history pass-through / kept-open / closed-at-eff /
+    * opened-at-eff) — the same rule [[graft.operators.ScdMerge.scd2Apply]]
+    * implements, applied twice. */
+  private def scd2MergeSql: String = {
+    val attrs = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val aList = attrs.mkString(", ")
+    def applyBatch(state: String, batch: String, eff: String, out: String): String = {
+      val oA = attrs.map(a => s"o.$a AS o_$a").mkString(", ")
+      val uA = attrs.map(a => s"u.$a AS u_$a").mkString(", ")
+      val diff = attrs.map(a => s"(o.$a IS DISTINCT FROM u.$a)").mkString(" OR ")
+      val oCols = attrs.map(a => s"o_$a").mkString(", ")
+      val uCols = attrs.map(a => s"u_$a").mkString(", ")
+      s"""${out}_j AS (
+         |  SELECT o.c_custkey AS ok, u.c_custkey AS uk, $oA, $uA,
+         |         o.valid_from AS o_vf, ($diff) AS diff
+         |  FROM (SELECT * FROM $state WHERE is_current) o
+         |  FULL JOIN $batch u ON o.c_custkey = u.c_custkey),
+         |$out AS (
+         |  SELECT c_custkey, $aList, valid_from, valid_to, is_current
+         |  FROM $state WHERE NOT is_current
+         |  UNION ALL
+         |  SELECT ok, $oCols, o_vf, CAST(NULL AS TIMESTAMP), true
+         |  FROM ${out}_j WHERE ok IS NOT NULL AND (uk IS NULL OR NOT diff)
+         |  UNION ALL
+         |  SELECT ok, $oCols, o_vf, TIMESTAMP '$eff', false
+         |  FROM ${out}_j WHERE ok IS NOT NULL AND uk IS NOT NULL AND diff
+         |  UNION ALL
+         |  SELECT uk, $uCols, TIMESTAMP '$eff', CAST(NULL AS TIMESTAMP), true
+         |  FROM ${out}_j WHERE uk IS NOT NULL AND (ok IS NULL OR diff))"""
+    }
+    s"""WITH snap0 AS (
+       |  SELECT c_custkey, $aList,
+       |         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+       |         CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+       |  FROM customer),
+       |b1 AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+       |         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED_' || c_mktsegment
+       |              ELSE c_mktsegment END AS c_mktsegment
+       |  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 1
+       |  UNION ALL
+       |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+       |  FROM customer WHERE c_custkey % 13 = 0),
+       |${applyBatch("snap0", "b1", "2024-02-01 00:00:00", "s1")},
+       |b2 AS (
+       |  SELECT c_custkey, c_name, c_nationkey,
+       |         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+       |              ELSE c_acctbal END AS c_acctbal,
+       |         CASE WHEN c_custkey % 14 = 0 THEN 'SEG_B2'
+       |              ELSE c_mktsegment END AS c_mktsegment
+       |  FROM customer WHERE c_custkey % 5 = 0 OR c_custkey % 14 = 0),
+       |${applyBatch("s1", "b2", "2024-03-01 00:00:00", "s2")}
+       |SELECT c_custkey, $aList,
+       |       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       |       coalesce(strftime(valid_to, '%Y-%m-%d %H:%M:%S'), 'open') AS valid_to,
+       |       is_current
+       |FROM s2 ORDER BY c_custkey, valid_from""".stripMargin
+  }
+
   /** Multinomial-Naive-Bayes replay for `t_nb_classify`, generated from the
     * SAME class list the Spark operator uses
     * ([[LlmOpQueries.NbClasses]]) with the same factored score
@@ -902,6 +963,8 @@ object OracleSql {
         |      FROM lineitem) l
         |JOIN orders ON l.l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "j_scd2_merge" -> scd2MergeSql,
 
     "w_sessionize" -> sessionizeSql,
 
