@@ -62,6 +62,8 @@ object SparkEntry {
     "w_sessionize_10x" -> (Q.wSessionize10x _),
     "a8_approx_count_distinct" -> (Q.a8ApproxCountDistinct _),
     "a_rollup" -> (Q.aRollup _),
+    "a_grouping_sets" -> (Q.aGroupingSets _),
+    "w_ntile" -> (Q.wNtile _),
     "a_percentile" -> (Q.aPercentile _),
     "a_percentile_approx" -> (Q.aPercentileApprox _),
     "a_pivot" -> (Q.aPivot _),
@@ -101,6 +103,7 @@ object SparkEntry {
     "t_repetition" -> (L.tRepetition _),
     "t_filter_cascade" -> (L.tFilterCascade _),
     "t_lm_perplexity" -> (L.tLmPerplexity _),
+    "t_dsir_select" -> (L.tDsirSelect _),
     "t_lm_perplexity_10x" -> (L.tLmPerplexity10x _),
     "t_html_extract" -> (L.tHtmlExtract _),
     "o_zorder_key" -> (Q.oZorderKey _),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.coverage.OperatorQueries.BoundedSort
 import graft.operators.{Dedup, SimilaritySearch}
-import graft.text.{HtmlExtract, LmScore, TextAnalysis}
+import graft.text.{Dsir, HtmlExtract, LmScore, TextAnalysis}
 import graft.multimodal.Multimodal
 
 /**
@@ -992,6 +992,16 @@ object LlmOpQueries {
   def tLmPerplexity(s: SparkSession, dir: String): DataFrame =
     LmScore.perplexityFilter(docs(s, dir), "doc_id", "text",
         trainPred = col("lang") === "en", k = 0.5, maxNll = 3.40)
+      .orderBy("doc_id")
+
+  /** DSIR importance resampling (oracle-checked row-for-row): every doc
+    * scored under a TARGET bigram LM (trained on the `lang='en'` slice) and
+    * a RAW LM (whole corpus) in ONE narrow pass — both models ride as
+    * scalar-subquery map values into the fused NLL expression — weight =
+    * nll_raw − nll_target, selected at τ = 0 ([[graft.text.Dsir]]). */
+  def tDsirSelect(s: SparkSession, dir: String): DataFrame =
+    Dsir.importanceScores(docs(s, dir), "doc_id", "text",
+        targetPred = col("lang") === "en", tau = 0.0, k = 0.5)
       .orderBy("doc_id")
 
   /** LM scoring at 10× (scaling evidence, rows-only, memoized): same model

@@ -677,6 +677,20 @@ object OperatorQueries {
       .na.fill(0L)
       .orderedSmall(col("l_returnflag"))
 
+  /** CUBE over both group keys with the grouping-set id (beyond-reference;
+    * completes the grouping-set family next to ROLLUP/PIVOT). `gid` is the
+    * standard bitmask — leftmost grouped column = most significant bit —
+    * identical across engines, and it disambiguates a NULL group value
+    * from a super-aggregate row. Same scale shape as any grouped agg:
+    * partial aggregation per grouping set map-side, one shuffle. */
+  def aGroupingSets(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sumDec(col("l_quantity")).as("sum_qty"))
+      .orderedSmall(col("gid"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
   // ─────────────────────────── §2.6 sorts / top-k ──────────────────────────
 
   /** O2/O3: ORDER BY derived metric DESC + LIMIT (TakeOrderedAndProject), ties broken. */
@@ -776,6 +790,22 @@ object OperatorQueries {
         lead("event_type", 1).over(w).as("next_type"),
         dense_rank().over(Window.partitionBy("user_id")
           .orderBy(col("event_type"))).as("type_rank"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Distribution-rank windows — ntile quartiles, percent_rank, cume_dist —
+    * over per-user event sequences (completes the window family next to
+    * row_number/lag/rank). The rank ratios are small-integer divisions:
+    * IEEE-identical across engines, no rounding needed. Ordering key
+    * (event_id) is unique per user, so every rank is deterministic. */
+  def wNtile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
       .orderBy("user_id", "event_id")
   }
 

@@ -432,30 +432,45 @@ object OracleSql {
     * arithmetic cannot drift between them. */
   private def lmPerDocSql(corpusSql: String): String =
     s"""WITH corpus AS ($corpusSql),
-       |tk AS (SELECT doc_id, lang,
+       |${lmTokenChainSql()},
+       |${lmModelChainSql("", "lang = 'en'")}""".stripMargin
+
+  /** Shared tokenize/bigram CTEs (`tk`, `bgd`, `bge`) over a `corpus` CTE
+    * providing (doc_id, lang, text) — the model-independent half of the LM
+    * replay, factored so multi-model scorers reuse ONE bigram explode. */
+  private def lmTokenChainSql(): String =
+    s"""tk AS (SELECT doc_id, lang,
        |              string_split_regex(trim(lower(text)), '\\s+') AS toks
        |            FROM corpus),
        |bgd AS (SELECT doc_id,
        |          unnest([{'w1': toks[i], 'w2': toks[i+1]}
        |                  FOR i IN range(1, len(toks))]) AS bg
        |        FROM tk),
-       |bge AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bgd),
-       |tr AS (SELECT doc_id FROM tk WHERE lang = 'en'),
-       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bge
-       |        WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1, 2),
-       |c1 AS (SELECT w1, count(*) AS c1 FROM bge
-       |       WHERE doc_id IN (SELECT doc_id FROM tr) GROUP BY 1),
-       |v AS (SELECT count(DISTINCT t) AS v FROM
+       |bge AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bgd)""".stripMargin
+
+  /** One trained-model chain (`tr`/`c12`/`c1`/`v`/`sc`/`agg`, all
+    * suffix-renamed) over the shared token CTEs: training slice =
+    * `tk WHERE trainPred`, add-0.5 smoothing, per-doc mean NLL rounded to
+    * 6 dp — exactly `LmScore.train`+`score`. Suffixing lets several models
+    * (DSIR's target + raw) coexist in one WITH chain without duplicating
+    * the arithmetic source. */
+  private def lmModelChainSql(sfx: String, trainPred: String): String =
+    s"""tr$sfx AS (SELECT doc_id FROM tk WHERE $trainPred),
+       |c12$sfx AS (SELECT w1, w2, count(*) AS c12 FROM bge
+       |        WHERE doc_id IN (SELECT doc_id FROM tr$sfx) GROUP BY 1, 2),
+       |c1$sfx AS (SELECT w1, count(*) AS c1 FROM bge
+       |       WHERE doc_id IN (SELECT doc_id FROM tr$sfx) GROUP BY 1),
+       |v$sfx AS (SELECT count(DISTINCT t) AS v FROM
        |        (SELECT unnest(toks) AS t FROM tk
-       |         WHERE doc_id IN (SELECT doc_id FROM tr))),
-       |sc AS (SELECT b.doc_id,
-       |         -ln((coalesce(c12.c12, 0) + 0.5) /
-       |             (coalesce(c1.c1, 0) + 0.5 * v.v)) AS nlp
-       |       FROM bge b LEFT JOIN c12 USING (w1, w2)
-       |       LEFT JOIN c1 USING (w1) CROSS JOIN v),
-       |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+       |         WHERE doc_id IN (SELECT doc_id FROM tr$sfx))),
+       |sc$sfx AS (SELECT b.doc_id,
+       |         -ln((coalesce(c.c12, 0) + 0.5) /
+       |             (coalesce(c1$sfx.c1, 0) + 0.5 * v$sfx.v)) AS nlp
+       |       FROM bge b LEFT JOIN c12$sfx c USING (w1, w2)
+       |       LEFT JOIN c1$sfx USING (w1) CROSS JOIN v$sfx),
+       |agg$sfx AS (SELECT doc_id, count(*) AS n_bigrams,
        |          round(avg(nlp), 6) AS nll
-       |        FROM sc GROUP BY 1)""".stripMargin
+       |        FROM sc$sfx GROUP BY 1)""".stripMargin
 
   /**
    * One BPE merge stage as SQL: rewrite word table `prev` into `out` by
@@ -1422,6 +1437,23 @@ object OracleSql {
          |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
 
+    // DSIR importance resampling: TWO model chains (target = lang 'en',
+    // raw = whole corpus) over ONE shared bigram explode; per-doc weight =
+    // nll_raw − nll_target on the already-rounded means (exact double
+    // subtraction, identical across engines), selection at τ = 0.
+    "t_dsir_select" ->
+      s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents),
+         |${lmTokenChainSql()},
+         |${lmModelChainSql("_t", "lang = 'en'")},
+         |${lmModelChainSql("_r", "TRUE")}
+         |SELECT tk.doc_id, coalesce(t.n_bigrams, 0) AS n_bigrams,
+         |       t.nll AS nll_target, r.nll AS nll_raw,
+         |       r.nll - t.nll AS w,
+         |       coalesce(r.nll - t.nll >= 0.0, false) AS selected
+         |FROM tk LEFT JOIN agg_t t ON tk.doc_id = t.doc_id
+         |        LEFT JOIN agg_r r ON tk.doc_id = r.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
+
     // 10× scaling twin: the same LM chain over the replicated corpus (the
     // replicas are vocabulary-disjoint, so the one model table is
     // effectively 10 disjoint models — which the SQL replay handles
@@ -1690,6 +1722,21 @@ object OracleSql {
         |       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
         |       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O"
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_grouping_sets" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+        |       l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "w_ntile" ->
+      """SELECT user_id, event_id,
+        |       ntile(4) OVER w AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "w_row_number_latest" ->
       """SELECT user_id, event_id, event_type FROM (

@@ -120,6 +120,23 @@ object LmScore {
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: BigramModel, k: Double = 0.5, maxNll: Double = 6.0,
             roundTo: Int = 6): DataFrame = {
+    docs
+      .withColumn("__s", nllStruct(model, TextAnalysis.tokens(col(textCol)), k))
+      .select(col(idCol),
+        col("__s").getField("n_bigrams").as("n_bigrams"),
+        round(col("__s").getField("nll_sum") /
+          col("__s").getField("n_bigrams"), roundTo).as("nll"))
+      .withColumn("kept", coalesce(col("nll") <= maxNll, lit(false)))
+  }
+
+  /** The fused per-doc score as a Column: a `(n_bigrams, nll_sum)` struct
+    * over a token-array column, with the model collapsed to single-row MAP
+    * values carried as scalar subqueries (see [[score]] for why subqueries,
+    * not 1-row broadcast joins). Factored out so multi-model scorers
+    * ([[Dsir]]) can evaluate SEVERAL models in the same narrow pass — each
+    * call contributes its own subquery stages but zero joins and zero
+    * per-bigram rows on the shared score scan. */
+  def nllStruct(model: BigramModel, toks: Column, k: Double): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.scalarSubquery
     val bgRow = model.bg
       .groupBy("w1")
@@ -127,15 +144,9 @@ object LmScore {
       .agg(map_from_entries(collect_list(struct(col("w1"), col("m")))).as("__bg"))
     val pfxRow = model.pfx
       .agg(map_from_entries(collect_list(struct(col("w1"), col("c1")))).as("__pfx"))
-    docs
-      .withColumn("__s", graft.expressions.LmExpressions.bigram_nll(
-        TextAnalysis.tokens(col(textCol)), scalarSubquery(bgRow),
-        scalarSubquery(pfxRow), scalarSubquery(model.v), k))
-      .select(col(idCol),
-        col("__s").getField("n_bigrams").as("n_bigrams"),
-        round(col("__s").getField("nll_sum") /
-          col("__s").getField("n_bigrams"), roundTo).as("nll"))
-      .withColumn("kept", coalesce(col("nll") <= maxNll, lit(false)))
+    graft.expressions.LmExpressions.bigram_nll(
+      toks, scalarSubquery(bgRow), scalarSubquery(pfxRow),
+      scalarSubquery(model.v), k)
   }
 
   /**
