@@ -34,10 +34,25 @@ object LlmOpQueries {
     * by the Verify/Bench mains before session stop (memoization scope = one
     * run). */
   def clearCache(): Unit = {
+    // Drop this application's IVF index tables (per-app-named, see
+    // simIvfIndexed) so unique-named snapshots don't accumulate in the
+    // shared warehouse across runs.
+    cache.keysIterator.map(_._1).toSet[SparkSession].foreach { s =>
+      val tbl = ivfTableFor(s)
+      Seq(s"${tbl}_centroids", s"${tbl}_assign").foreach { t =>
+        try graft.layout.TableLayout.dropTable(s, t)
+        catch { case _: Throwable => () }
+      }
+    }
     cache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     cache.clear()
     Dedup.unpersistSketches()
   }
+
+  /** Per-application IVF index table prefix (see [[simIvfIndexed]]). */
+  private def ivfTableFor(s: SparkSession): String =
+    "graft_ivf_serving_" +
+      s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9_]", "_")
 
   /** Invalidate every DERIVED cached result (the dedup operators' internal
     * sketch frames) while keeping the input-table buffer pool warm. Bench
@@ -667,11 +682,19 @@ object LlmOpQueries {
   def simIvfIndexed(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "__q_ivf_indexed"), {
       val e = embeddings(s, dir)
+      // Per-application table name: the index tables live in the shared
+      // spark-warehouse directory, so two graft JVMs running this query
+      // concurrently (a Verify beside a Bench) would otherwise overwrite
+      // each other's index files mid-read (observed: FileNotFound on a
+      // rewritten part file). Real serving publishes snapshots
+      // (layout/SnapshotStore); for this build-and-probe query, isolating
+      // by application id gives the same no-clobber property.
+      val tbl = ivfTableFor(s)
       SimilaritySearch.buildIvfIndex(e, "vec_id", "embedding",
-        "graft_ivf_serving", nLists = 16, trainIters = 3, buckets = 8)
+        tbl, nLists = 16, trainIters = 3, buckets = 8)
       val q = e.filter(col("vec_id") < 10)
       val exact = exactTopK(s, dir).select("query_id", "corpus_id")
-      val approx = SimilaritySearch.ivfTopKIndexed(s, "graft_ivf_serving",
+      val approx = SimilaritySearch.ivfTopKIndexed(s, tbl,
           q, "vec_id", "embedding", k = 5, nProbe = 10)
         .select("query_id", "corpus_id")
       exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
@@ -881,6 +904,15 @@ object LlmOpQueries {
       .groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term"))
       .limit(20)
+
+  /** Count-Min-Sketch heavy hitters (the a8 pattern for frequent items):
+    * exact top-20 total term frequencies plus the CMS error-bound verdict —
+    * the DuckDB oracle recomputes the exact counts and expects every
+    * verdict true, so an estimator break fails the hash
+    * ([[graft.operators.HeavyHitters]]). */
+  def tCmsHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.topTermsWithCmsVerdict(
+      docs(s, dir), "text", k = 20, eps = 1e-4, confidence = 0.99, seed = 42)
 
   /** Int8 embedding quantization audit: per-vector scale, code stats, and
     * reconstruction error — all IEEE-exact ops, so the DuckDB oracle

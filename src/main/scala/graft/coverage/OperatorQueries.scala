@@ -677,6 +677,23 @@ object OperatorQueries {
       .na.fill(0L)
       .orderedSmall(col("l_returnflag"))
 
+  /** INTERSECT / EXCEPT (beyond-reference; completes the set-operation
+    * family next to U1's UNION ALL): users who purchased AND clicked, and
+    * users who clicked but never purchased, as one labelled union. Spark
+    * plans both as hash joins over the distinct key sets (left_semi /
+    * left_anti after an aggregate) — shuffle carries user_ids only, and
+    * the distinct aggregates partial-combine map-side. */
+  def uIntersectExcept(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    def typed(t: String) =
+      ev.filter(col("event_type") === t).select("user_id").distinct()
+    val both = typed("purchase").intersect(typed("click"))
+      .withColumn("set_op", lit("purchase_and_click"))
+    val only = typed("click").except(typed("purchase"))
+      .withColumn("set_op", lit("click_never_purchase"))
+    both.unionByName(only).orderBy("set_op", "user_id")
+  }
+
   /** CUBE over both group keys with the grouping-set id (beyond-reference;
     * completes the grouping-set family next to ROLLUP/PIVOT). `gid` is the
     * standard bitmask — leftmost grouped column = most significant bit —
@@ -684,10 +701,19 @@ object OperatorQueries {
     * from a super-aggregate row. Same scale shape as any grouped agg:
     * partial aggregation per grouping set map-side, one shuffle. */
   def aGroupingSets(s: SparkSession, dir: String): DataFrame =
+    // Base-aggregate FIRST, cube the aggregate: Spark plans cube as
+    // Expand — every input row duplicated once per grouping set (4× the
+    // corpus through the partial aggregate) — which is the scale-killer
+    // form at 100 TB. COUNT/SUM re-aggregate losslessly, so cube the
+    // key-domain-sized base aggregate instead: the corpus is scanned and
+    // shuffled once, and Expand multiplies only |flag × status| rows.
     T(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("__s"))
       .cube("l_returnflag", "l_linestatus")
-      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-        sumDec(col("l_quantity")).as("sum_qty"))
+      .agg(grouping_id().as("gid"), sum(col("__n")).as("n"),
+        sum(col("__s")).cast("double").as("sum_qty"))
       .orderedSmall(col("gid"), asc_nulls_first("l_returnflag"),
         asc_nulls_first("l_linestatus"))
 

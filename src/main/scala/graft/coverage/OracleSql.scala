@@ -901,6 +901,15 @@ object OracleSql {
         |       CAST(floor((off + n_tokens - 1) / 512) AS BIGINT) AS pack_last
         |FROM o ORDER BY doc_id""".stripMargin,
 
+    // CMS heavy hitters: exact top-20 TOTAL term frequencies; the sketch
+    // verdict is expected true per the CMS guarantee (fixed seed →
+    // deterministic), so the hash certifies the estimator stays in bound.
+    "t_cms_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |             FROM documents)
+        |SELECT w AS term, count(*) AS n, true AS within_bound FROM tok
+        |GROUP BY w ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
     "t_top_terms" ->
       """WITH tok AS (SELECT DISTINCT doc_id,
         |                    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
@@ -1722,6 +1731,18 @@ object OracleSql {
         |       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
         |       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O"
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "u_intersect_except" ->
+      """SELECT user_id, 'purchase_and_click' AS set_op FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        |UNION ALL
+        |SELECT user_id, 'click_never_purchase' AS set_op FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY set_op, user_id""".stripMargin,
 
     "a_grouping_sets" ->
       """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,

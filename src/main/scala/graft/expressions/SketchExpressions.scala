@@ -415,6 +415,42 @@ case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/**
+ * Point estimate from a serialized Count-Min sketch (the binary produced by
+ * Spark's built-in `count_min_sketch` aggregate): frequency of `right`
+ * (string) per `left` (the sketch bytes). The deserialized sketch caches on
+ * the byte-array reference — the sketch arrives as a scalar subquery, so
+ * every row of a task sees the SAME array instance and pays one
+ * deserialization. Items hash via their UTF-8 bytes, mirroring how the
+ * aggregate added them (`addBinary` on `UTF8String.getBytes`).
+ */
+case class CmsEstimateExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedSketch: org.apache.spark.util.sketch.CountMinSketch = _
+
+  override def nullSafeEval(sk: Any, item: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if (!(bytes eq cachedBytes)) {
+      cachedSketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      cachedBytes = bytes
+    }
+    java.lang.Long.valueOf(
+      cachedSketch.estimateCount(item.asInstanceOf[UTF8String].getBytes))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Element accessor shared by the vector expressions: arrays arrive as
   * `array<float>` (raw embeddings) or `array<double>` (post-normalization). */
 private[expressions] object VectorElem {
@@ -613,6 +649,12 @@ object SketchExpressions {
   /** Column wrapper: map<term, count> of an array<string> token column. */
   def term_counts(tokens: Column): Column =
     ColumnBridge.column(TermCountsExpr(ColumnBridge.expression(tokens)))
+
+  /** Column wrapper: Count-Min point estimate of a string item against a
+    * serialized sketch column (from the `count_min_sketch` aggregate). */
+  def cms_estimate(sketch: Column, item: Column): Column =
+    ColumnBridge.column(
+      CmsEstimateExpr(ColumnBridge.expression(sketch), ColumnBridge.expression(item)))
 
   /** Column wrapper: Bloom membership probe of a string column against a
     * serialized `BloomFilter`. (Not SQL-registered — a multi-megabyte

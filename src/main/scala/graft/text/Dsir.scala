@@ -42,8 +42,7 @@ object Dsir {
                        targetPred: Column, tau: Double = 0.0,
                        k: Double = 0.5, minCount: Long = 1L,
                        roundTo: Int = 6): DataFrame = {
-    val target = LmScore.train(docs.filter(targetPred), textCol, minCount)
-    val raw = LmScore.train(docs, textCol, minCount)
+    val (target, raw) = trainPair(docs, textCol, targetPred, minCount)
     val toks = TextAnalysis.tokens(col(textCol))
     docs
       .withColumn("__t", LmScore.nllStruct(target, toks, k))
@@ -56,5 +55,48 @@ object Dsir {
           col("__r").getField("n_bigrams"), roundTo).as("nll_raw"))
       .withColumn("w", col("nll_raw") - col("nll_target"))
       .withColumn("selected", coalesce(col("w") >= tau, lit(false)))
+  }
+
+  /**
+   * Train the target AND raw models from ONE pass over the corpus — the
+   * K-models-one-scan shape: two independent `LmScore.train` calls would
+   * explode the corpus into bigrams twice (and the token stream twice for
+   * the vocabularies), pure duplicated heavy work since the target slice
+   * is a subset of the raw corpus. Instead one bigram explode aggregates
+   * BOTH counts per (w1, w2) — raw = count(*), target = count where the
+   * document satisfies `targetPred` — and one token explode computes both
+   * vocabulary sizes via a conditional distinct. Prefix counts are row
+   * sums of the unpruned bigram table per model (same
+   * summed-before-pruning rule as `LmScore.train`). Results are exactly
+   * the two independently-trained models (DsirSpec pins this against two
+   * `LmScore` runs); the corpus-scale work halves, and everything after
+   * the explode is vocabulary-bounded.
+   */
+  def trainPair(docs: DataFrame, textCol: String, targetPred: Column,
+                minCount: Long = 1L): (LmScore.BigramModel, LmScore.BigramModel) = {
+    import LmScore.BigramModel
+    val base = docs.select(coalesce(targetPred, lit(false)).as("__is_t"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val bg = graft.operators.Dedup.persistTracked(
+      base.select(col("__is_t"), explode(LmScore.bigramsOf(col("__toks"))).as("bg"))
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("c12_r"),
+          sum(when(col("__is_t"), 1L).otherwise(0L)).as("c12_t")))
+    val vRow = graft.operators.Dedup.persistTracked(
+      base.select(col("__is_t"), explode(col("__toks")).as("w"))
+        .agg(count_distinct(col("w")).as("v_r"),
+          count_distinct(when(col("__is_t"), col("w"))).as("v_t")))
+    val target = BigramModel(
+      bg = bg.filter(col("c12_t") >= math.max(minCount, 1L))
+        .select(col("w1"), col("w2"), col("c12_t").as("c12")),
+      pfx = bg.groupBy("w1").agg(sum(col("c12_t")).as("c1"))
+        .filter(col("c1") > 0),
+      v = vRow.select(col("v_t").as("v")))
+    val raw = BigramModel(
+      bg = bg.filter(col("c12_r") >= minCount)
+        .select(col("w1"), col("w2"), col("c12_r").as("c12")),
+      pfx = bg.groupBy("w1").agg(sum(col("c12_r")).as("c1")),
+      v = vRow.select(col("v_r").as("v")))
+    (target, raw)
   }
 }

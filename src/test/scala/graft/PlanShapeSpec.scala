@@ -3,6 +3,7 @@ package graft
 import graft.coverage.OperatorQueries
 import graft.models.Warehouse
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /**
  * Physical-plan shape assertions — the scale contract, machine-checked:
@@ -108,6 +109,41 @@ class PlanShapeSpec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS valid_b")
       spark.sql("DROP TABLE IF EXISTS dim_order_b")
+    }
+  }
+
+  test("runtime bloom-filter pruning injects on a selective dim-filtered shuffle join") {
+    // The 100 TB lever for non-broadcast joins: when a dim carries a
+    // selective filter but the join must shuffle (dim outgrew broadcast),
+    // Catalyst's InjectRuntimeFilter builds a bloom filter over the dim's
+    // surviving keys and applies it to the fact scan BEFORE the fact-side
+    // Exchange — the shuffle then carries only rows that can match. Default
+    // size thresholds (10 MB creation side / 10 GB probe-side scan) exist
+    // precisely because the win only pays at scale; lower them here to pin
+    // that the mechanism engages on our join shape. Production sessions
+    // keep the defaults — this is a planner capability check, not a bench
+    // tweak.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must fit UNDER this bound; probe-side scan must
+      // exceed its threshold — relax both so the sf0.001 shapes qualify
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+      val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+      val p = plan(lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(org.apache.spark.sql.functions.sum("l_quantity")))
+      assert(p.toLowerCase.contains("bloomfilter"),
+        "runtime bloom filter not injected: " + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
