@@ -549,6 +549,34 @@ object OperatorQueries {
       .select(date_format(col("d"), "yyyy-MM-dd").as("event_date"), col("n_events"))
       .orderedSmall(col("event_date"))
 
+  /** Mergeable-sketch distinct-count ROLLUP (the pre-aggregated-sketch
+    * pattern, a8 family): per-(day, hour) HLL sketches built once, then
+    * UNIONED to per-day estimates — at 100 TB the hourly sketch table is
+    * what you store (kilobytes per group, mergeable to any coarser grain
+    * without re-scanning events; re-aggregating exact distincts needs the
+    * raw data again). The query emits exact per-day distincts plus the
+    * union-estimate error verdict (≤ 5%; DataSketches HLL at lgK 12 has
+    * ~1.6% RSE, and union is register-max — order-insensitive, so the
+    * verdict is deterministic). The DuckDB oracle recomputes the exact
+    * side and expects every verdict true. */
+  def a8HllUnionRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("ts").cast("date").as("d"), hour(col("ts")).as("h"),
+        col("user_id"))
+    val hourly = ev.groupBy("d", "h")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val daily = hourly.groupBy("d")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("__est"))
+    val exact = ev.groupBy("d")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    exact.join(daily, Seq("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("event_date"),
+        col("n_exact"),
+        (abs(col("__est") - col("n_exact")) / col("n_exact") <= 0.05)
+          .as("within_5pct"))
+      .orderedSmall(col("event_date"))
+  }
+
   /** A5/O1: two-key grouped count + multi-key ORDER BY (dq-summary shape). */
   def a5TwoKeyCount(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")

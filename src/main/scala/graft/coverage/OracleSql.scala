@@ -1655,6 +1655,14 @@ object OracleSql {
     // the exact count plus the error-bound verdict the Spark side computes
     // (|approx-exact|/exact <= 5% at rsd 0.02) — the oracle expects `true`,
     // so an estimator regression flips the hash compare.
+    // HLL sketch rollup: exact per-day distincts; the hourly-sketch union
+    // estimate's 5% verdict is expected true (register-max union is
+    // order-insensitive → deterministic).
+    "a8_hll_union_rollup" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+        |       count(DISTINCT user_id) AS n_exact, true AS within_5pct
+        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
+
     "a8_approx_count_distinct" ->
       """SELECT count(DISTINCT user_id) AS exact_users,
         |       TRUE AS within_5pct FROM events""".stripMargin,

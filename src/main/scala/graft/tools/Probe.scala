@@ -34,9 +34,16 @@ object Probe {
         println(s"──── $n ────")
         graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
       }
+    // SPARK_GRAFT_RESET=true: invalidate the derived-frame caches (dedup
+    // sketches, trained-model intermediates held via persistTracked) before
+    // every timed run — Bench's per-pass honesty rule. Without it, model
+    // queries re-serve their first run's cached training aggregations and
+    // the probe min under-reports them.
+    val reset = sys.env.get("SPARK_GRAFT_RESET").contains("true")
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)
       val ts = (1 to 10).map { _ =>
+        if (reset) graft.coverage.LlmOpQueries.resetDerivedCaches()
         val t0 = System.nanoTime()
         run(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
