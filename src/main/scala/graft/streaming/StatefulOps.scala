@@ -43,11 +43,25 @@ object StatefulOps {
       return Iterator.empty
     }
     val prev = state.getOption.getOrElse(OrderState(0L, "", ""))
-    // (timestamp, event_id) string sort — the reference pipeline's
-    // lexicographic-ISO ordering convention (SURVEY §1.4)
-    val sorted = events.toSeq.sortBy(e =>
+    advance(orderId, prev, events.toSeq) match {
+      case None => Iterator.empty
+      case Some((next, out)) =>
+        state.update(next)
+        state.setTimeoutDuration(timeoutDurationMs)
+        Iterator.single(out)
+    }
+  }
+
+  /** Pure per-(key, batch) fold — the SEMANTICS, shared by the v1
+    * (`flatMapGroupsWithState`) and v2 (`transformWithState`,
+    * [[StatefulOpsV2]]) processors so the two APIs cannot drift: sort the
+    * batch in (timestamp, event_id) lexicographic-ISO order (SURVEY §1.4),
+    * advance the stored state, emit one update. None for an empty batch. */
+  private[streaming] def advance(orderId: String, prev: OrderState,
+      events: Seq[LogisticsEvent]): Option[(OrderState, OrderUpdate)] = {
+    val sorted = events.sortBy(e =>
       (e.timestamp.getOrElse(""), e.event_id.getOrElse("")))
-    if (sorted.isEmpty) return Iterator.empty
+    if (sorted.isEmpty) return None
     val latest = sorted.last
     // NUL separator: below every printable char, so the concatenated key
     // compares identically to the (timestamp, event_id) tuple order above
@@ -59,10 +73,8 @@ object StatefulOps {
         OrderState(prev.nEvents + sorted.size,
           latest.status.getOrElse(prev.lastStatus), latestKey)
       else prev.copy(nEvents = prev.nEvents + sorted.size)
-    state.update(next)
-    state.setTimeoutDuration(timeoutDurationMs)
-    Iterator.single(OrderUpdate(orderId, next.nEvents, next.lastStatus,
-      next.lastStatus != prev.lastStatus))
+    Some((next, OrderUpdate(orderId, next.nEvents, next.lastStatus,
+      next.lastStatus != prev.lastStatus)))
   }
 
   /** Running per-order progress; one output row per order per micro-batch. */
