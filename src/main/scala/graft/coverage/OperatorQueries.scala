@@ -241,6 +241,18 @@ object OperatorQueries {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
+  /** S2 via the VARIANT type (beyond-reference; Spark 4's semi-structured
+    * path): `parse_json` once into an open-schema variant value, then typed
+    * path extraction — the shape that scales to ragged/evolving payloads
+    * where a fixed `from_json` schema can't (the variant binary encodes its
+    * own structure; shredded parquet storage makes paths prunable). Output
+    * is pinned identical to [[s2JsonDecode]]'s string-path extraction. */
+  def s2VariantDecode(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_id"),
+        expr("variant_get(try_parse_json(props), '$.k', 'int')").as("k"))
+      .orderBy("event_id")
+
   // ─────────────────────── §2.2 projections / filters / predicates ─────────
 
   /** P1: cast + trim projection (staging shape): string narrow + float32 narrow. */

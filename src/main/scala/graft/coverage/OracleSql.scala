@@ -1517,6 +1517,12 @@ object OracleSql {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // Variant-path twin of s2: same extraction semantics, so the same
+    // relational replay certifies the variant decode path.
+    "s2_variant_decode" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "p1_cast_trim" ->
       """SELECT event_id, trim(CAST(event_type AS VARCHAR)) AS status,
         |       CAST(value AS FLOAT) AS value_f
