@@ -120,6 +120,27 @@ object EventStreamIngest {
       .drop("event_time")
 
   /**
+   * In-flight data-quality counters via `Dataset.observe` — per-batch
+   * metrics computed ON the ingest stream as it flows (accumulator-style,
+   * zero extra passes over the data, unlike a separate DQ aggregation that
+   * would re-read the batch): total rows, null/blank event ids, rows whose
+   * timestamp fails ISO parsing. Read them per micro-batch from the query's
+   * progress (`lastProgress.observedMetrics`) or a `QueryListener` — the
+   * production monitoring hook that costs nothing at 100 TB because the
+   * metrics ride the existing scan. Works identically on batch frames
+   * (collected with the action). Metric name: [[observedMetricsName]].
+   */
+  def withIngestMetrics(events: DataFrame): DataFrame =
+    events.observe(observedMetricsName,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("event_id").isNull || trim(col("event_id")) === "", 1L)
+        .otherwise(0L)).as("n_null_ids"),
+      sum(when(try_to_timestamp(col("timestamp")).isNull, 1L)
+        .otherwise(0L)).as("n_bad_ts"))
+
+  val observedMetricsName = "ingest_dq"
+
+  /**
    * Bronze sink: parquet + checkpoint, partitioned by ingest date/hour.
    * `availableNow = true` reproduces the Airflow-style bounded drain: process
    * everything pending, then stop.

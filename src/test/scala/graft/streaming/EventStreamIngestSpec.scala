@@ -65,6 +65,28 @@ class EventStreamIngestSpec extends SparkSuite {
     assert(fresh.count() == 5)
   }
 
+  test("observe(): in-flight DQ metrics per micro-batch, no second pass") {
+    val tmp = Files.createTempDirectory("graft-observe").toString
+    val srcDir = s"$tmp/landing"; val outDir = s"$tmp/bronze"; val ckpt = s"$tmp/ckpt"
+    writeBatchFile(Seq(
+      ev(4), ev(5),
+      ev(1).copy(event_id = None),
+      ev(2).copy(event_id = Some("  ")),
+      ev(3).copy(timestamp = Some("not-a-time"))), s"$srcDir/b1.parquet")
+    val q = EventStreamIngest.bronzeSink(
+      EventStreamIngest.withIngestMetrics(
+        EventStreamIngest.fromFiles(spark, srcDir)), outDir, ckpt)
+    q.awaitTermination(120000)
+    val m = q.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get(
+        EventStreamIngest.observedMetricsName))).head
+    assert(m.getAs[Long]("n_rows") === 5L)
+    assert(m.getAs[Long]("n_null_ids") === 2L)
+    assert(m.getAs[Long]("n_bad_ts") === 1L)
+    // the metrics rode the ingest scan — all five rows still landed
+    assert(spark.read.parquet(outDir).count() === 5L)
+  }
+
   test("streaming minute counts aggregate with watermark (batch-checked)") {
     val s = spark
     import s.implicits._
