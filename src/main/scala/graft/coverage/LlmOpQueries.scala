@@ -690,6 +690,12 @@ object LlmOpQueries {
       // (layout/SnapshotStore); for this build-and-probe query, isolating
       // by application id gives the same no-clobber property.
       val tbl = ivfTableFor(s)
+      // Deliberate trade-off: a JVM killed before clearCache orphans its
+      // uniquely-named snapshot (~MB), and no other run reaps it — because
+      // a reaper cannot tell a crashed run's leftovers from a CONCURRENT
+      // live run's tables, and deleting the latter is the clobber this
+      // naming scheme exists to prevent. Rare crash debris over racing
+      // deletes.
       SimilaritySearch.buildIvfIndex(e, "vec_id", "embedding",
         tbl, nLists = 16, trainIters = 3, buckets = 8)
       val q = e.filter(col("vec_id") < 10)

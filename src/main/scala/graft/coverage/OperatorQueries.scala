@@ -250,7 +250,10 @@ object OperatorQueries {
   def s2VariantDecode(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
       .select(col("event_id"),
-        expr("variant_get(try_parse_json(props), '$.k', 'int')").as("k"))
+        // try_variant_get: null on a failed path/cast, matching the
+        // non-ANSI cast semantics of the string-path twin on ragged
+        // payloads (plain variant_get would throw instead)
+        expr("try_variant_get(try_parse_json(props), '$.k', 'int')").as("k"))
       .orderBy("event_id")
 
   // ─────────────────────── §2.2 projections / filters / predicates ─────────
@@ -725,8 +728,11 @@ object OperatorQueries {
     * the distinct aggregates partial-combine map-side. */
   def uIntersectExcept(s: SparkSession, dir: String): DataFrame = {
     val ev = T(s, dir, "events")
+    // no pre-.distinct(): INTERSECT/EXCEPT carry set (distinct) semantics
+    // themselves — Spark plans them as an aggregate over a semi/anti join,
+    // so a distinct here would just add a redundant exchange+aggregate
     def typed(t: String) =
-      ev.filter(col("event_type") === t).select("user_id").distinct()
+      ev.filter(col("event_type") === t).select("user_id")
     val both = typed("purchase").intersect(typed("click"))
       .withColumn("set_op", lit("purchase_and_click"))
     val only = typed("click").except(typed("purchase"))

@@ -1657,10 +1657,6 @@ object OracleSql {
       """SELECT count(DISTINCT user_id) AS n_users,
         |       count(DISTINCT event_type) AS n_types FROM events""".stripMargin,
 
-    // The HLL estimate is engine-specific; what IS cross-engine checkable is
-    // the exact count plus the error-bound verdict the Spark side computes
-    // (|approx-exact|/exact <= 5% at rsd 0.02) — the oracle expects `true`,
-    // so an estimator regression flips the hash compare.
     // HLL sketch rollup: exact per-day distincts; the hourly-sketch union
     // estimate's 5% verdict is expected true (register-max union is
     // order-insensitive → deterministic).
@@ -1669,6 +1665,10 @@ object OracleSql {
         |       count(DISTINCT user_id) AS n_exact, true AS within_5pct
         |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
 
+    // The HLL estimate is engine-specific; what IS cross-engine checkable is
+    // the exact count plus the error-bound verdict the Spark side computes
+    // (|approx-exact|/exact <= 5% at rsd 0.02) — the oracle expects `true`,
+    // so an estimator regression flips the hash compare.
     "a8_approx_count_distinct" ->
       """SELECT count(DISTINCT user_id) AS exact_users,
         |       TRUE AS within_5pct FROM events""".stripMargin,

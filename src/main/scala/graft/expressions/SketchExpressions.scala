@@ -437,11 +437,15 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
 
   override def nullSafeEval(sk: Any, item: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    if (!(bytes eq cachedBytes)) {
+    // reference check first, content equality as the fallback: a struct
+    // accessor over the subquery row (GetStructField → getBinary) hands
+    // back a FRESH copy per eval, so `eq` alone would re-deserialize the
+    // ~MB sketch on every row
+    if (!(bytes eq cachedBytes) && !java.util.Arrays.equals(bytes, cachedBytes)) {
       cachedSketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(bytes))
-      cachedBytes = bytes
     }
+    cachedBytes = bytes
     java.lang.Long.valueOf(
       cachedSketch.estimateCount(item.asInstanceOf[UTF8String].getBytes))
   }
