@@ -865,6 +865,24 @@ object OperatorQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** RANGE-frame window (time-based trailing aggregate) — the VALUE-domain
+    * frame the ROWS-frame running sum can't express: each event's sum over
+    * the user's events in the PRECEDING 10 minutes, peers-at-equal-instant
+    * included by definition (which is also why it is deterministic under
+    * ts ties, unlike a ROWS frame over a tied ordering). Frame key is
+    * integer epoch-MICROseconds on both engines — exact arithmetic, no
+    * float truncation at the frame boundary. */
+  def wRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-600L * 1000 * 1000, 0)
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("trailing_10min_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Distribution-rank windows — ntile quartiles, percent_rank, cume_dist —
     * over per-user event sequences (completes the window family next to
     * row_number/lag/rank). The rank ratios are small-integer divisions:

@@ -1765,6 +1765,14 @@ object OracleSql {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "w_range_frame" ->
+      """SELECT user_id, event_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS trailing_10min_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
     "w_ntile" ->
       """SELECT user_id, event_id,
         |       ntile(4) OVER w AS quartile,
