@@ -865,6 +865,21 @@ object OperatorQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Forward-fill (gap filling) via `last(_, ignoreNulls)` over a running
+    * frame — the IGNORE NULLS window feature the offset family (lag/lead)
+    * doesn't cover, and the standard repair for sparsely-populated event
+    * payloads: each row carries the most recent non-null props seen in its
+    * user's sequence. Deterministic: event_id is unique per user. */
+  def wFillForward(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        last(col("props"), ignoreNulls = true).over(w).as("props_filled"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** RANGE-frame window (time-based trailing aggregate) — the VALUE-domain
     * frame the ROWS-frame running sum can't express: each event's sum over
     * the user's events in the PRECEDING 10 minutes, peers-at-equal-instant

@@ -1765,6 +1765,14 @@ object OracleSql {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "w_fill_forward" ->
+      """SELECT user_id, event_id,
+        |       last_value(props IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS props_filled
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
     "w_range_frame" ->
       """SELECT user_id, event_id,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
