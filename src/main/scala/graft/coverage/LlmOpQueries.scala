@@ -777,11 +777,24 @@ object LlmOpQueries {
     * target is the exact train+score computation, not accuracy). */
   def tNbClassify(s: SparkSession, dir: String): DataFrame = {
     val split = graft.operators.Sampling.withSplit(docs(s, dir), "doc_id")
-    graft.text.NaiveBayes
+    sortedScores(graft.text.NaiveBayes
       .trainScore(split, "doc_id", "text", "lang", NbClasses,
-        col("split") === "train")
-      .orderBy("doc_id")
+        col("split") === "train"))
   }
+
+  /** Global sort of a train-in-query score output, with the scored frame
+    * persisted first (round 7): `orderBy`'s RangePartitioning must SAMPLE
+    * its child to pick split bounds, so the scored frame is consumed TWICE
+    * within the one plan (sample pass + sort pass) — exactly the
+    * multi-consumer case [[Dedup.persistTracked]] exists for (a SQL
+    * engine's materialized CTE; invalidated per bench pass by
+    * resetDerivedCaches, so every pass still pays training + scoring once).
+    * Without it the whole train+score pipeline re-executes inside the
+    * sample pass. The sort itself stays a true distributed range sort —
+    * per-document outputs are corpus-sized, so the single-task bounded-sort
+    * rewrite must NOT apply (r6 convention). */
+  private def sortedScores(scored: DataFrame): DataFrame =
+    Dedup.persistTracked(scored).orderBy("doc_id")
 
   /** Class space for [[tNbClassify]], shared with [[OracleSql]]. */
   val NbClasses: Seq[String] = Seq("de", "en", "es", "fr", "zh")
@@ -1028,9 +1041,8 @@ object LlmOpQueries {
     * threshold 3.40 sits in the measured en-vs-rest gap (84% of en kept,
     * ~18% of the other languages). */
   def tLmPerplexity(s: SparkSession, dir: String): DataFrame =
-    LmScore.perplexityFilter(docs(s, dir), "doc_id", "text",
-        trainPred = col("lang") === "en", k = 0.5, maxNll = 3.40)
-      .orderBy("doc_id")
+    sortedScores(LmScore.perplexityFilter(docs(s, dir), "doc_id", "text",
+      trainPred = col("lang") === "en", k = 0.5, maxNll = 3.40))
 
   /** DSIR importance resampling (oracle-checked row-for-row): every doc
     * scored under a TARGET bigram LM (trained on the `lang='en'` slice) and
@@ -1038,9 +1050,8 @@ object LlmOpQueries {
     * scalar-subquery map values into the fused NLL expression — weight =
     * nll_raw − nll_target, selected at τ = 0 ([[graft.text.Dsir]]). */
   def tDsirSelect(s: SparkSession, dir: String): DataFrame =
-    Dsir.importanceScores(docs(s, dir), "doc_id", "text",
-        targetPred = col("lang") === "en", tau = 0.0, k = 0.5)
-      .orderBy("doc_id")
+    sortedScores(Dsir.importanceScores(docs(s, dir), "doc_id", "text",
+      targetPred = col("lang") === "en", tau = 0.0, k = 0.5))
 
   /** LM scoring at 10× (scaling evidence, rows-only, memoized): same model
     * + decision over the replicated corpus. The replicas are vocabulary-

@@ -42,11 +42,22 @@ object Dsir {
                        targetPred: Column, tau: Double = 0.0,
                        k: Double = 0.5, minCount: Long = 1L,
                        roundTo: Int = 6): DataFrame = {
-    val (target, raw) = trainPair(docs, textCol, targetPred, minCount)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.scalarSubquery
+    // BOTH models ride TWO scalar subqueries (round 7): the bigram side
+    // (two nested bigram maps + two prefix maps, one bigram scan) and the
+    // vocabulary side (both distinct-token counts, one token scan) — where
+    // per-model nllStruct calls would ship six subquery job chains. Two
+    // subqueries rather than one keeps the two training scans CONCURRENT
+    // (Spark executes subqueries in parallel), which measures faster than
+    // a single serialized tagged-union chain at every tested scale.
+    val m = scalarSubquery(bigramPairRow(docs, textCol, targetPred, minCount))
+    val v = scalarSubquery(vocabPairRow(docs, textCol, targetPred))
     val toks = TextAnalysis.tokens(col(textCol))
     docs
-      .withColumn("__t", LmScore.nllStruct(target, toks, k))
-      .withColumn("__r", LmScore.nllStruct(raw, toks, k))
+      .withColumn("__t", graft.expressions.LmExpressions.bigram_nll(
+        toks, m.getField("bg_t"), m.getField("pfx_t"), v.getField("v_t"), k))
+      .withColumn("__r", graft.expressions.LmExpressions.bigram_nll(
+        toks, m.getField("bg_r"), m.getField("pfx_r"), v.getField("v_r"), k))
       .select(col(idCol),
         col("__t").getField("n_bigrams").as("n_bigrams"),
         round(col("__t").getField("nll_sum") /
@@ -77,13 +88,17 @@ object Dsir {
     import LmScore.BigramModel
     val base = docs.select(coalesce(targetPred, lit(false)).as("__is_t"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // per-doc collapsed bigram/token streams (round-6 verdict item 1): the
+    // explodes emit one row per DISTINCT per-doc bigram/token, counts final
     val bg = graft.operators.Dedup.persistTracked(
-      base.select(col("__is_t"), explode(LmScore.bigramsOf(col("__toks"))).as("bg"))
-        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        .agg(count(lit(1)).as("c12_r"),
-          sum(when(col("__is_t"), 1L).otherwise(0L)).as("c12_t")))
+      base.select(col("__is_t"),
+          explode(graft.expressions.LmExpressions.bigram_counts(col("__toks"))).as("e"))
+        .groupBy(col("e.w1").as("w1"), col("e.w2").as("w2"))
+        .agg(sum(col("e.cnt")).as("c12_r"),
+          sum(when(col("__is_t"), col("e.cnt")).otherwise(0L)).as("c12_t")))
     val vRow = graft.operators.Dedup.persistTracked(
-      base.select(col("__is_t"), explode(col("__toks")).as("w"))
+      base.select(col("__is_t"), explode(map_keys(graft.expressions
+          .SketchExpressions.term_counts(col("__toks")))).as("w"))
         .agg(count_distinct(col("w")).as("v_r"),
           count_distinct(when(col("__is_t"), col("w"))).as("v_t")))
     val target = BigramModel(
@@ -99,4 +114,56 @@ object Dsir {
       v = vRow.select(col("v_r").as("v")))
     (target, raw)
   }
+
+  /**
+   * Both models' bigram sides as ONE 1-row frame `struct(bg_t, pfx_t,
+   * bg_r, pfx_r)` from a single bigram scan of the corpus (round 7): the
+   * per-doc collapsed bigram explode feeds a (w1, w2) cell aggregation
+   * carrying raw AND target totals, and one aggregation tree then yields
+   * both nested bigram maps and both prefix maps. Semantics match
+   * [[trainPair]] field for field (same pruning rules, prefix sums before
+   * pruning); DsirSpec pins the equality, the oracle replays every number.
+   */
+  private[text] def bigramPairRow(docs: DataFrame, textCol: String,
+                                  targetPred: Column,
+                                  minCount: Long): DataFrame = {
+    val tMin = math.max(minCount, 1L)
+    val cells = docs
+      .select(coalesce(targetPred, lit(false)).as("__is_t"),
+        explode(graft.expressions.LmExpressions.bigram_counts(
+          TextAnalysis.tokens(col(textCol)))).as("e"))
+      .groupBy(col("e.w1").as("w1"), col("e.w2").as("w2"))
+      .agg(sum(col("e.cnt")).as("c12_r"),
+        sum(when(col("__is_t"), col("e.cnt")).otherwise(0L)).as("c12_t"))
+    val perW1 = cells.groupBy("w1").agg(
+      map_from_entries(collect_list(
+        when(col("c12_t") >= tMin, struct(col("w2"), col("c12_t"))))).as("m_t"),
+      map_from_entries(collect_list(
+        when(col("c12_r") >= minCount, struct(col("w2"), col("c12_r"))))).as("m_r"),
+      sum(col("c12_t")).as("c1_t"),
+      sum(col("c12_r")).as("c1_r"))
+    perW1.agg(
+      map_from_entries(collect_list(
+        when(size(col("m_t")) > 0, struct(col("w1"), col("m_t"))))).as("bg_t"),
+      map_from_entries(collect_list(
+        when(col("c1_t") > 0, struct(col("w1"), col("c1_t"))))).as("pfx_t"),
+      map_from_entries(collect_list(
+        when(size(col("m_r")) > 0, struct(col("w1"), col("m_r"))))).as("bg_r"),
+      map_from_entries(collect_list(
+        when(col("c1_r") > 0, struct(col("w1"), col("c1_r"))))).as("pfx_r"))
+      .select(struct(col("bg_t"), col("pfx_t"),
+        col("bg_r"), col("pfx_r")).as("__models"))
+  }
+
+  /** Both vocabulary sizes as ONE 1-row frame `struct(v_t, v_r)` from a
+    * single distinct-token scan (the [[trainPair]] vRow, struct-packed). */
+  private[text] def vocabPairRow(docs: DataFrame, textCol: String,
+                                 targetPred: Column): DataFrame =
+    docs
+      .select(coalesce(targetPred, lit(false)).as("__is_t"),
+        explode(map_keys(graft.expressions.SketchExpressions.term_counts(
+          TextAnalysis.tokens(col(textCol))))).as("w"))
+      .agg(count_distinct(when(col("__is_t"), col("w"))).as("v_t"),
+        count_distinct(col("w")).as("v_r"))
+      .select(struct(col("v_t"), col("v_r")).as("__vocabs"))
 }

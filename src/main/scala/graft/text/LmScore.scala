@@ -41,13 +41,20 @@ object LmScore {
 
   /** Bigram counts `(w1, w2, c12)` of a training corpus, optionally pruned
     * to `c12 >= minCount` (the Zipf-tail cut that bounds a real-corpus
-    * model; pruned mass falls through to the smoothing floor). */
+    * model; pruned mass falls through to the smoothing floor).
+    *
+    * Plan shape (round-6 verdict item 1): duplicate bigrams collapse
+    * map-side INSIDE [[graft.expressions.BigramCountsExpr]] before the
+    * explode, so the partial aggregate sees one row per distinct per-doc
+    * bigram (with its count final) instead of one row per occurrence —
+    * `sum(cnt)` reproduces the occurrence count exactly. */
   def bigramCounts(corpus: DataFrame, textCol: String,
                    minCount: Long = 1L): DataFrame =
     corpus
-      .select(explode(bigramsOf(TextAnalysis.tokens(col(textCol)))).as("bg"))
-      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .agg(count(lit(1)).as("c12"))
+      .select(explode(graft.expressions.LmExpressions
+        .bigram_counts(TextAnalysis.tokens(col(textCol)))).as("e"))
+      .groupBy(col("e.w1").as("w1"), col("e.w2").as("w2"))
+      .agg(sum(col("e.cnt")).as("c12"))
       .filter(col("c12") >= minCount)
 
   /** Bigram-prefix counts `(w1, c1)`: occurrences of w1 in positions
@@ -55,22 +62,35 @@ object LmScore {
     * `p(·|w1)` a true conditional. */
   def prefixCounts(corpus: DataFrame, textCol: String): DataFrame =
     corpus
-      .select(explode(bigramsOf(TextAnalysis.tokens(col(textCol)))).as("bg"))
-      .groupBy(col("bg.w1").as("w1"))
-      .agg(count(lit(1)).as("c1"))
+      .select(explode(graft.expressions.LmExpressions
+        .bigram_counts(TextAnalysis.tokens(col(textCol)))).as("e"))
+      .groupBy(col("e.w1").as("w1"))
+      .agg(sum(col("e.cnt")).as("c1"))
 
   /** 1-row frame with the training vocabulary size (distinct tokens, all
     * positions) — cross-joined below so the scalar stays inside the plan
-    * instead of a driver collect. */
+    * instead of a driver collect. The per-doc [[graft.expressions
+    * .TermCountsExpr]] map collapses repeated tokens before the explode, so
+    * the distinct aggregate sees per-doc-distinct tokens only. */
   def vocabSize(corpus: DataFrame, textCol: String): DataFrame =
     corpus
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .select(explode(map_keys(graft.expressions.SketchExpressions
+        .term_counts(TextAnalysis.tokens(col(textCol))))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
 
   /** A trained model: bigram counts, prefix counts, and the 1-row vocab
     * size — all vocabulary-bounded, all broadcast at score time. Train
-    * offline once, score any corpus (or stream) against it. */
-  final case class BigramModel(bg: DataFrame, pfx: DataFrame, v: DataFrame)
+    * offline once, score any corpus (or stream) against it.
+    *
+    * `combined` (round 7, set by [[train]]): the same model as ONE 1-row
+    * frame `struct(__bg, __pfx, v)` built in a single pass over the
+    * training corpus — [[nllStruct]] carries it as a single scalar
+    * subquery instead of three, collapsing the per-run training work from
+    * two corpus scans + three subquery job chains to one of each. The
+    * three relational fields stay authoritative for [[scoreExploded]] and
+    * hand-built models. */
+  final case class BigramModel(bg: DataFrame, pfx: DataFrame, v: DataFrame,
+                               combined: Option[DataFrame] = None)
 
   /** Train on a corpus. The raw bigram-count table feeds both bigram AND
     * prefix model tables from ONE bigram explode (persisted+tracked —
@@ -88,7 +108,57 @@ object LmScore {
     BigramModel(
       bg = bgRaw.filter(col("c12") >= minCount),
       pfx = bgRaw.groupBy("w1").agg(sum(col("c12")).as("c1")),
-      v = vocabSize(corpus, textCol))
+      v = vocabSize(corpus, textCol),
+      combined = Some(combinedModelRow(corpus, textCol, minCount)))
+  }
+
+  /**
+   * The whole model as ONE 1-row frame `struct(__bg: w1→(w2→c12),
+   * __pfx: w1→c1, v: long)` from a SINGLE pass over the training corpus
+   * (round 7). The per-doc collapsed bigram array and the per-doc distinct
+   * token list ride ONE explode as a tagged union (token entries carry
+   * `w2 = null`), so one aggregation tree yields bigram cells, prefix row
+   * sums, AND the vocabulary count — where the three-frame formulation
+   * scanned the corpus twice (bigrams + tokens) and shipped three scalar
+   * subqueries. Semantics are identical to [[bigramCounts]] /
+   * [[prefixCounts]] / [[vocabSize]]: prefix sums aggregate BEFORE minCount
+   * pruning, `v` counts distinct tokens over all positions (every token —
+   * including single-token docs' — appears as a tagged entry), and the
+   * bigram map drops w1 groups left empty by pruning (their lookups fall
+   * through to the prefix fallback either way). LmScoreSpec pins
+   * combined ≡ three-frame row for row.
+   */
+  private[text] def combinedModelRow(corpus: DataFrame, textCol: String,
+                                     minCount: Long): DataFrame = {
+    val entries = corpus
+      .select(TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(
+        graft.expressions.LmExpressions.bigram_counts(col("__toks")).as("bgs"),
+        map_keys(graft.expressions.SketchExpressions
+          .term_counts(col("__toks"))).as("tks"))
+      .select(explode(concat(col("bgs"),
+        transform(col("tks"), t => struct(
+          t.as("w1"), lit(null).cast("string").as("w2"),
+          lit(1L).as("cnt"))))).as("e"))
+    // (w1, w2) cells: bigram cells carry occurrence totals; token cells
+    // (w2 null — whitespace tokens can never be SQL null) mark vocabulary
+    // membership, their count is unused
+    val cells = entries
+      .groupBy(col("e.w1").as("w1"), col("e.w2").as("w2"))
+      .agg(sum(col("e.cnt")).as("c12"))
+    val perW1 = cells.groupBy("w1").agg(
+      map_from_entries(collect_list(
+        when(col("w2").isNotNull && col("c12") >= minCount,
+          struct(col("w2"), col("c12"))))).as("m"),
+      sum(when(col("w2").isNotNull, col("c12")).otherwise(0L)).as("c1"),
+      max(col("w2").isNull).as("is_tok"))
+    perW1.agg(
+      map_from_entries(collect_list(
+        when(size(col("m")) > 0, struct(col("w1"), col("m"))))).as("__bg"),
+      map_from_entries(collect_list(
+        when(col("c1") > 0, struct(col("w1"), col("c1"))))).as("__pfx"),
+      sum(when(col("is_tok"), 1L).otherwise(0L)).as("v"))
+      .select(struct(col("__bg"), col("__pfx"), col("v")).as("__model"))
   }
 
   /**
@@ -138,15 +208,24 @@ object LmScore {
     * per-bigram rows on the shared score scan. */
   def nllStruct(model: BigramModel, toks: Column, k: Double): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.scalarSubquery
-    val bgRow = model.bg
-      .groupBy("w1")
-      .agg(map_from_entries(collect_list(struct(col("w2"), col("c12")))).as("m"))
-      .agg(map_from_entries(collect_list(struct(col("w1"), col("m")))).as("__bg"))
-    val pfxRow = model.pfx
-      .agg(map_from_entries(collect_list(struct(col("w1"), col("c1")))).as("__pfx"))
-    graft.expressions.LmExpressions.bigram_nll(
-      toks, scalarSubquery(bgRow), scalarSubquery(pfxRow),
-      scalarSubquery(model.v), k)
+    model.combined match {
+      case Some(row) =>
+        // one subquery carries the whole model; the three expression inputs
+        // are field reads of its single cached row
+        val m = scalarSubquery(row)
+        graft.expressions.LmExpressions.bigram_nll(
+          toks, m.getField("__bg"), m.getField("__pfx"), m.getField("v"), k)
+      case None =>
+        val bgRow = model.bg
+          .groupBy("w1")
+          .agg(map_from_entries(collect_list(struct(col("w2"), col("c12")))).as("m"))
+          .agg(map_from_entries(collect_list(struct(col("w1"), col("m")))).as("__bg"))
+        val pfxRow = model.pfx
+          .agg(map_from_entries(collect_list(struct(col("w1"), col("c1")))).as("__pfx"))
+        graft.expressions.LmExpressions.bigram_nll(
+          toks, scalarSubquery(bgRow), scalarSubquery(pfxRow),
+          scalarSubquery(model.v), k)
+    }
   }
 
   /**

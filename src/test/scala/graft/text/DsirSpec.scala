@@ -45,6 +45,34 @@ class DsirSpec extends SparkSuite {
     assert(out(27L)._1.isEmpty && !out(27L)._2)
   }
 
+  test("1-row pair model frames ≡ trainPair's two models, field for field") {
+    val targetPred = col("lang") === "en"
+    for (minCount <- Seq(1L, 2L)) {
+      val (target, raw) = Dsir.trainPair(corpus, "text", targetPred, minCount)
+      val row = Dsir.bigramPairRow(corpus, "text", targetPred, minCount)
+        .collect().head.getStruct(0)
+      val vRow = Dsir.vocabPairRow(corpus, "text", targetPred)
+        .collect().head.getStruct(0)
+      def flat(m: scala.collection.Map[String, scala.collection.Map[String, Long]]) =
+        m.toSeq.flatMap { case (w1, inner) =>
+          inner.toSeq.map { case (w2, c) => (w1, w2) -> c } }.toMap
+      def bgOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      def pfxOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(flat(row.getMap(0)) === bgOf(target.bg), s"bg_t at minCount=$minCount")
+      assert(row.getMap[String, Long](1).toMap === pfxOf(target.pfx),
+        s"pfx_t at minCount=$minCount")
+      assert(flat(row.getMap(2)) === bgOf(raw.bg), s"bg_r at minCount=$minCount")
+      assert(row.getMap[String, Long](3).toMap === pfxOf(raw.pfx),
+        s"pfx_r at minCount=$minCount")
+      assert(vRow.getLong(0) === target.v.collect().head.getLong(0),
+        s"v_t at minCount=$minCount")
+      assert(vRow.getLong(1) === raw.v.collect().head.getLong(0),
+        s"v_r at minCount=$minCount")
+    }
+  }
+
   test("w is exactly nll_raw - nll_target on the rounded means") {
     Dsir.importanceScores(corpus, "id", "text",
         targetPred = col("lang") === "en")

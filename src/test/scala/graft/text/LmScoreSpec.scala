@@ -71,6 +71,33 @@ class LmScoreSpec extends SparkSuite {
     assert(fused.exceptAll(exploded).isEmpty && exploded.exceptAll(fused).isEmpty)
   }
 
+  test("combined 1-row model ≡ the three-frame model, field for field") {
+    // the single-subquery training shape (round 7) must reproduce the
+    // bg/pfx/v frames exactly — including minCount pruning (bg pruned,
+    // prefix sums NOT) and single-token docs' vocabulary contribution
+    val docs = ((1L to 6L).map(i => (i, "a b a c a b")) ++
+      Seq((7L, "b a"), (8L, "solo"), (9L, ""))).toDF("id", "text")
+    for (minCount <- Seq(1L, 3L)) {
+      val m = LmScore.train(docs, "text", minCount)
+      val row = m.combined.get.collect().head.getStruct(0)
+      val bgMap = row.getMap[String, Map[String, Long]](0)
+      val pfxMap = row.getMap[String, Long](1)
+      val v = row.getLong(2)
+      val bgExpect = m.bg.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val pfxExpect = m.pfx.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bgFlat = bgMap.toSeq.flatMap { case (w1, inner) =>
+        inner.toSeq.map { case (w2, c) => (w1, w2) -> c } }.toMap
+      assert(bgFlat === bgExpect, s"bg at minCount=$minCount")
+      assert(pfxMap.toMap === pfxExpect, s"pfx at minCount=$minCount")
+      assert(v === m.v.collect().head.getLong(0), s"v at minCount=$minCount")
+      // "solo" and "" (one token each) reach the vocabulary even though
+      // they produce no bigram
+      assert(bgFlat.keys.flatMap(p => Seq(p._1, p._2)).toSet.size < v)
+    }
+  }
+
   test("fused scoring is a single narrow projection — no join, no shuffle, no explode") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val model = LmScore.train(docs.filter(col("lang") === "en"), "text")

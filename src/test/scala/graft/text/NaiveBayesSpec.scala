@@ -69,7 +69,7 @@ class NaiveBayesSpec extends SparkSuite {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
-  test("plan shape: model join is broadcast; the scoring shuffle keys on the id only") {
+  test("plan shape: the score path is one narrow pass — no shuffles, no joins") {
     // repartition: the single-file sf0.001 scan is ONE partition, which
     // satisfies any required distribution — no exchange would be planned
     // and the assertion would be vacuous
@@ -84,22 +84,80 @@ class NaiveBayesSpec extends SparkSuite {
         Seq("en", "es"), trainPred = col("doc_id") % 2 === 0)
         .queryExecution.executedPlan
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // the MAIN tree is explode-free, join-free and shuffle-free: the model
+    // and corpus stats ride as scalar subqueries (their own little plans),
+    // and NbSumLogExpr scores each document in place — the only exchange is
+    // the round-robin repartition above
     val exchanges = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    // exactly two HASH exchanges in the whole tree: the training token-count
-    // shuffle (inside the broadcast build) and the per-doc score aggregation
-    // on the id — never a shuffle of the exploded corpus by token
     val hashEx = exchanges.filter(_.outputPartitioning
       .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
-    assert(hashEx.size == 2, exchanges.map(_.outputPartitioning).toString)
-    assert(hashEx.count(_.outputPartitioning.toString.contains("doc_id")) == 1,
-      exchanges.map(_.outputPartitioning).toString)
-    // the model join on the token is a broadcast, never a shuffle of the
-    // exploded corpus
-    val bhj = plan.collect {
+    assert(hashEx.isEmpty, exchanges.map(_.outputPartitioning).toString)
+    assert(plan.collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.isEmpty, plan.toString)
+    assert(plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, plan.toString)
+    // the model struct (map + token stats) and the doc priors arrive as
+    // exactly two DISTINCT scalar subqueries (one training aggregation run)
+    val subPlanIds = plan.collect { case n => n }.flatMap(_.expressions)
+      .flatMap(_.collect {
+        case s: org.apache.spark.sql.execution.ScalarSubquery => s.exprId
+      }).distinct
+    assert(subPlanIds.size == 2, plan.toString)
+  }
+
+  test("fused scorer ≡ explode + broadcast-join formulation, bit for bit") {
+    // the fused NbSumLogExpr path must reproduce the join-based evidence
+    // sums EXACTLY (same left-to-right accumulation order), so scores match
+    // at full double precision, not just post-rounding — pin it at 9 dp
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val classes = Seq("en", "es", "fr")
+    val trainPred = col("doc_id") % 2 === 0
+    val fused = NaiveBayes.trainScore(docs, "doc_id", "text", "lang",
+      classes, trainPred, roundTo = 9)
+
+    // independent reference: the pre-round-7 explode + broadcast-join shape
+    val train = docs.filter(trainPred)
+    val trainTok = train.select(col("lang").as("__y"),
+      explode(TextAnalysis.tokens(col("text"))).as("t"))
+    val counts = trainTok.groupBy("t").agg(
+      sum(when(col("__y") === classes.head, 1L).otherwise(0L)).as("c0"),
+      classes.tail.zipWithIndex.map { case (c, i) =>
+        sum(when(col("__y") === c, 1L).otherwise(0L)).as(s"c${i + 1}")
+      }: _*)
+    val exploded = docs.select(col("doc_id"),
+      explode_outer(TextAnalysis.tokens(col("text"))).as("t"))
+    val perDoc = exploded
+      .join(broadcast(counts), Seq("t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("t")).as("n_tokens"),
+        classes.indices.map(i =>
+          sum(log(coalesce(col(s"c$i"), lit(0L)) + lit(1.0))).as(s"__s$i")): _*)
+    val fusedRaw = fused.select(col("doc_id") +: col("n_tokens") +:
+      classes.zipWithIndex.map { case (c, i) => col(s"score_$c").as(s"r$i") }: _*)
+    // compare the evidence sums via the final scores: identical sums +
+    // identical scalar stats ⇒ identical rounded scores at 9 dp
+    val expect = perDoc.collect().map { r =>
+      r.getLong(r.fieldIndex("doc_id")) ->
+        (r.getLong(r.fieldIndex("n_tokens")),
+          classes.indices.map(i => r.getDouble(r.fieldIndex(s"__s$i"))))
+    }.toMap
+    val gotSums = NaiveBayes.evidenceSums(docs, "doc_id", "text",
+      "lang", classes, trainPred)
+      .collect().map { r =>
+        r.getLong(0) -> (r.getLong(1), classes.indices.map(i => r.getDouble(2 + i)))
+      }.toMap
+    assert(gotSums.keySet == expect.keySet)
+    gotSums.foreach { case (id, (n, sums)) =>
+      val (en, esums) = expect(id)
+      assert(n == en, s"doc $id n_tokens")
+      sums.zip(esums).foreach { case (a, b) =>
+        assert(a == b, s"doc $id evidence sum: $a != $b") // bit-identical
+      }
     }
-    assert(bhj.size == 1, plan.toString)
+    assert(fusedRaw.count() == docs.count())
   }
 }
