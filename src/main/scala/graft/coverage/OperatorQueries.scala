@@ -518,16 +518,24 @@ object OperatorQueries {
       .orderedSmall(col("o_orderpriority"))
   }
 
-  /** Left-semi join (EXISTS) — dbt relationships-test shape. */
+  /** Left-semi join (EXISTS) — dbt relationships-test shape. Barrier sort
+    * (r6 verdict item 2's sweep): the output is the customer key domain,
+    * and the barrier keeps the semi join wide while sparing the
+    * child-re-executing range sample. */
   def jSemiJoin(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "customer")
       .join(T(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
         Seq("c_custkey"), "left_semi")
-      .select("c_custkey").orderBy("c_custkey")
+      .select("c_custkey").orderedSmallBarrier(col("c_custkey"))
 
   // ───────────────────────────── §2.4 aggregations ─────────────────────────
 
-  /** A1: grouped multi-agg per key (dim_order shape): count, exact sum, min/max. */
+  /** A1: grouped multi-agg per key (dim_order shape): count, exact sum,
+    * min/max. Barrier sort, not `orderBy` (r6 verdict item 2): the grouped
+    * output is the ORDERS key domain (~14.7k rows at sf0.1) and the final
+    * aggregate stage holds the real parallel work, so the 1-partition
+    * shuffle barrier keeps the aggregation wide while sparing
+    * RangePartitioning's child-re-executing sample pass. */
   def a1GroupMultiAgg(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
       .groupBy("l_orderkey")
@@ -536,13 +544,13 @@ object OperatorQueries {
         sumDec(col("l_quantity")).as("sum_qty"),
         min("l_shipdate").as("first_ship"),
         max("l_shipdate").as("last_ship"))
-      .orderBy("l_orderkey")
+      .orderedSmallBarrier(col("l_orderkey"))
 
   /** A2: DISTINCT projection (dim_status shape). */
   def a2Distinct(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
       .select("l_returnflag", "l_linestatus").distinct()
-      .orderBy("l_returnflag", "l_linestatus")
+      .orderedSmall(col("l_returnflag"), col("l_linestatus"))
 
   /** U1+A3: UNION ALL then group-dedup with MIN (dim_location shape). */
   def u1UnionDedup(s: SparkSession, dir: String): DataFrame = {
@@ -737,7 +745,8 @@ object OperatorQueries {
       .withColumn("set_op", lit("purchase_and_click"))
     val only = typed("click").except(typed("purchase"))
       .withColumn("set_op", lit("click_never_purchase"))
-    both.unionByName(only).orderBy("set_op", "user_id")
+    both.unionByName(only)
+      .orderedSmallBarrier(col("set_op"), col("user_id"))
   }
 
   /** CUBE over both group keys with the grouping-set id (beyond-reference;

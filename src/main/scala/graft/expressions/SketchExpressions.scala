@@ -417,12 +417,17 @@ case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
 
 /**
  * Point estimate from a serialized Count-Min sketch (the binary produced by
- * Spark's built-in `count_min_sketch` aggregate): frequency of `right`
- * (string) per `left` (the sketch bytes). The deserialized sketch caches on
- * the byte-array reference — the sketch arrives as a scalar subquery, so
- * every row of a task sees the SAME array instance and pays one
- * deserialization. Items hash via their UTF-8 bytes, mirroring how the
- * aggregate added them (`addBinary` on `UTF8String.getBytes`).
+ * Spark's built-in `count_min_sketch` aggregate or [[CmsWeightedAgg]]):
+ * frequency of `right` (string) per `left` (the sketch bytes). The
+ * deserialized sketch caches on a cheap digest of the byte array — the
+ * sketch arrives as a scalar subquery, whose struct accessor
+ * (GetStructField → getBinary) hands back a FRESH copy per eval, so a
+ * reference check alone would re-deserialize the ~MB sketch on every row,
+ * and a full byte compare per eval would scan the MB instead. Items hash
+ * via their UTF-8 bytes, mirroring how the aggregate added them
+ * (`addBinary` on `UTF8String.getBytes`). Like every view-caching
+ * expression here, one instance must only be evaluated by a single thread
+ * (Spark's one-task-one-thread model guarantees this).
  */
 case class CmsEstimateExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -432,20 +437,33 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
 
-  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedDigest: Long = 0L
   @transient private var cachedSketch: org.apache.spark.util.sketch.CountMinSketch = _
+
+  // length + first/middle/last 8 bytes: collision between two DIFFERENT
+  // sketches of one query requires same length and same 24 sampled bytes —
+  // and a single plan virtually always carries one sketch anyway; the
+  // digest just detects it without an O(bytes) scan per row
+  private def digestOf(b: Array[Byte]): Long = {
+    var d = 1125899906842597L * b.length
+    var i = 0
+    while (i < 8 && i < b.length) { d = d * 31 + b(i); i += 1 }
+    val mid = b.length / 2
+    i = mid
+    while (i < mid + 8 && i < b.length) { d = d * 31 + b(i); i += 1 }
+    i = math.max(0, b.length - 8)
+    while (i < b.length) { d = d * 31 + b(i); i += 1 }
+    d
+  }
 
   override def nullSafeEval(sk: Any, item: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    // reference check first, content equality as the fallback: a struct
-    // accessor over the subquery row (GetStructField → getBinary) hands
-    // back a FRESH copy per eval, so `eq` alone would re-deserialize the
-    // ~MB sketch on every row
-    if (!(bytes eq cachedBytes) && !java.util.Arrays.equals(bytes, cachedBytes)) {
+    val d = digestOf(bytes)
+    if (cachedSketch == null || d != cachedDigest) {
       cachedSketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(bytes))
+      cachedDigest = d
     }
-    cachedBytes = bytes
     java.lang.Long.valueOf(
       cachedSketch.estimateCount(item.asInstanceOf[UTF8String].getBytes))
   }
@@ -453,6 +471,74 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * WEIGHTED Count-Min-Sketch aggregate: like Spark's built-in
+ * `count_min_sketch(item, …)` but each row inserts `item` with multiplicity
+ * `weight` instead of 1. CMS counters are additive, so the sketch built
+ * from a pre-grouped `(term, count)` table is BIT-IDENTICAL (same
+ * eps/confidence/seed ⇒ same serialized bytes) to one built from the raw
+ * occurrence stream — which lets an audit query that ALREADY pays the
+ * vocabulary-sized grouped count derive the sketch from that table's few
+ * rows instead of re-scanning the corpus ([[graft.operators.HeavyHitters]]).
+ * Null items and non-positive weights contribute nothing (the raw stream
+ * never produces either). Uses `org.apache.spark.util.sketch.CountMinSketch`
+ * (the built-in aggregate's implementation) for buffer, merge, and
+ * serialized form.
+ */
+case class CmsWeightedAgg(item: Expression, weight: Expression,
+                          eps: Double, confidence: Double, seed: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[org.apache.spark.util.sketch.CountMinSketch] {
+
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.util.sketch.CountMinSketch
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def children: Seq[Expression] = Seq(item, weight)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "cms_weighted"
+
+  override def createAggregationBuffer(): CountMinSketch =
+    CountMinSketch.create(eps, confidence, seed)
+
+  override def update(buffer: CountMinSketch, input: InternalRow): CountMinSketch = {
+    val it = item.eval(input)
+    if (it != null) {
+      val w = weight.eval(input)
+      if (w != null) {
+        val n = w.asInstanceOf[Number].longValue()
+        if (n > 0) buffer.addBinary(it.asInstanceOf[UTF8String].getBytes, n)
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: CountMinSketch, other: CountMinSketch): CountMinSketch =
+    buffer.mergeInPlace(other)
+
+  override def eval(buffer: CountMinSketch): Any = serialize(buffer)
+
+  override def serialize(buffer: CountMinSketch): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    buffer.writeTo(out)
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): CountMinSketch =
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsWeightedAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsWeightedAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(item = newChildren(0), weight = newChildren(1))
 }
 
 /** Element accessor shared by the vector expressions: arrays arrive as
@@ -659,6 +745,16 @@ object SketchExpressions {
   def cms_estimate(sketch: Column, item: Column): Column =
     ColumnBridge.column(
       CmsEstimateExpr(ColumnBridge.expression(sketch), ColumnBridge.expression(item)))
+
+  /** Column wrapper: weighted Count-Min-Sketch AGGREGATE — each row inserts
+    * `item` with multiplicity `weight` (additive ⇒ bit-identical to the
+    * unweighted sketch of the expanded stream). */
+  def cms_weighted(item: Column, weight: Column,
+                   eps: Double, confidence: Double, seed: Int): Column =
+    ColumnBridge.column(
+      CmsWeightedAgg(ColumnBridge.expression(item),
+        ColumnBridge.expression(weight), eps, confidence, seed)
+        .toAggregateExpression())
 
   /** Column wrapper: Bloom membership probe of a string column against a
     * serialized `BloomFilter`. (Not SQL-registered — a multi-megabyte

@@ -29,21 +29,56 @@ import org.apache.spark.sql.functions._
  * guarantee (one-sided overestimate, bounded by eps × stream length with
  * probability 1−δ per item; the seed is fixed, so the outcome is
  * deterministic and replayable).
+ *
+ * ORACLE-DETERMINISM CAVEAT (r6 advice): the DuckDB oracle hard-codes
+ * `within_bound = true`, which the bound only guarantees with probability
+ * 1−δ PER ITEM (δ=0.01 ⇒ up to ~18% chance of at least one of 20 probes
+ * exceeding it on FRESH data). The fixed seed makes the verdict
+ * deterministic for the committed testdata (verified true at every scale
+ * factor); regenerating testdata or adding a scale factor could flip a row
+ * with no estimator bug — if that happens, re-pick the seed or widen the
+ * oracle bound rather than suspect the sketch. (Same convention as the HLL
+ * rollup's ≤5% verdict.)
  */
 object HeavyHitters {
 
+  /**
+   * @param sketchFromGrouped when true, build the sketch from the
+   *        vocabulary-bounded grouped count via WEIGHTED inserts
+   *        ([[graft.expressions.CmsWeightedAgg]]; counters are additive, so
+   *        the sketch bytes — and therefore the verdicts — are identical to
+   *        sketching the raw stream, spec-pinned) instead of a second pass
+   *        over the token stream. At 100 TB the grouped table is kilobytes
+   *        where the corpus re-scan is the full IO bill, so the weighted
+   *        form is the scale path for this AUDIT (which pays the grouped
+   *        count regardless; a sketch-ONLY pipeline keeps the raw-stream
+   *        aggregate and no vocabulary shuffle at all). Default false: at
+   *        latency-bound local scale the two scans run CONCURRENTLY (the
+   *        sketch is a subquery), which measures faster than serializing
+   *        both consumers behind one materialized grouped count — the r7
+   *        same-JVM A/B read 0.26 s concurrent vs 0.46 s shared at sf0.1.
+   */
   def topTermsWithCmsVerdict(docs: DataFrame, textCol: String, k: Int = 20,
                              eps: Double = 1e-4, confidence: Double = 0.99,
-                             seed: Int = 42): DataFrame = {
+                             seed: Int = 42,
+                             sketchFromGrouped: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.scalarSubquery
     val toks = docs.select(
       explode(graft.text.TextAnalysis.tokens(col(textCol))).as("w"))
-    val skRow = toks.agg(
-      expr(s"count_min_sketch(w, ${eps}d, ${confidence}d, $seed)").as("sk"),
-      count(lit(1)).as("total"))
+    def grouped = toks.groupBy("w").agg(count(lit(1)).as("n"))
+    val skRow =
+      if (sketchFromGrouped)
+        grouped.agg(
+          graft.expressions.SketchExpressions
+            .cms_weighted(col("w"), col("n"), eps, confidence, seed).as("sk"),
+          sum(col("n")).as("total"))
+      else
+        toks.agg(
+          expr(s"count_min_sketch(w, ${eps}d, ${confidence}d, $seed)").as("sk"),
+          count(lit(1)).as("total"))
     val sk: Column = scalarSubquery(
       skRow.select(struct(col("sk"), col("total")).as("s")))
-    toks.groupBy("w").agg(count(lit(1)).as("n"))
+    grouped
       .orderBy(col("n").desc, col("w")).limit(k)
       .withColumn("__est", graft.expressions.SketchExpressions
         .cms_estimate(sk.getField("sk"), col("w")))
@@ -52,6 +87,8 @@ object HeavyHitters {
           col("__est") <= col("n") +
             ceil(lit(eps) * sk.getField("total")).cast("long"))
           .as("within_bound"))
-      .orderBy(col("n").desc, col("term"))
+      // k rows in one partition after the limit: in-partition sort, not a
+      // range sort whose sampling pass re-executes the whole top-k child
+      .coalesce(1).sortWithinPartitions(col("n").desc, col("term"))
   }
 }

@@ -76,6 +76,15 @@ object SkewJoin {
    * declaratively; the hot-key list is aggregate-bounded (≤ 1/hotShare
    * keys can each hold ≥ hotShare of the sample) and broadcasts.
    *
+   * Shape note (r7): a scalar-subquery hot-key ARRAY carrier (the LM
+   * model-carrier pattern — `array_contains` membership instead of the two
+   * broadcast hash joins) was built and same-JVM A/B-measured SLOWER at
+   * sf0.1 (0.45 s vs 0.36 s): the broadcast builds overlap the fact scan,
+   * while the subquery chain serializes ahead of both sides, and the
+   * detection cost itself — one sample scan + grouped count — is identical
+   * either way. The broadcast form is kept; at real scale both forms ship
+   * the same bounded list once per executor.
+   *
    * @param sampleFraction fraction of the large side sampled for detection
    *                       (scale this DOWN as the input grows — detection
    *                       needs a fixed absolute sample, not a fixed rate)

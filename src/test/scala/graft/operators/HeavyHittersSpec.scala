@@ -32,6 +32,28 @@ class HeavyHittersSpec extends SparkSuite {
     assert(bad.count() === 0)
   }
 
+  test("weighted CMS over grouped counts ≡ builtin CMS over the raw stream, byte for byte") {
+    // the r7 one-pass audit shape rests on this: additive counters make the
+    // sketch of (term, count) weighted inserts bit-identical to the
+    // unweighted sketch of the expanded occurrence stream
+    val raw = (1 to 40).flatMap(i => Seq.fill(i % 7 + 1)(s"tok${i % 11}")).toDF("w")
+    val fromStream = raw
+      .agg(expr("count_min_sketch(w, 0.01d, 0.99d, 42)").as("sk"))
+      .collect().head.getAs[Array[Byte]](0)
+    val fromGrouped = raw.groupBy("w").agg(count(lit(1)).as("n"))
+      .agg(SketchExpressions.cms_weighted(col("w"), col("n"), 0.01, 0.99, 42).as("sk"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(fromStream, fromGrouped),
+      s"${fromStream.length} vs ${fromGrouped.length} bytes")
+    // nulls and non-positive weights contribute nothing
+    val withJunk = raw.groupBy("w").agg(count(lit(1)).as("n"))
+      .unionByName(Seq((null.asInstanceOf[String], 5L), ("ghost", 0L), ("anti", -3L))
+        .toDF("w", "n"))
+      .agg(SketchExpressions.cms_weighted(col("w"), col("n"), 0.01, 0.99, 42).as("sk"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(fromStream, withJunk))
+  }
+
   test("top-k verdict query: exact counts, all within the eps bound on real docs") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
@@ -43,5 +65,16 @@ class HeavyHittersSpec extends SparkSuite {
     assert(out.forall(_._3), s"verdict tripped: ${out.mkString(", ")}")
     // top-3 by (count desc, term): the=3, then a/cat/dog/sat at 2 → a, cat
     assert(out.map(_._1).toSeq === Seq("the", "a", "cat"))
+  }
+
+  test("sketchFromGrouped (the scale path) yields the identical verdict frame") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val concurrent = HeavyHitters
+      .topTermsWithCmsVerdict(docs, "text", k = 20).collect().toSeq
+    val fromGrouped = HeavyHitters
+      .topTermsWithCmsVerdict(docs, "text", k = 20, sketchFromGrouped = true)
+      .collect().toSeq
+    assert(concurrent === fromGrouped)
+    assert(concurrent.size === 20)
   }
 }

