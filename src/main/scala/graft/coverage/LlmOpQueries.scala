@@ -29,6 +29,14 @@ object LlmOpQueries {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  // Every IVF index table prefix actually BUILT this run, recorded at
+  // build time (r6 advice): clearCache previously inferred live tables
+  // from `cache` keys, which orphans the snapshot when buildIvfIndex
+  // succeeds but the enclosing getOrElseUpdate never commits (probe fails
+  // mid-block) — even on a clean shutdown, not just a JVM kill.
+  private val builtIvfTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   /** Drop every memoized frame (tables, exact top-k, query plans), release
     * persisted storage, and clear the dedup operators' sketch caches. Called
     * by the Verify/Bench mains before session stop (memoization scope = one
@@ -36,14 +44,15 @@ object LlmOpQueries {
   def clearCache(): Unit = {
     // Drop this application's IVF index tables (per-app-named, see
     // simIvfIndexed) so unique-named snapshots don't accumulate in the
-    // shared warehouse across runs.
-    cache.keysIterator.map(_._1).toSet[SparkSession].foreach { s =>
-      val tbl = ivfTableFor(s)
+    // shared warehouse across runs — from the build-time record, not the
+    // query cache.
+    builtIvfTables.forEach { case (s, tbl) =>
       Seq(s"${tbl}_centroids", s"${tbl}_assign").foreach { t =>
         try graft.layout.TableLayout.dropTable(s, t)
         catch { case _: Throwable => () }
       }
     }
+    builtIvfTables.clear()
     cache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     cache.clear()
     Dedup.unpersistSketches()
@@ -695,7 +704,9 @@ object LlmOpQueries {
       // a reaper cannot tell a crashed run's leftovers from a CONCURRENT
       // live run's tables, and deleting the latter is the clobber this
       // naming scheme exists to prevent. Rare crash debris over racing
-      // deletes.
+      // deletes. Recorded BEFORE the build so clearCache reaps it even if
+      // the build or the probe below throws (clean-shutdown orphan fix).
+      builtIvfTables.add((s, tbl))
       SimilaritySearch.buildIvfIndex(e, "vec_id", "embedding",
         tbl, nLists = 16, trainIters = 3, buckets = 8)
       val q = e.filter(col("vec_id") < 10)

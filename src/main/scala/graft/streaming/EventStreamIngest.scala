@@ -124,7 +124,10 @@ object EventStreamIngest {
    * metrics computed ON the ingest stream as it flows (accumulator-style,
    * zero extra passes over the data, unlike a separate DQ aggregation that
    * would re-read the batch): total rows, null/blank event ids, rows whose
-   * timestamp fails ISO parsing. Read them per micro-batch from the query's
+   * PRESENT timestamp fails ISO parsing (`n_bad_ts`), and rows with no
+   * timestamp at all (`n_null_ts` — counted separately since r7; a missing
+   * field and a malformed one are different upstream bugs). Read them per
+   * micro-batch from the query's
    * progress (`lastProgress.observedMetrics`) or a `QueryListener` — the
    * production monitoring hook that costs nothing at 100 TB because the
    * metrics ride the existing scan. Works identically on batch frames
@@ -135,8 +138,10 @@ object EventStreamIngest {
       count(lit(1)).as("n_rows"),
       sum(when(col("event_id").isNull || trim(col("event_id")) === "", 1L)
         .otherwise(0L)).as("n_null_ids"),
-      sum(when(try_to_timestamp(col("timestamp")).isNull, 1L)
-        .otherwise(0L)).as("n_bad_ts"))
+      sum(when(col("timestamp").isNotNull &&
+          try_to_timestamp(col("timestamp")).isNull, 1L)
+        .otherwise(0L)).as("n_bad_ts"),
+      sum(when(col("timestamp").isNull, 1L).otherwise(0L)).as("n_null_ts"))
 
   val observedMetricsName = "ingest_dq"
 

@@ -72,7 +72,8 @@ class EventStreamIngestSpec extends SparkSuite {
       ev(4), ev(5),
       ev(1).copy(event_id = None),
       ev(2).copy(event_id = Some("  ")),
-      ev(3).copy(timestamp = Some("not-a-time"))), s"$srcDir/b1.parquet")
+      ev(3).copy(timestamp = Some("not-a-time")),
+      ev(6).copy(timestamp = None)), s"$srcDir/b1.parquet")
     val q = EventStreamIngest.bronzeSink(
       EventStreamIngest.withIngestMetrics(
         EventStreamIngest.fromFiles(spark, srcDir)), outDir, ckpt)
@@ -80,11 +81,14 @@ class EventStreamIngestSpec extends SparkSuite {
     val m = q.recentProgress
       .flatMap(p => Option(p.observedMetrics.get(
         EventStreamIngest.observedMetricsName))).head
-    assert(m.getAs[Long]("n_rows") === 5L)
+    assert(m.getAs[Long]("n_rows") === 6L)
     assert(m.getAs[Long]("n_null_ids") === 2L)
+    // malformed-vs-missing timestamps are separate counters (r6 advice):
+    // the present-but-unparseable row hits n_bad_ts, the absent one n_null_ts
     assert(m.getAs[Long]("n_bad_ts") === 1L)
-    // the metrics rode the ingest scan — all five rows still landed
-    assert(spark.read.parquet(outDir).count() === 5L)
+    assert(m.getAs[Long]("n_null_ts") === 1L)
+    // the metrics rode the ingest scan — all six rows still landed
+    assert(spark.read.parquet(outDir).count() === 6L)
   }
 
   test("streaming minute counts aggregate with watermark (batch-checked)") {
