@@ -52,12 +52,17 @@ object Dsir {
     // a single serialized tagged-union chain at every tested scale.
     val m = scalarSubquery(bigramPairRow(docs, textCol, targetPred, minCount))
     val v = scalarSubquery(vocabPairRow(docs, textCol, targetPred))
-    val toks = TextAnalysis.tokens(col(textCol))
     docs
+      // tokenize ONCE per row: both model evaluations read the projected
+      // array (CollapseProject keeps a multiply-referenced non-trivial
+      // alias in its own projection, so the split is not inlined twice)
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .withColumn("__t", graft.expressions.LmExpressions.bigram_nll(
-        toks, m.getField("bg_t"), m.getField("pfx_t"), v.getField("v_t"), k))
+        col("__toks"), m.getField("bg_t"), m.getField("pfx_t"),
+        v.getField("v_t"), k))
       .withColumn("__r", graft.expressions.LmExpressions.bigram_nll(
-        toks, m.getField("bg_r"), m.getField("pfx_r"), v.getField("v_r"), k))
+        col("__toks"), m.getField("bg_r"), m.getField("pfx_r"),
+        v.getField("v_r"), k))
       .select(col(idCol),
         col("__t").getField("n_bigrams").as("n_bigrams"),
         round(col("__t").getField("nll_sum") /

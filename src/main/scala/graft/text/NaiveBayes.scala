@@ -132,9 +132,10 @@ object NaiveBayes {
         classes.indices.map(i =>
           element_at(col("__nb").getField("sums"), i + 1).as(s"__s$i")): _*)
 
-  /** Test hook: the fused evidence sums at full precision (`private[text]`
-    * so NaiveBayesSpec can pin bit-equality against the exploded shape). */
-  private[text] def evidenceSums(docs: DataFrame, idCol: String,
+  /** Test hook: the fused evidence sums at full precision (`private[graft]`
+    * so NaiveBayesSpec and the expressions fuzz spec can pin bit-equality
+    * against the exploded shape). */
+  private[graft] def evidenceSums(docs: DataFrame, idCol: String,
                                  textCol: String, labelCol: String,
                                  classes: Seq[String],
                                  trainPred: Column): DataFrame =
