@@ -73,6 +73,45 @@ class DsirSpec extends SparkSuite {
     }
   }
 
+  test("score path is one narrow pass: two model evaluations, one tokenize, no joins") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exec = Dsir.importanceScores(docs, "doc_id", "text",
+        targetPred = col("lang") === "en")
+      .queryExecution.executedPlan
+    val root = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case other => other
+    }
+    val nodes = root.collect { case n => n.nodeName }
+    // both models ride as subqueries; the MAIN tree must be scan →
+    // projections — no join, no explode, no exchange (a joined model map
+    // would copy into every row: the r6 52.9× cliff this shape prevents)
+    val banned = nodes.filter(n =>
+      n.contains("Join") || n.contains("Generate") || n.contains("Exchange"))
+    assert(banned.isEmpty, s"found $banned in:\n$root")
+    // exactly two scalar subqueries (bigram side + vocab side) and the
+    // split() tokenizer evaluated ONCE (projected, shared by both models)
+    val subIds = root.collect { case n => n }.flatMap(_.expressions)
+      .flatMap(_.collect {
+        case s: org.apache.spark.sql.execution.ScalarSubquery => s.exprId
+      }).distinct
+    assert(subIds.size == 2, root.toString)
+    // both bigram_nll evaluations read the SAME projected token attribute —
+    // neither re-evaluates the split() tokenizer inline
+    val nllTokenChildren = root.collect { case n => n }.flatMap(_.expressions)
+      .flatMap(_.collect {
+        case e: graft.expressions.BigramNllExpr => e.tokens
+      })
+    assert(nllTokenChildren.size == 2, root.toString)
+    assert(nllTokenChildren.forall(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.AttributeReference]),
+      s"tokenizer inlined into the scorer: $nllTokenChildren")
+    assert(nllTokenChildren.map {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.exprId
+    }.distinct.size == 1, "the two scorers read different token columns")
+  }
+
   test("w is exactly nll_raw - nll_target on the rounded means") {
     Dsir.importanceScores(corpus, "id", "text",
         targetPred = col("lang") === "en")
