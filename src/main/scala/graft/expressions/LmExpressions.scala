@@ -167,7 +167,12 @@ case class BigramNllExpr(tokens: Expression, bgMap: Expression,
  * `sum(cnt)` downstream reproduces `count(*)` over occurrences exactly.
  * `< 2` tokens (or a null array) yields an empty array — same no-bigram
  * semantics as [[graft.text.LmScore.bigramsOf]]. Null array elements cannot
- * occur (the tokenizer never produces them) and would surface as "" keys.
+ * occur (the tokenizer never produces them); if a non-tokenizer caller ever
+ * supplies one it is NORMALIZED to "" — the same convention the scorers
+ * ([[BigramNllExpr]]/[[NbSumLogExpr]]) apply, so training and scoring can
+ * never disagree on such an input (a null key would also collide with the
+ * model builders' null-tagged vocabulary entries and poison
+ * `map_from_entries`).
  */
 case class BigramCountsExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -188,17 +193,20 @@ case class BigramCountsExpr(child: Expression)
     if (n < 2) return new GenericArrayData(Array.empty[Any])
     val counts = new java.util.LinkedHashMap[(UTF8String, UTF8String), Long](
       math.max(16, n))
-    var prev = arr.getUTF8String(0)
+    def at(i: Int): UTF8String = {
+      val u = arr.getUTF8String(i)
+      if (u == null) UTF8String.EMPTY_UTF8 else u   // scorer convention
+    }
+    var prev = at(0)
     var i = 1
     while (i < n) {
-      val cur = arr.getUTF8String(i)
+      val cur = at(i)
       val key = (prev, cur)
       val c = counts.get(key)
       if (c == 0L) {
         // clone on first insert: the UTF8Strings may point into a reused
         // scan/row buffer, and the map keys must outlive this row
-        counts.put((if (prev == null) null else prev.clone(),
-                    if (cur == null) null else cur.clone()), 1L)
+        counts.put((prev.clone(), cur.clone()), 1L)
       } else counts.put(key, c + 1L)
       prev = cur
       i += 1

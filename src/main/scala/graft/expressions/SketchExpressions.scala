@@ -419,15 +419,19 @@ case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
  * Point estimate from a serialized Count-Min sketch (the binary produced by
  * Spark's built-in `count_min_sketch` aggregate or [[CmsWeightedAgg]]):
  * frequency of `right` (string) per `left` (the sketch bytes). The
- * deserialized sketch caches on a cheap digest of the byte array — the
- * sketch arrives as a scalar subquery, whose struct accessor
- * (GetStructField → getBinary) hands back a FRESH copy per eval, so a
- * reference check alone would re-deserialize the ~MB sketch on every row,
- * and a full byte compare per eval would scan the MB instead. Items hash
- * via their UTF-8 bytes, mirroring how the aggregate added them
- * (`addBinary` on `UTF8String.getBytes`). Like every view-caching
- * expression here, one instance must only be evaluated by a single thread
- * (Spark's one-task-one-thread model guarantees this).
+ * deserialized sketch caches EXACTLY on the byte content, with a cheap
+ * sampled digest as the fast-path mismatch check — the sketch arrives as
+ * a scalar subquery, whose struct accessor (GetStructField → getBinary)
+ * hands back a FRESH copy per eval, so a reference check alone would
+ * re-deserialize the ~MB sketch on every row. A digest mismatch proves the
+ * sketch changed without scanning it; a digest match is CONFIRMED by a
+ * full byte compare before reuse (a flat memcmp, ~100× cheaper than
+ * re-deserializing and never wrong — the r7 digest-only variant could
+ * silently reuse a stale sketch across a collision). Items hash via their
+ * UTF-8 bytes, mirroring how the aggregate added them (`addBinary` on
+ * `UTF8String.getBytes`). Like every view-caching expression here, one
+ * instance must only be evaluated by a single thread (Spark's
+ * one-task-one-thread model guarantees this).
  */
 case class CmsEstimateExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -438,12 +442,11 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
   override def prettyName: String = "cms_estimate"
 
   @transient private var cachedDigest: Long = 0L
+  @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedSketch: org.apache.spark.util.sketch.CountMinSketch = _
 
-  // length + first/middle/last 8 bytes: collision between two DIFFERENT
-  // sketches of one query requires same length and same 24 sampled bytes —
-  // and a single plan virtually always carries one sketch anyway; the
-  // digest just detects it without an O(bytes) scan per row
+  // length + first/middle/last 8 bytes: a DIFFERENT sketch almost always
+  // differs here (totalCount rides in the header), skipping the memcmp
   private def digestOf(b: Array[Byte]): Long = {
     var d = 1125899906842597L * b.length
     var i = 0
@@ -459,10 +462,13 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
   override def nullSafeEval(sk: Any, item: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
     val d = digestOf(bytes)
-    if (cachedSketch == null || d != cachedDigest) {
+    val hit = cachedSketch != null && d == cachedDigest &&
+      ((bytes eq cachedBytes) || java.util.Arrays.equals(bytes, cachedBytes))
+    if (!hit) {
       cachedSketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(bytes))
       cachedDigest = d
+      cachedBytes = bytes
     }
     java.lang.Long.valueOf(
       cachedSketch.estimateCount(item.asInstanceOf[UTF8String].getBytes))

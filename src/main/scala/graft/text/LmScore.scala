@@ -92,19 +92,22 @@ object LmScore {
   final case class BigramModel(bg: DataFrame, pfx: DataFrame, v: DataFrame,
                                combined: Option[DataFrame] = None)
 
-  /** Train on a corpus. The raw bigram-count table feeds both bigram AND
-    * prefix model tables from ONE bigram explode (persisted+tracked —
-    * vocab²-bounded, multi-consumer), with prefix counts as its row sums
-    * (summed BEFORE minCount pruning: the pruned tail mass must stay in the
-    * smoothing denominator). Vocabulary is a deliberate SECOND, token-level
-    * pass over the training corpus: it cannot be derived from the bigram
-    * table exactly — a single-token document's token appears in no bigram —
-    * so training costs two corpus scans total (both over the training slice
-    * only, which is the small in-domain subset in the CCNet recipe). */
+  /** Train on a corpus. The score path ([[nllStruct]]) consumes ONLY the
+    * `combined` single-subquery model, built in one corpus pass; the three
+    * relational frames stay authoritative for [[scoreExploded]] and direct
+    * inspection, derived lazily from one raw bigram-count plan — prefix
+    * counts are its row sums (summed BEFORE minCount pruning: the pruned
+    * tail mass must stay in the smoothing denominator), and vocabulary is
+    * a deliberate token-level pass (it cannot be derived from the bigram
+    * table exactly — a single-token document's token appears in no
+    * bigram). Nothing here is persisted: the frames never execute on the
+    * default score path, and registering a never-materialized cache entry
+    * per train() call would only grow the tracked-frame queue (r7
+    * review); a caller that drives the exploded path repeatedly can
+    * persist the model frames itself. */
   def train(corpus: DataFrame, textCol: String,
             minCount: Long = 1L): BigramModel = {
-    val bgRaw = graft.operators.Dedup.persistTracked(
-      bigramCounts(corpus, textCol, minCount = 1L))
+    val bgRaw = bigramCounts(corpus, textCol, minCount = 1L)
     BigramModel(
       bg = bgRaw.filter(col("c12") >= minCount),
       pfx = bgRaw.groupBy("w1").agg(sum(col("c12")).as("c1")),
