@@ -216,6 +216,18 @@ object OperatorQueries {
   def s4ScanCount(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
 
+  /** S5: file glob listing — the reference's count-files-before-reading
+    * gate (DuckDB `glob` over the bronze bucket's parquet pattern) applied
+    * to the sf directory. Sizes and mtimes are environment-dependent, so
+    * the certified projection is the stable part — file NAME and
+    * non-emptiness, fixed for the committed corpus at every scale factor —
+    * making the oracle a literal VALUES table (the mm fixture-constant
+    * convention). */
+  def s5GlobListing(s: SparkSession, dir: String): DataFrame =
+    graft.sources.FileGlob.listGlob(s, s"$dir/*.parquet")
+      .select(col("name"), (col("size_bytes") > 0).as("non_empty"))
+      .orderedSmall(col("name"))
+
   /** S6: CTAS-style projection — scan + derived literal column. */
   def s6CtasProjection(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "region")

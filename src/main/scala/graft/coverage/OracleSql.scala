@@ -1506,6 +1506,19 @@ object OracleSql {
     "s4_scan_count" ->
       "SELECT count(*) AS n_rows FROM lineitem",
 
+    // S5 glob listing: the stable projection of the committed corpus's
+    // file inventory — identical at every scale factor, so the oracle is
+    // the ground truth as a literal VALUES table (the mm fixture
+    // convention); a missing/renamed/empty parquet flips the hash.
+    "s5_glob_listing" ->
+      """SELECT * FROM (VALUES
+        |  ('customer.parquet', true), ('documents.parquet', true),
+        |  ('embeddings.parquet', true), ('events.parquet', true),
+        |  ('lineitem.parquet', true), ('nation.parquet', true),
+        |  ('orders.parquet', true), ('part.parquet', true),
+        |  ('region.parquet', true), ('supplier.parquet', true)
+        |) AS t(name, non_empty) ORDER BY name""".stripMargin,
+
     "s6_ctas_projection" ->
       "SELECT *, 'batch-1' AS load_tag FROM region ORDER BY r_regionkey",
 
