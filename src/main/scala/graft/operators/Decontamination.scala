@@ -63,18 +63,24 @@ object Decontamination {
    * Plan shape: the filter is built distributed (`stat.bloomFilter`
    * aggregates per-partition filters and merges — only the fixed-size bit
    * array ever reaches the driver) and ships to executors inside the
-   * expression via the per-stage task-binary broadcast. Train shingles
-   * stream through the probe narrowly; only the surviving candidates — true
-   * overlaps plus the fpp tail — reach the exact join that kills false
-   * positives, so the expensive join's left side shrinks from |train
-   * shingles| to |survivors|. With survivors small the exact join can stay
-   * a broadcast here; at the scale where this variant matters, drop the
-   * hint and it degrades to a shuffled join whose volume is survivors +
-   * one copy of the eval set (vs. eval × executors for a broadcast).
+   * expression via the per-stage task-binary broadcast. The train corpus
+   * then streams through ONE pass (round 7 — the pre-r7 shape exploded it
+   * twice, once for the denominator and once for the overlap branch, and
+   * stitched them with an outer join): the Bloom probe nulls out every
+   * non-candidate's JOIN KEY, and null keys never probe the exact join's
+   * hash table — so the expensive membership lookups shrink from
+   * |train shingles| to |survivors| (true overlaps plus the fpp tail)
+   * while the same rows still feed the denominator count. The exact join
+   * kills false positives. With survivors small the exact join can stay a
+   * broadcast here; if the eval set ever outgrows broadcast, don't just
+   * swap in a shuffled join — hash partitioning sends every null key to
+   * ONE reducer — split the non-candidates out first (they need no join),
+   * shuffle only the survivors, and re-aggregate the two legs.
    *
    * The Bloom stage is a PRE-FILTER only: false positives are removed by
    * the exact join, so the output is row-for-row identical to
-   * [[contaminationReport]] — the same DuckDB oracle certifies both.
+   * [[contaminationReport]] — the same DuckDB oracle certifies both, and
+   * DecontaminationSpec pins bloom ≡ exact.
    */
   def contaminationReportBloom(train: DataFrame, evalCorpus: DataFrame,
                                idCol: String, textCol: String,
@@ -89,20 +95,19 @@ object Decontamination {
       bf.writeTo(bos)
       bos.toByteArray
     }
-    val trainShingles = shingleRows(train, idCol, textCol, k)
-    val totals = trainShingles.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shingles"))
-    val overlaps = trainShingles
-      .filter(graft.expressions.SketchExpressions
-        .bloom_might_contain(col("shingle"), bytes))
-      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+    // Bloom has no false negatives, so a non-candidate can never be an
+    // eval member: nulling its key loses nothing, and a left join on a
+    // null key matches nothing while the row still counts below
+    shingleRows(train, idCol, textCol, k)
+      .withColumn("__k", when(graft.expressions.SketchExpressions
+        .bloom_might_contain(col("shingle"), bytes), col("shingle")))
+      .join(broadcast(evalShingles.select(col("shingle").as("__k"))
+        .withColumn("__hit", lit(1))), Seq("__k"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_overlap"))
-    totals.join(overlaps, Seq(idCol), "left")
-      .select(col(idCol), col("n_shingles"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
-          col("n_shingles")).as("contamination"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_overlap"))
+      .withColumn("contamination",
+        col("n_overlap").cast("double") / col("n_shingles"))
   }
 
   /** The training rows whose contamination exceeds `maxContamination` —
