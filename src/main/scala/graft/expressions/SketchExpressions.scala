@@ -462,13 +462,16 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
   override def nullSafeEval(sk: Any, item: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
     val d = digestOf(bytes)
+    // the cached copy is OURS (cloned): a caller-owned array could be
+    // mutated in place between rows, making a reference/self comparison
+    // vacuously pass while the cached sketch goes stale
     val hit = cachedSketch != null && d == cachedDigest &&
-      ((bytes eq cachedBytes) || java.util.Arrays.equals(bytes, cachedBytes))
+      java.util.Arrays.equals(bytes, cachedBytes)
     if (!hit) {
       cachedSketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(bytes))
       cachedDigest = d
-      cachedBytes = bytes
+      cachedBytes = bytes.clone()
     }
     java.lang.Long.valueOf(
       cachedSketch.estimateCount(item.asInstanceOf[UTF8String].getBytes))

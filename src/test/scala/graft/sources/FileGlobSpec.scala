@@ -22,21 +22,56 @@ class FileGlobSpec extends SparkSuite {
   test("no match yields an empty frame with the full schema, not a failure") {
     val out = FileGlob.listGlob(spark, "/root/testdata/sf0.001/*.orc")
     assert(out.count() === 0)
-    assert(out.columns.toSeq === Seq("path", "name", "size_bytes", "mod_time"))
+    assert(out.columns.toSeq ===
+      Seq("path", "name", "is_dir", "size_bytes", "mod_time"))
     // the did-anything-land gate composes as a relation
     val summary = FileGlob.globSummary(spark, "/root/testdata/sf0.001/*.orc")
       .collect().head
     assert(summary.getLong(0) === 0L && summary.getLong(1) === 0L)
   }
 
-  test("directories are excluded: the gate counts files to read") {
+  test("directory datasets count as landed, with their recursive content size") {
+    // Spark-written parquet names *.parquet entries as DIRECTORIES of part
+    // files — the gate must report them as landed data, not skip them
     val tmp = Files.createTempDirectory("graft-glob")
-    Files.createDirectory(tmp.resolve("sub.parquet")) // dir matching the glob
-    Files.write(tmp.resolve("a.parquet"), Array[Byte](1, 2, 3))
-    Files.write(tmp.resolve("b.parquet"), Array.emptyByteArray)
-    val out = FileGlob.listGlob(spark, s"$tmp/*.parquet").orderBy("name").collect()
-    assert(out.map(_.getAs[String]("name")).toSeq === Seq("a.parquet", "b.parquet"))
-    assert(out.map(_.getAs[Long]("size_bytes")).toSeq === Seq(3L, 0L))
+    try {
+      val dir = Files.createDirectory(tmp.resolve("table.parquet"))
+      Files.write(dir.resolve("part-00000"), Array[Byte](1, 2, 3, 4))
+      Files.write(dir.resolve("part-00001"), Array[Byte](5))
+      Files.write(tmp.resolve("a.parquet"), Array[Byte](1, 2, 3))
+      Files.write(tmp.resolve("b.parquet"), Array.emptyByteArray)
+      val out = FileGlob.listGlob(spark, s"$tmp/*.parquet")
+        .orderBy("name").collect()
+      assert(out.map(r => (r.getAs[String]("name"), r.getAs[Boolean]("is_dir"),
+        r.getAs[Long]("size_bytes"))).toSeq === Seq(
+        ("a.parquet", false, 3L),
+        ("b.parquet", false, 0L),
+        ("table.parquet", true, 5L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("the listing is lazy and re-executes per action (a polling gate sees fresh state)") {
+    val tmp = Files.createTempDirectory("graft-glob-lazy")
+    try {
+      // shuffle-free frame: every action re-runs the listing task
+      val listing = FileGlob.listGlob(spark, s"$tmp/*.parquet")
+      assert(listing.count() === 0L)
+      Files.write(tmp.resolve("late.parquet"), Array[Byte](9))
+      assert(listing.collect().length === 1)
+      // an AGGREGATED gate re-collected on the SAME Dataset object reuses
+      // its computed shuffle map stage (standard Spark stage reuse) — a
+      // polling gate must rebuild the frame per poll, as documented
+      val fresh = FileGlob.globSummary(spark, s"$tmp/*.parquet")
+      assert(fresh.collect().head.getLong(0) === 1L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
   }
 
   test("globSummary reproduces the reference's count-before-read numbers") {
