@@ -1,0 +1,156 @@
+package graft.serve
+
+import java.io.File
+import java.net.{URL, URLClassLoader}
+import java.sql.{Connection, Driver}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connect.service.SparkConnectService
+
+/**
+ * The serving process boundary: a read-only Spark Connect endpoint plus a
+ * JDBC client that lives in a fully isolated classloader.
+ *
+ * The reference serves its two Streamlit dashboards over a *separate
+ * read-only connection* to the warehouse (`Business_KPI_dashboard.py:10-14`,
+ * `pipeline_monitoring_dashboard.py:11-15` — `duckdb.connect(...,
+ * read_only=True)`), i.e. the dashboards are clients of the engine, not
+ * code running inside it. This is the Spark-native twin:
+ *
+ *  - the engine process starts a localhost gRPC Spark Connect endpoint
+ *    ([[start]]) and publishes the dashboard models as global temp views
+ *    ([[publish]]) — the `dbt run` outputs become the serving catalog;
+ *  - a dashboard client connects over the wire with plain `java.sql` JDBC
+ *    ([[withConnection]]) and issues SQL against the published views. The
+ *    query executes server-side on the full engine; only Arrow result
+ *    batches cross the wire — exactly the thin-client shape a BI tool needs
+ *    against a 1000-executor cluster.
+ *
+ * Classloading: the Spark Connect *server* uber-jar (on the main classpath)
+ * and the *client* uber-jar (`connect-repl/`) both define
+ * `org.apache.spark.connect.proto.*`, compiled against two different
+ * protobuf shadings (`org.sparkproject.connect.protobuf` vs
+ * `org.sparkproject.com.google.protobuf`) — they must never share a
+ * classloader. The client therefore runs in a URLClassLoader parented to
+ * the *platform* loader (JDK classes only), seeing the client jars plus the
+ * distribution's non-Spark third-party jars. The only types that cross the
+ * boundary are JDK `java.sql` interfaces — the same isolation a separate
+ * client process would have, minus the fork.
+ */
+object ConnectServe {
+
+  /** Default localhost port; chosen off 15002 to avoid colliding with an
+    * externally-started `start-connect-server.sh`. */
+  val DefaultPort = 15102
+
+  @volatile private var started = false
+
+  /** Start the Spark Connect endpoint on `localhost:port` (idempotent).
+    * Binding address is pinned to localhost: the serving surface is
+    * in-machine only, mirroring the reference's local read-only connect. */
+  def start(spark: SparkSession, port: Int = DefaultPort): Unit = synchronized {
+    if (!started) {
+      // sc.conf is private[spark]; SparkEnv.conf is the same live SparkConf
+      // instance the Connect service reads its binding config from.
+      org.apache.spark.SparkEnv.get.conf
+        .set("spark.connect.grpc.binding.address", "localhost")
+        .set("spark.connect.grpc.binding.port", port.toString)
+      SparkConnectService.start(spark.sparkContext)
+      started = true
+    }
+  }
+
+  /** Stop the endpoint (idempotent). */
+  def stop(): Unit = synchronized {
+    if (started) {
+      SparkConnectService.stop(None, None)
+      started = false
+    }
+  }
+
+  /**
+   * Publish a model under `global_temp.<name>`. Connect clients get their
+   * own isolated sessions, so plain temp views are invisible to them;
+   * global temp views are catalog-wide, which is exactly the "dbt run
+   * writes, dashboards read" contract. The view body is the model's full
+   * logical plan — a client `SELECT` executes the same Catalyst plan the
+   * in-process path does.
+   */
+  def publish(name: String, df: DataFrame): Unit =
+    df.createOrReplaceGlobalTempView(name)
+
+  // ---------------------------------------------------------------- client
+
+  private val clientJarDir = new File("/opt/spark/jars/connect-repl")
+  private val distJarDir = new File("/opt/spark/jars")
+
+  /** Jars visible to the isolated client: the Connect JDBC + client-jvm
+    * uber-jars first, then the API-side `spark-*` jars the client was built
+    * against (sql-api, common-utils, sketch, tags, unsafe, variant) and
+    * every non-Spark third-party jar from the distribution (scala-library,
+    * arrow, slf4j, jackson, …). URLClassLoader resolves in URL order, so a
+    * class bundled in the client uber-jar always beats the dist copy.
+    * Engine-side jars (spark-sql, catalyst, core, the shaded Connect
+    * *server*) are excluded — the client must never see the server's
+    * differently-shaded `org.apache.spark.connect.proto` classes. */
+  private def clientJars(): Array[URL] = {
+    val apiSide = Set("spark-sql-api", "spark-common-utils",
+      "spark-common-utils-java", "spark-sketch", "spark-tags",
+      "spark-unsafe", "spark-variant")
+    val client = clientJarDir.listFiles().toSeq
+      .filter(f => f.getName.startsWith("spark-connect-client"))
+    val dist = distJarDir.listFiles().toSeq.filter { f =>
+      val n = f.getName
+      n.endsWith(".jar") &&
+        (!n.startsWith("spark-") || apiSide.contains(n.replaceAll("_2\\.13.*", "")))
+    }
+    (client ++ dist).sortBy(f => !f.getName.startsWith("spark-connect-client"))
+      .map(_.toURI.toURL).toArray
+  }
+
+  /** The isolated client loader, built once and kept for the process
+    * lifetime. Never closed: `URLClassLoader.close()` tears down JarFiles
+    * in the JVM-wide jar-URL cache that the application loader shares for
+    * the same `/opt/spark/jars` paths (observed: the app loader loses
+    * `scala.collection.immutable.HashSet` after a close), and the client's
+    * shaded-grpc worker threads outlive a single connection anyway. */
+  private lazy val clientLoader: URLClassLoader =
+    new URLClassLoader(clientJars(), ClassLoader.getPlatformClassLoader)
+
+  /**
+   * Run `f` with a live JDBC connection to the local Connect endpoint.
+   * The driver is instantiated directly (not via `DriverManager`, which
+   * refuses drivers from foreign classloaders) inside the isolated loader.
+   */
+  def withConnection[T](port: Int = DefaultPort)(f: Connection => T): T = {
+    val prevCtx = Thread.currentThread().getContextClassLoader
+    Thread.currentThread().setContextClassLoader(clientLoader)
+    try {
+      val driver = Class
+        .forName("org.apache.spark.sql.connect.client.jdbc.SparkConnectDriver",
+          true, clientLoader)
+        .getDeclaredConstructor().newInstance().asInstanceOf[Driver]
+      val conn = driver.connect(s"jdbc:sc://localhost:$port", new Properties())
+      require(conn != null, s"Connect JDBC driver rejected jdbc:sc://localhost:$port")
+      try f(conn)
+      finally conn.close()
+    } finally Thread.currentThread().setContextClassLoader(prevCtx)
+  }
+
+  /** Convenience: run one SQL statement over the wire and materialize the
+    * result as (columnNames, rows-of-strings) — a lowest-common-denominator
+    * shape that compares cleanly against an in-process `collect()`. */
+  def querySeq(conn: Connection, sql: String): (Seq[String], Seq[Seq[String]]) = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      val md = rs.getMetaData
+      val n = md.getColumnCount
+      val cols = (1 to n).map(md.getColumnLabel)
+      val buf = Seq.newBuilder[Seq[String]]
+      while (rs.next()) buf += (1 to n).map(i => String.valueOf(rs.getObject(i)))
+      (cols, buf.result())
+    } finally st.close()
+  }
+}

@@ -1,0 +1,103 @@
+package graft.serve
+
+import graft.SparkSuite
+import graft.models.Warehouse
+import org.apache.spark.sql.DataFrame
+
+/**
+ * The serving process boundary (SURVEY §2 S12): the reference's dashboards
+ * connect to the warehouse over a separate read-only connection
+ * (`Business_KPI_dashboard.py:10-14`, `pipeline_monitoring_dashboard.py:11-15`);
+ * this spec stands up the Spark-native twin — a localhost Spark Connect
+ * endpoint — and drives dashboard queries through a real wire client
+ * (gRPC over TCP, JDBC surface, fully isolated classloader), asserting the
+ * served results equal the in-process ones.
+ */
+class ConnectServeSpec extends SparkSuite {
+
+  private lazy val w: Warehouse = {
+    val raw = spark.read.parquet(fixturePath("raw_logistics.parquet"))
+    Warehouse.fromRaw(raw, cacheShared = false)
+  }
+
+  private def inProcess(df: DataFrame): (Seq[String], Seq[Seq[String]]) = {
+    val cols = df.columns.toSeq
+    val rows = df.collect().toSeq.map(r =>
+      (0 until r.length).map(i => String.valueOf(r.get(i))))
+    (cols, rows)
+  }
+
+  /** Sorted row-string comparison: the dashboard sorts carry ties (e.g.
+    * every carrier at on_time_rate 100.0), whose relative order is not a
+    * semantic part of the result. */
+  private def assertSameResult(df: DataFrame, sql: String): Unit = {
+    val (expCols, expRows) = inProcess(df)
+    val (gotCols, gotRows) = ConnectServe.withConnection() { conn =>
+      ConnectServe.querySeq(conn, sql)
+    }
+    assert(gotCols == expCols)
+    assert(gotRows.sortBy(_.mkString("|")) == expRows.sortBy(_.mkString("|")))
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    ConnectServe.publish("dash_carrier_performance", DashboardQueries.carrierPerformance(w))
+    ConnectServe.publish("dash_events_by_status", DashboardQueries.eventsByStatus(w))
+    ConnectServe.publish("dash_dq_issues", DashboardQueries.dqIssues(w))
+    ConnectServe.publish("serve_fact_event", w.factEvent)
+    ConnectServe.start(spark)
+  }
+
+  override def afterAll(): Unit = {
+    try ConnectServe.stop()
+    finally super.afterAll()
+  }
+
+  test("carrier KPI served over the wire equals the in-process result") {
+    assertSameResult(DashboardQueries.carrierPerformance(w),
+      "SELECT * FROM global_temp.dash_carrier_performance")
+  }
+
+  test("events-by-status served over the wire equals the in-process result") {
+    assertSameResult(DashboardQueries.eventsByStatus(w),
+      "SELECT * FROM global_temp.dash_events_by_status")
+  }
+
+  test("dq-issues served over the wire equals the in-process result") {
+    assertSameResult(DashboardQueries.dqIssues(w),
+      "SELECT * FROM global_temp.dash_dq_issues")
+  }
+
+  test("ad-hoc client SQL aggregates a published base model server-side") {
+    val (cols, rows) = ConnectServe.withConnection() { conn =>
+      ConnectServe.querySeq(conn,
+        """SELECT count(*) AS n, count(DISTINCT carrier_sk) AS carriers
+          |FROM global_temp.serve_fact_event""".stripMargin)
+    }
+    assert(cols == Seq("n", "carriers"))
+    assert(rows == Seq(Seq("617", "4")))
+  }
+
+  test("connect sessions are isolated: a plain temp view is NOT visible to clients") {
+    w.dimCarrier.createOrReplaceTempView("local_only_dim_carrier")
+    val thrown = intercept[Exception] {
+      ConnectServe.withConnection() { conn =>
+        ConnectServe.querySeq(conn, "SELECT * FROM local_only_dim_carrier")
+      }
+    }
+    assert(thrown.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      thrown.getMessage.contains("local_only_dim_carrier"))
+  }
+
+  test("two sequential client connections each get a working session") {
+    val first = ConnectServe.withConnection() { conn =>
+      ConnectServe.querySeq(conn,
+        "SELECT count(*) AS n FROM global_temp.dash_events_by_status")._2
+    }
+    val second = ConnectServe.withConnection() { conn =>
+      ConnectServe.querySeq(conn,
+        "SELECT count(*) AS n FROM global_temp.dash_events_by_status")._2
+    }
+    assert(first == Seq(Seq("6")) && second == Seq(Seq("6")))
+  }
+}
