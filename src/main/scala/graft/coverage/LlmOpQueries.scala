@@ -947,8 +947,12 @@ object LlmOpQueries {
     // token stream still separates real heavy hitters from noise, and CMS
     // memory is THE knob a 100 TB run sizes to its executor budget. The
     // oracle pins exact counts + all-true verdicts either way.
+    // boundFactor 2 (r7 verdict item 6): the hashed verdict survives
+    // testdata regeneration (~1e-3 any-probe failure mass vs ~18% at
+    // 1·eps); HeavyHittersSpec pins the exact 1·eps bound on committed data
     graft.operators.HeavyHitters.topTermsWithCmsVerdict(
-      docs(s, dir), "text", k = 20, eps = 1e-3, confidence = 0.99, seed = 42)
+      docs(s, dir), "text", k = 20, eps = 1e-3, confidence = 0.99, seed = 42,
+      boundFactor = 2.0)
 
   /** Int8 embedding quantization audit: per-vector scale, code stats, and
     * reconstruction error — all IEEE-exact ops, so the DuckDB oracle

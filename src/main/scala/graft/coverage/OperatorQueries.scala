@@ -590,10 +590,13 @@ object OperatorQueries {
     * what you store (kilobytes per group, mergeable to any coarser grain
     * without re-scanning events; re-aggregating exact distincts needs the
     * raw data again). The query emits exact per-day distincts plus the
-    * union-estimate error verdict (≤ 5%; DataSketches HLL at lgK 12 has
-    * ~1.6% RSE, and union is register-max — order-insensitive, so the
-    * verdict is deterministic). The DuckDB oracle recomputes the exact
-    * side and expects every verdict true. */
+    * union-estimate error verdict (≤ 8% ≈ 5σ at lgK 12's ~1.6% RSE —
+    * widened from 5% ≈ 3σ per r7 verdict item 6 so the hard-coded-true
+    * oracle survives testdata regeneration across ~30 day rows; union is
+    * register-max — order-insensitive, so the verdict is deterministic for
+    * fixed data). The DuckDB oracle recomputes the exact side and expects
+    * every verdict true; ApproxDistinctSpec pins the observed ≲5% error on
+    * the committed data. */
   def a8HllUnionRollup(s: SparkSession, dir: String): DataFrame = {
     val ev = T(s, dir, "events")
       .select(col("ts").cast("date").as("d"), hour(col("ts")).as("h"),
@@ -607,8 +610,8 @@ object OperatorQueries {
     exact.join(daily, Seq("d"))
       .select(date_format(col("d"), "yyyy-MM-dd").as("event_date"),
         col("n_exact"),
-        (abs(col("__est") - col("n_exact")) / col("n_exact") <= 0.05)
-          .as("within_5pct"))
+        (abs(col("__est") - col("n_exact")) / col("n_exact") <= 0.08)
+          .as("within_bound"))
       .orderedSmall(col("event_date"))
   }
 
@@ -1001,7 +1004,8 @@ object OperatorQueries {
 
   /** A8's 100 TB variant: approximate distinct (HLL) next to the exact count.
     * The HLL estimate itself is engine-specific, so the query emits the
-    * exact count plus the ERROR-BOUND VERDICT (|approx−exact|/exact ≤ 5% at
+    * exact count plus the ERROR-BOUND VERDICT (|approx−exact|/exact ≤ 8% ≈
+    * 4σ — widened from 5% ≈ 2.5σ per r7 verdict item 6, regeneration-proof — at
     * rsd 0.02) — the oracle recomputes the exact count and expects `true`,
     * so an estimator regression past the bound flips the hash compare
     * (rows-only checks can't see inside a row — round-3 verdict #3's
@@ -1025,7 +1029,7 @@ object OperatorQueries {
         approx_count_distinct("user_id", 0.02).as("approx_users"))
       .select(col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast("double") /
-          col("exact_users") <= 0.05).as("within_5pct"))
+          col("exact_users") <= 0.08).as("within_bound"))
 
   /** NULLIF / COALESCE / conditional projection. */
   def fNullFunctions(s: SparkSession, dir: String): DataFrame =

@@ -1675,16 +1675,17 @@ object OracleSql {
     // order-insensitive → deterministic).
     "a8_hll_union_rollup" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
-        |       count(DISTINCT user_id) AS n_exact, true AS within_5pct
+        |       count(DISTINCT user_id) AS n_exact, true AS within_bound
         |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
 
     // The HLL estimate is engine-specific; what IS cross-engine checkable is
     // the exact count plus the error-bound verdict the Spark side computes
-    // (|approx-exact|/exact <= 5% at rsd 0.02) — the oracle expects `true`,
-    // so an estimator regression flips the hash compare.
+    // (|approx-exact|/exact <= 8% ~ 4 sigma at rsd 0.02; widened from 5%
+    // per r7 verdict item 6 so the hard-coded `true` survives testdata
+    // regeneration) — an estimator regression still flips the hash compare.
     "a8_approx_count_distinct" ->
       """SELECT count(DISTINCT user_id) AS exact_users,
-        |       TRUE AS within_5pct FROM events""".stripMargin,
+        |       TRUE AS within_bound FROM events""".stripMargin,
 
     "a9_global_scalars" ->
       """SELECT count(*) AS n, max(o_orderdate) AS latest_order,

@@ -303,14 +303,22 @@ case class NbSumLogExpr(tokens: Expression, model: Expression, nClasses: Int)
         modelView = buildView(mData); modelKey = mId
       }
       val toks = toksAny.asInstanceOf[ArrayData]
-      n = toks.numElements()
+      val len = toks.numElements()
       var i = 0
-      while (i < n) {
+      // Null elements are SKIPPED — excluded from n_tokens and from the
+      // model lookup — matching the exploded formulation exactly:
+      // `count(col("t"))` ignores nulls and a null join key never matches.
+      // (The tokenizer never emits nulls, but the fused path must not
+      // silently diverge for a caller that does — ADVICE r7.)
+      while (i < len) {
         val u = toks.getUTF8String(i)
-        val ls = modelView.get(if (u == null) "" else u.toString)
-        if (ls != null) {
-          var c = 0
-          while (c < nClasses) { sums(c) += ls(c); c += 1 }
+        if (u != null) {
+          n += 1
+          val ls = modelView.get(u.toString)
+          if (ls != null) {
+            var c = 0
+            while (c < nClasses) { sums(c) += ls(c); c += 1 }
+          }
         }
         i += 1
       }

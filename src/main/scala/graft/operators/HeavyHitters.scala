@@ -31,14 +31,16 @@ import org.apache.spark.sql.functions._
  * deterministic and replayable).
  *
  * ORACLE-DETERMINISM CAVEAT (r6 advice): the DuckDB oracle hard-codes
- * `within_bound = true`, which the bound only guarantees with probability
- * 1−δ PER ITEM (δ=0.01 ⇒ up to ~18% chance of at least one of 20 probes
- * exceeding it on FRESH data). The fixed seed makes the verdict
- * deterministic for the committed testdata (verified true at every scale
- * factor); regenerating testdata or adding a scale factor could flip a row
- * with no estimator bug — if that happens, re-pick the seed or widen the
- * oracle bound rather than suspect the sketch. (Same convention as the HLL
- * rollup's ≤5% verdict.)
+ * `within_bound = true`, which the 1·eps·N bound only guarantees with
+ * probability 1−δ PER ITEM (δ=0.01 ⇒ up to ~18% chance of at least one of
+ * 20 probes exceeding it on FRESH data). The r7 verdict ordered the audit
+ * QUERY widened to `boundFactor = 2` (Spark's CMS width is ⌈2/eps⌉, so
+ * per-hash Markov gives P(excess ≥ 2·eps·N) ≤ 1/4 per row of depth —
+ * ≈ (1/4)^7 ≈ 6e-5 per item at confidence 0.99, ~1e-3 across 20 probes on
+ * regenerated data, vs ~18% at 1·eps). HeavyHittersSpec still pins the
+ * exact 1·eps bound (boundFactor 1, the theoretical guarantee) on the
+ * committed testdata, so estimator precision is asserted where determinism
+ * is known; the oracle-hashed verdict carries the regeneration-proof bound.
  */
 object HeavyHitters {
 
@@ -61,11 +63,23 @@ object HeavyHitters {
   def topTermsWithCmsVerdict(docs: DataFrame, textCol: String, k: Int = 20,
                              eps: Double = 1e-4, confidence: Double = 0.99,
                              seed: Int = 42,
-                             sketchFromGrouped: Boolean = false): DataFrame = {
+                             sketchFromGrouped: Boolean = false,
+                             boundFactor: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.scalarSubquery
     val toks = docs.select(
       explode(graft.text.TextAnalysis.tokens(col(textCol))).as("w"))
-    def grouped = toks.groupBy("w").agg(count(lit(1)).as("n"))
+    // On the sketchFromGrouped path the grouped count feeds TWO plans (the
+    // sketch scalar subquery and the main top-k); exchange/subquery reuse is
+    // not guaranteed across a scalar-subquery boundary (notably under AQE),
+    // so the single-vocabulary-pass claim is made true by persisting the
+    // kilobyte-scale grouped table rather than hoping the optimizer dedups
+    // the scans (ADVICE r7). The concurrent default keeps the lazy def —
+    // its two scans are intentional (see the param doc above).
+    lazy val groupedPersisted =
+      Dedup.persistTracked(toks.groupBy("w").agg(count(lit(1)).as("n")))
+    def grouped =
+      if (sketchFromGrouped) groupedPersisted
+      else toks.groupBy("w").agg(count(lit(1)).as("n"))
     val skRow =
       if (sketchFromGrouped)
         grouped.agg(
@@ -85,7 +99,7 @@ object HeavyHitters {
       .select(col("w").as("term"), col("n"),
         (col("__est") >= col("n") &&
           col("__est") <= col("n") +
-            ceil(lit(eps) * sk.getField("total")).cast("long"))
+            ceil(lit(boundFactor * eps) * sk.getField("total")).cast("long"))
           .as("within_bound"))
       // k rows in one partition after the limit: in-partition sort, not a
       // range sort whose sampling pass re-executes the whole top-k child

@@ -126,7 +126,9 @@ object EventStreamIngest {
    * would re-read the batch): total rows, null/blank event ids, rows whose
    * PRESENT timestamp fails ISO parsing (`n_bad_ts`), and rows with no
    * timestamp at all (`n_null_ts` — counted separately since r7; a missing
-   * field and a malformed one are different upstream bugs). Read them per
+   * field and a malformed one are different upstream bugs. MIGRATION NOTE:
+   * before r7, `n_bad_ts` included missing timestamps — a monitor that
+   * wants the old total must read `n_bad_ts + n_null_ts`). Read them per
    * micro-batch from the query's
    * progress (`lastProgress.observedMetrics`) or a `QueryListener` — the
    * production monitoring hook that costs nothing at 100 TB because the

@@ -43,6 +43,13 @@ object NaiveBayes {
    * compares the ROUNDED scores, so both engines tie-break identically).
    * Rows whose label is outside `classes` still train nothing and score
    * normally — `classes` defines the model's output space.
+   *
+   * One output row per INPUT row (ADVICE r7): the fused scorer evaluates
+   * each row in place, so duplicate `idCol` values yield one scored row
+   * each — unlike the pre-r7 explode+groupBy formulation, which merged
+   * duplicates into a single row with summed `n_tokens`/evidence. `idCol`
+   * is expected unique (every caller here keys on `doc_id`, a primary key);
+   * NaiveBayesSpec pins the row-count contract.
    */
   def trainScore(docs: DataFrame, idCol: String, textCol: String,
                  labelCol: String, classes: Seq[String],

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /**
  * Probabilistic-verdict sanity check across scale factors: the CMS and HLL
  * audit queries end in a boolean the DuckDB oracle hard-codes `true`
- * (`within_bound` / `within_5pct`) — a guarantee that holds with
+ * (`within_bound`) — a guarantee that holds with
  * probability 1−δ per probe, made deterministic only by the fixed seeds
  * over the COMMITTED testdata (see the caveat in
  * [[graft.operators.HeavyHitters]]). Run this after regenerating testdata
@@ -35,9 +35,11 @@ object CheckVerdicts {
       val cms = graft.SparkEntry.queries("t_cms_heavy_hitters")(spark, dir)
         .filter(!col("within_bound")).count()
       val hll = graft.SparkEntry.queries("a8_hll_union_rollup")(spark, dir)
-        .filter(!col("within_5pct")).count()
-      println(s"$dir: cms_bad=$cms hll_bad=$hll")
-      bad += cms + hll
+        .filter(!col("within_bound")).count()
+      val acd = graft.SparkEntry.queries("a8_approx_count_distinct")(spark, dir)
+        .filter(!col("within_bound")).count()
+      println(s"$dir: cms_bad=$cms hll_bad=$hll acd_bad=$acd")
+      bad += cms + hll + acd
       graft.coverage.OperatorQueries.clearCache()
       graft.coverage.LlmOpQueries.clearCache()
     }

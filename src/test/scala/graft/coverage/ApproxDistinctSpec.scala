@@ -21,6 +21,28 @@ class ApproxDistinctSpec extends SparkSuite {
   test("driver query verdict: exact count carried, bound met") {
     val r = OperatorQueries.a8ApproxCountDistinct(spark, "/root/testdata/sf0.001").head()
     assert(r.getAs[Long]("exact_users") > 0)
-    assert(r.getAs[Boolean]("within_5pct"))
+    assert(r.getAs[Boolean]("within_bound"))
+  }
+
+  test("HLL union rollup: observed per-day error ≤ 5% on committed data") {
+    // the driver query's verdict bound is 8% (≈5σ, regeneration-proof per
+    // r7 verdict item 6); the sharper estimator-precision claim — lgK 12's
+    // ~1.6% RSE actually achieved — is pinned here, where the data is fixed
+    val rows = OperatorQueries.a8HllUnionRollup(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_bound")))
+    val errs = OperatorQueries.T(spark, "/root/testdata/sf0.001", "events")
+      .select(org.apache.spark.sql.functions.col("ts").cast("date").as("d"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .groupBy("d")
+      .agg(
+        org.apache.spark.sql.functions.countDistinct("user_id").as("exact"),
+        org.apache.spark.sql.functions
+          .expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .collect()
+      .map(r => math.abs(r.getAs[Long]("est") - r.getAs[Long]("exact")).toDouble /
+        r.getAs[Long]("exact"))
+    assert(errs.nonEmpty && errs.forall(_ <= 0.05), errs.mkString(","))
   }
 }

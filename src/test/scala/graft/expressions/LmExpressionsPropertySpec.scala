@@ -118,4 +118,33 @@ class LmExpressionsPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("nb_sum_log skips null token-array elements (ADVICE r7: explode semantics)") {
+    // the exploded reference excludes nulls twice over — count(col("t"))
+    // ignores them and a null join key never matches — so the fused
+    // expression must neither count a null element nor look one up (a ""
+    // lookup would silently add evidence if "" is a trained token)
+    val s = spark
+    import s.implicits._
+    val model = map_from_entries(typedLit(Seq(
+      ("a", Seq(2L, 0L)), ("", Seq(5L, 7L)))).cast(
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))))))
+    val df = Seq(Tuple1(1)).toDF("id").select(
+      LmExpressions.nb_sum_log(
+        array(lit("a"), lit(null).cast("string"), lit("a")), model, 2)
+        .as("r"))
+    val r = df.select(col("r.n_tokens"), col("r.sums")).head()
+    assert(r.getLong(0) == 2L) // null element not counted
+    val sums = r.getSeq[Double](1)
+    // two "a" hits: 2·ln(3) in class 0, 0 in class 1 — NO ln(6)/ln(8)
+    // contamination from the ""-keyed model entry
+    assert(sums(0) == 2.0 * StrictMath.log(3.0) && sums(1) == 0.0,
+      sums.mkString(","))
+  }
 }
