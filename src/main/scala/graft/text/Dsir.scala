@@ -41,7 +41,8 @@ object Dsir {
   def importanceScores(docs: DataFrame, idCol: String, textCol: String,
                        targetPred: Column, tau: Double = 0.0,
                        k: Double = 0.5, minCount: Long = 1L,
-                       roundTo: Int = 6): DataFrame = {
+                       roundTo: Int = 6,
+                       shareTokenize: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.scalarSubquery
     // BOTH models ride TWO scalar subqueries (round 7): the bigram side
     // (two nested bigram maps + two prefix maps, one bigram scan) and the
@@ -50,13 +51,31 @@ object Dsir {
     // subqueries rather than one keeps the two training scans CONCURRENT
     // (Spark executes subqueries in parallel), which measures faster than
     // a single serialized tagged-union chain at every tested scale.
-    val m = scalarSubquery(bigramPairRow(docs, textCol, targetPred, minCount))
-    val v = scalarSubquery(vocabPairRow(docs, textCol, targetPred))
-    docs
-      // tokenize ONCE per row: both model evaluations read the projected
-      // array (CollapseProject keeps a multiply-referenced non-trivial
-      // alias in its own projection, so the split is not inlined twice)
-      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+    //
+    // shareTokenize (r8 verdict item 2's bounded experiment): tokenize the
+    // corpus ONCE into a persisted (id, is_t, toks) frame read by both
+    // training subqueries AND the score pass — 1 tokenize pass + a cache
+    // materialization instead of 3 concurrent tokenize passes. The r7
+    // shared-scan lesson predicts the serialization loses at local MB
+    // scale; the flag exists so the A/B is a one-line switch and because
+    // at 100 TB the tradeoff can flip (tokenize cost scales with data,
+    // stage-wave overhead does not).
+    val base0 = docs.select(col(idCol),
+      coalesce(targetPred, lit(false)).as("__is_t"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val base =
+      if (shareTokenize) Some(graft.operators.Dedup.persistTracked(base0))
+      else None
+    val m = scalarSubquery(base.map(bigramPairRowFromToks(_, minCount))
+      .getOrElse(bigramPairRow(docs, textCol, targetPred, minCount)))
+    val v = scalarSubquery(base.map(vocabPairRowFromToks)
+      .getOrElse(vocabPairRow(docs, textCol, targetPred)))
+    base.getOrElse(
+      docs
+        // tokenize ONCE per row: both model evaluations read the projected
+        // array (CollapseProject keeps a multiply-referenced non-trivial
+        // alias in its own projection, so the split is not inlined twice)
+        .withColumn("__toks", TextAnalysis.tokens(col(textCol))))
       .withColumn("__t", graft.expressions.LmExpressions.bigram_nll(
         col("__toks"), m.getField("bg_t"), m.getField("pfx_t"),
         v.getField("v_t"), k))
@@ -131,12 +150,22 @@ object Dsir {
    */
   private[text] def bigramPairRow(docs: DataFrame, textCol: String,
                                   targetPred: Column,
-                                  minCount: Long): DataFrame = {
+                                  minCount: Long): DataFrame =
+    bigramPairRowFromToks(
+      docs.select(coalesce(targetPred, lit(false)).as("__is_t"),
+        TextAnalysis.tokens(col(textCol)).as("__toks")),
+      minCount)
+
+  /** [[bigramPairRow]] over a pre-tokenized `(… __is_t, __toks)` frame —
+    * the shareTokenize path reads the persisted base instead of
+    * re-tokenizing. */
+  private[text] def bigramPairRowFromToks(base: DataFrame,
+                                          minCount: Long): DataFrame = {
     val tMin = math.max(minCount, 1L)
-    val cells = docs
-      .select(coalesce(targetPred, lit(false)).as("__is_t"),
+    val cells = base
+      .select(col("__is_t"),
         explode(graft.expressions.LmExpressions.bigram_counts(
-          TextAnalysis.tokens(col(textCol)))).as("e"))
+          col("__toks"))).as("e"))
       .groupBy(col("e.w1").as("w1"), col("e.w2").as("w2"))
       .agg(sum(col("e.cnt")).as("c12_r"),
         sum(when(col("__is_t"), col("e.cnt")).otherwise(0L)).as("c12_t"))
@@ -164,10 +193,16 @@ object Dsir {
     * single distinct-token scan (the [[trainPair]] vRow, struct-packed). */
   private[text] def vocabPairRow(docs: DataFrame, textCol: String,
                                  targetPred: Column): DataFrame =
-    docs
-      .select(coalesce(targetPred, lit(false)).as("__is_t"),
+    vocabPairRowFromToks(
+      docs.select(coalesce(targetPred, lit(false)).as("__is_t"),
+        TextAnalysis.tokens(col(textCol)).as("__toks")))
+
+  /** [[vocabPairRow]] over a pre-tokenized `(… __is_t, __toks)` frame. */
+  private[text] def vocabPairRowFromToks(base: DataFrame): DataFrame =
+    base
+      .select(col("__is_t"),
         explode(map_keys(graft.expressions.SketchExpressions.term_counts(
-          TextAnalysis.tokens(col(textCol))))).as("w"))
+          col("__toks")))).as("w"))
       .agg(count_distinct(when(col("__is_t"), col("w"))).as("v_t"),
         count_distinct(col("w")).as("v_r"))
       .select(struct(col("v_t"), col("v_r")).as("__vocabs"))

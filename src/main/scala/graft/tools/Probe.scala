@@ -15,6 +15,13 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "false")
+      // MUST mirror Bench's latency trims: without them probe mins read
+      // ~1.5× over bench conditions on codec-heavy queries (r8 finding —
+      // t_lm_perplexity probed 0.63 s without, 0.31 s with, same window)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.broadcast.compress", "false")
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

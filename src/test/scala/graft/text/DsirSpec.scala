@@ -112,6 +112,19 @@ class DsirSpec extends SparkSuite {
     }.distinct.size == 1, "the two scorers read different token columns")
   }
 
+  test("shareTokenize path is row-identical to the concurrent default") {
+    // r8 verdict item 2's bounded experiment lives behind a flag (mixed
+    // local A/B; the tradeoff can flip at scale) — pin that both paths
+    // produce the same rows so the option can never drift semantically
+    val a = Dsir.importanceScores(corpus, "id", "text",
+        targetPred = col("lang") === "en")
+      .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = Dsir.importanceScores(corpus, "id", "text",
+        targetPred = col("lang") === "en", shareTokenize = true)
+      .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("w is exactly nll_raw - nll_target on the rounded means") {
     Dsir.importanceScores(corpus, "id", "text",
         targetPred = col("lang") === "en")
