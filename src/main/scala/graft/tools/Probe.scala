@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSession
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val compress =
+      if (sys.env.get("SPARK_GRAFT_COMPRESS").contains("true")) "true" else "false"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -17,11 +19,15 @@ object Probe {
       .config("spark.sql.adaptive.enabled", "false")
       // MUST mirror Bench's latency trims: without them probe mins read
       // ~1.5× over bench conditions on codec-heavy queries (r8 finding —
-      // t_lm_perplexity probed 0.63 s without, 0.31 s with, same window)
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
-      .config("spark.broadcast.compress", "false")
-      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      // t_lm_perplexity probed 0.63 s without, 0.31 s with, same window).
+      // SPARK_GRAFT_COMPRESS=true re-enables codecs for LARGE-scale pins:
+      // at effective-1000× the span census spilled >50 GB uncompressed
+      // (nearly filling the host disk) — compression is the at-scale
+      // default and both sides of a scaling ratio must share the config.
+      .config("spark.shuffle.compress", compress)
+      .config("spark.shuffle.spill.compress", compress)
+      .config("spark.broadcast.compress", compress)
+      .config("spark.sql.inMemoryColumnarStorage.compressed", compress)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,15 +53,24 @@ object Probe {
     // queries re-serve their first run's cached training aggregations and
     // the probe min under-reports them.
     val reset = sys.env.get("SPARK_GRAFT_RESET").contains("true")
+    // SPARK_GRAFT_REPS: timed repetitions per query (default 10; the sf10
+    // scale pins use 3 — a single span-report run there is minutes)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "10").toInt
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)
-      val ts = (1 to 10).map { _ =>
+      val gc0 = gcMillis
+      val ts = (1 to reps).map { _ =>
         if (reset) graft.coverage.LlmOpQueries.resetDerivedCaches()
         val t0 = System.nanoTime()
         run(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"$n%-28s min=${ts.head}%.3f p50=${ts(4)}%.3f max=${ts.last}%.3f")
+      val gcs = (gcMillis - gc0) / 1e3
+      println(f"$n%-28s min=${ts.head}%.3f p50=${ts(reps / 2)}%.3f " +
+        f"max=${ts.last}%.3f gc_total=${gcs}%.1f")
     }
     spark.stop()
   }
