@@ -77,4 +77,29 @@ class HeavyHittersSpec extends SparkSuite {
     assert(concurrent === fromGrouped)
     assert(concurrent.size === 20)
   }
+
+  test("sketchFromGrouped reads the persisted vocabulary in BOTH consumers") {
+    // ADVICE r7: exchange/subquery reuse across a scalar-subquery boundary
+    // is not guaranteed (notably under AQE), so the single-vocabulary-pass
+    // claim is made true by persisting the grouped count — pin that the
+    // cache actually serves the sketch subquery AND the main top-k, and
+    // that the concurrent default keeps its two intentional scans.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def cacheScans(df: org.apache.spark.sql.DataFrame): Int =
+      "InMemoryTableScan".r
+        .findAllIn(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)).size
+    // drop frames persisted by earlier tests: the cache manager substitutes
+    // any plan-matching cached frame, which would make the concurrent
+    // default read a leftover cache and fail the 0-scan assertion below
+    Dedup.unpersistSketches()
+    val concurrent = HeavyHitters.topTermsWithCmsVerdict(docs, "text", k = 20)
+    assert(cacheScans(concurrent) === 0,
+      "the concurrent default must not silently persist")
+    val grouped = HeavyHitters
+      .topTermsWithCmsVerdict(docs, "text", k = 20, sketchFromGrouped = true)
+    assert(cacheScans(grouped) >= 2,
+      "persisted grouped vocabulary must feed both the sketch subquery and the top-k")
+    Dedup.unpersistSketches()
+  }
 }
