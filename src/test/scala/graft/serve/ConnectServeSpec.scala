@@ -89,6 +89,32 @@ class ConnectServeSpec extends SparkSuite {
       thrown.getMessage.contains("local_only_dim_carrier"))
   }
 
+  test("re-publish is visible to an already-open client connection") {
+    // the reference's serving loop: the hourly DAG re-runs `dbt run` while
+    // dashboards keep their connection open and poll — a published model
+    // must swap under a live client. Global temp views are catalog-wide
+    // and each executeQuery resolves the view fresh, so the replace is
+    // atomic from the client's perspective: it sees v1 or v2, never an
+    // error or a mix.
+    // frames are built OUTSIDE withConnection: its body runs with the
+    // isolated client loader as context classloader, under which server-side
+    // ScalaReflection (toDF encoder derivation) cannot resolve types
+    import spark.implicits._
+    val v1 = Seq(("v1", 1L)).toDF("tag", "n")
+    val v2 = Seq(("v2", 1L), ("v2b", 2L)).toDF("tag", "n")
+    ConnectServe.publish("serve_republish_probe", v1)
+    val (before, after) = ConnectServe.withConnection() { conn =>
+      val b = ConnectServe.querySeq(conn,
+        "SELECT tag FROM global_temp.serve_republish_probe")._2
+      ConnectServe.publish("serve_republish_probe", v2)
+      val a = ConnectServe.querySeq(conn,
+        "SELECT tag FROM global_temp.serve_republish_probe ORDER BY n")._2
+      (b, a)
+    }
+    assert(before == Seq(Seq("v1")))
+    assert(after == Seq(Seq("v2"), Seq("v2b")))
+  }
+
   test("two sequential client connections each get a working session") {
     val first = ConnectServe.withConnection() { conn =>
       ConnectServe.querySeq(conn,
