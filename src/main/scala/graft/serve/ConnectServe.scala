@@ -49,7 +49,13 @@ object ConnectServe {
   /** Start the Spark Connect endpoint on `localhost:port` (idempotent).
     * Binding address is pinned to localhost: the serving surface is
     * in-machine only, mirroring the reference's local read-only connect. */
+  @volatile private var startedPort = -1
+  @volatile private var startedCtx: org.apache.spark.SparkContext = _
+
   def start(spark: SparkSession, port: Int = DefaultPort): Unit = synchronized {
+    // the service dies with its SparkContext: if that context was stopped,
+    // the guard flag is stale — reset so a fresh context can re-serve
+    if (started && startedCtx != null && startedCtx.isStopped) started = false
     if (!started) {
       // sc.conf is private[spark]; SparkEnv.conf is the same live SparkConf
       // instance the Connect service reads its binding config from.
@@ -58,7 +64,11 @@ object ConnectServe {
         .set("spark.connect.grpc.binding.port", port.toString)
       SparkConnectService.start(spark.sparkContext)
       started = true
-    }
+      startedPort = port
+      startedCtx = spark.sparkContext
+    } else require(port == startedPort,
+      s"Connect endpoint already started on port $startedPort; " +
+        s"cannot also bind $port — stop() first")
   }
 
   /** Stop the endpoint (idempotent). */
@@ -95,6 +105,10 @@ object ConnectServe {
     * *server*) are excluded — the client must never see the server's
     * differently-shaded `org.apache.spark.connect.proto` classes. */
   private def clientJars(): Array[URL] = {
+    require(clientJarDir.isDirectory && distJarDir.isDirectory,
+      s"Spark Connect client jars not found: expected $clientJarDir and " +
+        s"$distJarDir (a Spark 4.x distribution with the connect-repl " +
+        "client uber-jars)")
     val apiSide = Set("spark-sql-api", "spark-common-utils",
       "spark-common-utils-java", "spark-sketch", "spark-tags",
       "spark-unsafe", "spark-variant")

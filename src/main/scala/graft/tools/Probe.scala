@@ -36,6 +36,12 @@ object Probe {
       "a4_daily_count", "a8_count_distinct", "p8_range_predicate",
       "a2_distinct", "p6_case_label", "j2_role_playing_join",
       "w_row_number_latest", "a1_group_multi_agg")
+    // SPARK_GRAFT_REPS: timed repetitions per query (default 10; the sf10
+    // scale pins use 3 — a single span-report run there is minutes).
+    // Parsed and validated BEFORE the warmup so a typo fails fast instead
+    // of after minutes of warmup at large scale.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "10").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     // noop sink, same rationale as Bench: count() would prune the whole
     // projection stage of no-filter queries and time a cached-row count
     def run(df: org.apache.spark.sql.DataFrame): Unit =
@@ -53,9 +59,6 @@ object Probe {
     // queries re-serve their first run's cached training aggregations and
     // the probe min under-reports them.
     val reset = sys.env.get("SPARK_GRAFT_RESET").contains("true")
-    // SPARK_GRAFT_REPS: timed repetitions per query (default 10; the sf10
-    // scale pins use 3 — a single span-report run there is minutes)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "10").toInt
     import scala.jdk.CollectionConverters._
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
@@ -69,7 +72,9 @@ object Probe {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       val gcs = (gcMillis - gc0) / 1e3
-      println(f"$n%-28s min=${ts.head}%.3f p50=${ts(reps / 2)}%.3f " +
+      // (reps-1)/2 = lower median, index 4 at the default 10 reps — the
+      // convention every prior round's probe numbers used
+      println(f"$n%-28s min=${ts.head}%.3f p50=${ts((reps - 1) / 2)}%.3f " +
         f"max=${ts.last}%.3f gc_total=${gcs}%.1f")
     }
     spark.stop()

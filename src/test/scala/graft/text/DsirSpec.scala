@@ -123,6 +123,10 @@ class DsirSpec extends SparkSuite {
         targetPred = col("lang") === "en", shareTokenize = true)
       .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long])
     assert(a.toSeq == b.toSeq)
+    // drop the persisted tokenized base: a leftover cache plan-matches into
+    // later queries via the shared session's cache manager (the hazard
+    // HeavyHittersSpec's plan-shape test documents)
+    graft.operators.Dedup.unpersistSketches()
   }
 
   test("w is exactly nll_raw - nll_target on the rounded means") {
