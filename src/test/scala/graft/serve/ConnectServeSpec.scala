@@ -115,6 +115,15 @@ class ConnectServeSpec extends SparkSuite {
     assert(after == Seq(Seq("v2"), Seq("v2b")))
   }
 
+  test("start() on a different port fails loudly while the endpoint is live") {
+    val thrown = intercept[IllegalArgumentException] {
+      ConnectServe.start(spark, port = ConnectServe.DefaultPort + 1)
+    }
+    assert(thrown.getMessage.contains("already started"))
+    // same-port re-start stays an idempotent no-op
+    ConnectServe.start(spark)
+  }
+
   test("two sequential client connections each get a working session") {
     val first = ConnectServe.withConnection() { conn =>
       ConnectServe.querySeq(conn,
