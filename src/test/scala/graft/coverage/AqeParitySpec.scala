@@ -1,0 +1,58 @@
+package graft.coverage
+
+import graft.SparkSuite
+import org.apache.spark.sql.SparkSession
+
+/**
+ * AQE parity sweep: every driver query must produce identical rows with
+ * adaptive query execution ON and OFF.
+ *
+ * Why this matters: the certification path (`graft.Verify`/`graft.Bench`)
+ * pins AQE off — at MB scale its stage barriers add seconds of pure
+ * overhead — but a real multi-executor deployment of this library runs
+ * Spark's default AQE ON (coalesced shuffle partitions, runtime join
+ * re-planning, skew-join splitting). Operators here carry plan-shape
+ * assumptions AQE is allowed to rewrite — scalar-subquery model carriers,
+ * manually salted joins next to AQE's own skew handling, iterative
+ * persist loops, single-partition bounded sorts — so "the oracle hashes
+ * match with AQE off" does not by itself certify the deployed
+ * configuration. This spec closes that gap structurally: the SAME
+ * `SparkEntry.queries` plan, built on two sibling sessions of one
+ * SparkContext differing only in `spark.sql.adaptive.enabled`, must
+ * collect the same multiset of rows.
+ *
+ * Row comparison is order-insensitive (canonical string per row, sorted):
+ * result ORDER is a partitioning artifact for the unordered queries, and
+ * the ordered ones sort on total keys, so sorting loses nothing. The
+ * queries' outputs are already rounded/stabilized for cross-engine hash
+ * comparison (see OperatorQueries scaladoc), which is also what makes
+ * them insensitive to AQE-induced partial-aggregation reordering.
+ */
+class AqeParitySpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // sibling session on the same context; only the AQE flag differs from
+  // the suite session (Spark 4 default: adaptive ON)
+  private lazy val aqeOff: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  private def canonical(s: SparkSession, name: String): Seq[String] = {
+    val df = graft.SparkEntry.queries(name)(s, sfDir)
+    df.collect().toSeq
+      .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|#|"))
+      .sorted
+  }
+
+  for (name <- graft.SparkEntry.queries.keys.toSeq.sorted)
+    test(s"$name: AQE-on rows == AQE-off rows") {
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+      val on = canonical(spark, name)
+      val off = canonical(aqeOff, name)
+      assert(on.size == off.size, s"row counts differ: ${on.size} vs ${off.size}")
+      assert(on == off)
+    }
+}
