@@ -459,6 +459,15 @@ object Dedup {
    * for corpus documents that actually collided (left_semi on candidate
    * ids), so corpus text is touched proportionally to match volume, never
    * scanned per batch.
+   *
+   * Id-equal collisions are excluded: under the at-least-once streaming
+   * contract ([[graft.streaming.StreamingDedup]]) a crashed-then-replayed
+   * batch re-probes an index that already holds its own band rows, and
+   * without the guard every replayed document reports itself as a
+   * jaccard-1.0 "duplicate" — a row no (new_id, corpus_id) dropDuplicates
+   * repair can remove, silently poisoning downstream keep-lists. A cross
+   * pair with identical ids is by definition a re-delivery of the same
+   * document, never a near-duplicate.
    */
   def incrementalNearDupPairs(
       corpus: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
@@ -477,7 +486,8 @@ object Dedup {
     val candidates = incBands.as("n")
       .join(corpusIdx.as("c"),
         col("n.band") === col("c.band") &&
-        col("n.band_hash") === col("c.band_hash"))
+        col("n.band_hash") === col("c.band_hash") &&
+        col("n.id") =!= col("c.id"))   // re-delivery guard (see scaladoc)
       .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
       .distinct()
 

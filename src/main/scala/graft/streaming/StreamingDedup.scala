@@ -24,7 +24,14 @@ import graft.operators.Dedup
  * vice versa after restart replays the batch). Both writes are keyed by
  * deterministic content, so the repair is idempotent re-append + downstream
  * `dropDuplicates` on (new_id, corpus_id) / (id, band) — same contract as
- * any at-least-once parquet append pipeline.
+ * any at-least-once parquet append pipeline. One subtlety makes that repair
+ * sound: a replayed batch re-probes an index that already holds its OWN
+ * band rows from the crashed attempt, and the resulting id-equal
+ * self-collisions are excluded inside
+ * [[graft.operators.Dedup.incrementalNearDupPairs]] (they are re-deliveries,
+ * not duplicates), so a replay appends exactly the original pair rows again
+ * and nothing else. StreamingDedupSpec drives the full crash→replay→repair
+ * cycle.
  *
  * The corpus TEXT table is read per batch only to verify collided candidate
  * ids (left_semi inside the incremental operator) — batch-proportional,

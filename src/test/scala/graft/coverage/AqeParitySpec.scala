@@ -4,8 +4,9 @@ import graft.SparkSuite
 import org.apache.spark.sql.SparkSession
 
 /**
- * AQE parity sweep: every driver query must produce identical rows with
- * adaptive query execution ON and OFF.
+ * Execution-config parity sweep: every driver query must produce identical
+ * rows with adaptive query execution ON and OFF, and at a different
+ * `spark.sql.shuffle.partitions` width.
  *
  * Why this matters: the certification path (`graft.Verify`/`graft.Bench`)
  * pins AQE off — at MB scale its stage barriers add seconds of pure
@@ -17,9 +18,18 @@ import org.apache.spark.sql.SparkSession
  * persist loops, single-partition bounded sorts — so "the oracle hashes
  * match with AQE off" does not by itself certify the deployed
  * configuration. This spec closes that gap structurally: the SAME
- * `SparkEntry.queries` plan, built on two sibling sessions of one
- * SparkContext differing only in `spark.sql.adaptive.enabled`, must
- * collect the same multiset of rows.
+ * `SparkEntry.queries` plan, built on sibling sessions of one
+ * SparkContext differing only in the execution config, must collect the
+ * same multiset of rows.
+ *
+ * The width variant (7 vs the suite's 4 — coprime, and different from
+ * Verify's 32) certifies partition-count invariance: on a 1000-executor
+ * cluster the shuffle width is a sizing knob retuned per deployment, so no
+ * result may depend on it. Anything leaning on `spark_partition_id`,
+ * partition-local ordering, or per-partition state would diverge here;
+ * the operators avoid those by design (hash-derived shard/pos in
+ * Shuffling/Sampling/Packing, row-wise-pure mapPartitions in Multimodal)
+ * and this sweep machine-checks that property for every query.
  *
  * Row comparison is order-insensitive (canonical string per row, sorted):
  * result ORDER is a partitioning artifact for the unordered queries, and
@@ -40,6 +50,15 @@ class AqeParitySpec extends SparkSuite {
     s
   }
 
+  // sibling session at a different shuffle width (AQE at its default, so
+  // this isolates the width term; 7 is coprime to the suite's 4 and to
+  // Verify's 32, so hash→partition assignments genuinely differ)
+  private lazy val width7: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "7")
+    s
+  }
+
   private def canonical(s: SparkSession, name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(s, sfDir)
     df.collect().toSeq
@@ -48,11 +67,16 @@ class AqeParitySpec extends SparkSuite {
   }
 
   for (name <- graft.SparkEntry.queries.keys.toSeq.sorted)
-    test(s"$name: AQE-on rows == AQE-off rows") {
+    test(s"$name: rows invariant under AQE on/off and shuffle width") {
       assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
       val on = canonical(spark, name)
       val off = canonical(aqeOff, name)
-      assert(on.size == off.size, s"row counts differ: ${on.size} vs ${off.size}")
-      assert(on == off)
+      assert(on.size == off.size,
+        s"AQE on/off row counts differ: ${on.size} vs ${off.size}")
+      assert(on == off, "AQE on/off rows differ")
+      val w7 = canonical(width7, name)
+      assert(on.size == w7.size,
+        s"width-4/width-7 row counts differ: ${on.size} vs ${w7.size}")
+      assert(on == w7, "width-4/width-7 rows differ")
     }
 }

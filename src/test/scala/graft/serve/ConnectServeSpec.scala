@@ -135,4 +135,35 @@ class ConnectServeSpec extends SparkSuite {
     }
     assert(first == Seq(Seq("6")) && second == Seq(Seq("6")))
   }
+
+  test("concurrent clients: parallel connections all serve correct results") {
+    // the reference's dashboards are multi-user — several Streamlit sessions
+    // hold simultaneous read-only connections. Drive 8 client sessions over
+    // 4 threads, mixing the dashboard views, and assert every one returns
+    // the in-process answer. Exercises concurrent gRPC sessions, concurrent
+    // server-side job scheduling on one context, and withConnection's
+    // per-thread context-classloader swap under reuse of pool threads.
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val expected = Seq(
+      "SELECT count(*) AS n FROM global_temp.dash_events_by_status" -> "6",
+      "SELECT count(*) AS n FROM global_temp.serve_fact_event" -> "617",
+      ("SELECT count(*) AS n FROM global_temp.dash_carrier_performance"
+        -> DashboardQueries.carrierPerformance(w).count().toString),
+      ("SELECT sum(event_count) AS n FROM global_temp.dash_events_by_status"
+        -> "617"))
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 8).map { i =>
+        val (sql, exp) = expected(i % expected.size)
+        pool.submit(new Callable[String] {
+          def call(): String = ConnectServe.withConnection() { conn =>
+            ConnectServe.querySeq(conn, sql)._2.head.head
+          }
+        }) -> exp
+      }
+      futures.foreach { case (f, exp) =>
+        assert(f.get(120, TimeUnit.SECONDS) == exp)
+      }
+    } finally pool.shutdownNow()
+  }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSuite
 import graft.operators.Dedup
+import org.apache.spark.sql.functions.col
 import java.nio.file.Files
 
 /**
@@ -85,5 +86,90 @@ class StreamingDedupSpec extends SparkSuite {
     q3.awaitTermination(120000)
     assert(spark.read.parquet(pairsPath).count() === 3)
     assert(spark.read.parquet(corpusPath).count() === 25)
+  }
+
+  test("crash replay: a batch that fails before checkpoint commit replays, " +
+      "and the documented dropDuplicates repair restores exactly-once") {
+    // StreamingDedup's scaladoc pins the at-least-once contract: the three
+    // appends inside one batch are not atomic with the checkpoint commit, so
+    // a crash after the writes replays the whole batch on restart, and the
+    // repair is idempotent because every written row is keyed by
+    // deterministic content. This test drives that exact failure: the first
+    // attempt of batch 0 runs processBatch fully, then dies before Spark can
+    // commit the offset — the restart must re-deliver the same source batch.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-sdedup-crash").toString
+    val corpusPath = s"$tmp/corpus"; val indexPath = s"$tmp/index"
+    val pairsPath = s"$tmp/pairs"; val ckpt = s"$tmp/ckpt"
+    val landing = s"$tmp/landing"
+
+    val corpus = (0L until 20L).map(i => doc(i, baseText(i))).toDF("id", "text")
+    corpus.write.parquet(corpusPath)
+    Dedup.bandIndex(corpus, "id", "text", numHashes = 32, bands = 8)
+      .write.parquet(indexPath)
+
+    land(Seq(doc(101L, baseText(3L) + " extra"), doc(102L, baseText(777L))),
+      s"$landing/b1.parquet")
+
+    @volatile var injected = false
+    val crashing = spark.readStream.schema("id LONG, text STRING")
+      .parquet(landing).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        StreamingDedup.processBatch(spark, b, corpusPath, indexPath,
+          pairsPath, "id", "text", 0.7, 32, 8)
+        if (!injected) { injected = true; sys.error("injected crash") }
+      }
+      .start()
+    intercept[StreamingQueryException] { crashing.awaitTermination(120000) }
+    assert(injected)
+
+    // restart from the same checkpoint with the production entry point: the
+    // uncommitted batch re-delivers and processBatch runs a second time
+    val q = StreamingDedup.start(spark,
+      spark.readStream.schema("id LONG, text STRING").parquet(landing),
+      corpusPath, indexPath, pairsPath, ckpt, "id", "text",
+      threshold = 0.7, numHashes = 32, bands = 8)
+    q.awaitTermination(120000)
+
+    // at-least-once really happened: every append is present twice
+    assert(spark.read.parquet(pairsPath).count() === 2)        // (101,3) ×2
+    assert(spark.read.parquet(corpusPath).count() === 24)      // 20 + 2×2
+    assert(spark.read.parquet(indexPath).count() === (20 + 4) * 8)
+    // …and the replay, which re-probed an index already holding this
+    // batch's own bands, emitted NO id-equal self-pairs (the re-delivery
+    // guard in incrementalNearDupPairs — without it the replay writes
+    // (101,101)/(102,102) jaccard-1.0 rows that no pair-keyed dedup removes)
+    assert(spark.read.parquet(pairsPath)
+      .filter(col("new_id") === col("corpus_id")).count() === 0)
+
+    // the documented repair is exact — content-keyed rows dedup to the
+    // clean-run state on every table
+    assert(spark.read.parquet(pairsPath)
+      .dropDuplicates("new_id", "corpus_id")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+      === Set((101L, 3L)))
+    assert(spark.read.parquet(corpusPath).dropDuplicates("id").count() === 22)
+    assert(spark.read.parquet(indexPath).dropDuplicates("id", "band").count()
+      === 22 * 8)
+
+    // the pipeline keeps working on the unrepaired (duplicated) state: a
+    // later batch near-dup of batch-1's doc 102 is still caught, and the
+    // downstream dedup view stays exact even though the index holds 102's
+    // bands twice
+    land(Seq(doc(201L, baseText(777L) + " tail")), s"$landing/b2.parquet")
+    val q2 = StreamingDedup.start(spark,
+      spark.readStream.schema("id LONG, text STRING").parquet(landing),
+      corpusPath, indexPath, pairsPath, ckpt, "id", "text",
+      threshold = 0.7, numHashes = 32, bands = 8)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(pairsPath)
+      .dropDuplicates("new_id", "corpus_id")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+      === Set((101L, 3L), (201L, 102L)))
   }
 }
