@@ -1119,7 +1119,10 @@ object OracleSql {
     // Incremental dedup ground truth: the exact corpus x batch CROSS join
     // (no self-join, so this oracle is O(|corpus|*|batch|) and cheap) —
     // hash-equality certifies full recall of the band-index join on every
-    // >= 0.7 cross pair.
+    // >= 0.7 cross pair. The n.doc_id <> c.doc_id predicate mirrors the
+    // operator's re-delivery guard; it is vacuous here (the constructed id
+    // spaces are disjoint by +1M/+3M offsets) but keeps oracle and operator
+    // expressing the same query.
     "dedup_incremental" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
@@ -1141,7 +1144,8 @@ object OracleSql {
          |            ELSE CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
          |                 / len(list_distinct(list_concat(n.sh, c.sh))) END AS jaccard
          |FROM shn n CROSS JOIN shc c
-         |WHERE CASE WHEN len(list_distinct(list_concat(n.sh, c.sh))) = 0 THEN 0.0
+         |WHERE n.doc_id <> c.doc_id
+         |  AND CASE WHEN len(list_distinct(list_concat(n.sh, c.sh))) = 0 THEN 0.0
          |           ELSE CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
          |                / len(list_distinct(list_concat(n.sh, c.sh))) END >= 0.7
          |ORDER BY new_id, corpus_id""".stripMargin,
