@@ -14,6 +14,17 @@ class LineDedupSpec extends SparkSuite {
     (2L, "NAV HOME ABOUT\n\nunique two gamma\n\nCOPYRIGHT FOOTER")
   ).toDF("id", "text")
 
+  test("a document's OWN repeated line dedups to its first copy (global " +
+      "first-occurrence applies within a document too)") {
+    val doc = Seq((7L, "alpha beta gamma\nmiddle line\nalpha beta gamma\nend line"))
+      .toDF("id", "text")
+    val out = LineDedup.dedupLines(doc, "id", "text").collect()
+    assert(out.length === 1)
+    assert(out(0).getString(1) === "alpha beta gamma\nmiddle line\nend line")
+    assert(out(0).getAs[Long]("n_lines") === 4L)
+    assert(out(0).getAs[Long]("n_lines_kept") === 3L)
+  }
+
   test("keeps the first occurrence of every duplicated line, in-order reassembly") {
     val out = LineDedup.dedupLines(pages, "id", "text").orderBy("id").collect()
     assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))

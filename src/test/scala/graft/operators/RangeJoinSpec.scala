@@ -45,4 +45,25 @@ class RangeJoinSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("junk inputs degrade exactly like SQL BETWEEN: inverted and null-bound " +
+      "intervals and null points match nothing") {
+    val s = spark
+    import s.implicits._
+    // inverted (lo > hi): BETWEEN is empty in SQL three-valued logic; the
+    // binned path explodes a descending bin sequence but the verify filter
+    // rejects every pair — wasted rows, never wrong ones
+    val junky = Seq(
+      ("inv", Some(20.0), Some(10.0)),    // inverted
+      ("nlo", None: Option[Double], Some(5.0)),  // null lo
+      ("nhi", Some(5.0), None: Option[Double]),  // null hi
+      ("ok", Some(0.0), Some(10.0))       // one real interval as control
+    ).toDF("iid", "lo", "hi")
+    val pts = Seq((1L, Some(5.0)), (2L, Some(15.0)),
+      (3L, None: Option[Double])).toDF("pid", "x")
+    val got = RangeJoin.pointInInterval(pts, "x", junky, "lo", "hi", 7.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // only the control interval matches, and only the non-null in-range point
+    assert(got === Set((1L, "ok")))
+  }
 }
