@@ -20,7 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
  * functions on an already-built session.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     graft.expressions.SketchExpressions.sqlFunctions.foreach {
       case (name, builder) =>
         extensions.injectFunction((
@@ -28,4 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new ExpressionInfo("graft.expressions.SketchExpressions", name),
           builder))
     }
+    // the serving boundary's read-only analyzer check: inert (one volatile
+    // read per analysis) unless a read-only ConnectServe endpoint is live,
+    // and then restricts ONLY sessions owned by the Connect session manager.
+    // Wiring it here is what makes enforcement reach remote clients at all:
+    // Connect client sessions are newSession() clones of the engine session
+    // and inherit this extensions object.
+    extensions.injectCheckRule(graft.serve.ReadOnlyGuard.checkRule)
+  }
 }

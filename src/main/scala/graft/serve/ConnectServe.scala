@@ -27,6 +27,20 @@ import org.apache.spark.sql.connect.service.SparkConnectService
  *    batches cross the wire — exactly the thin-client shape a BI tool needs
  *    against a 1000-executor cluster.
  *
+ * Read-only is ENFORCED, not assumed (default `readOnly = true` on
+ * [[start]]): [[ReadOnlyGuard]]'s analyzer check rule — injected by
+ * [[graft.GraftExtensions]] and inherited by every Connect client session,
+ * which is a `newSession()` clone of the engine session — rejects any
+ * write/DDL command (INSERT, CTAS, DROP, saveAsTable, global-temp-view
+ * mutation, …) issued by a Connect-managed session, default-deny with a
+ * SHOW/DESCRIBE/EXPLAIN/SET/local-temp-view allowlist. The engine's own
+ * session keeps full capability, so models re-publish while dashboards stay
+ * connected. `start(readOnly = true)` fails fast if the engine session was
+ * built without the extension (the claim would otherwise be unenforceable);
+ * `readOnly = false` serves trusted full-capability clients. See
+ * [[ReadOnlyGuard]] for the enforcement surface and its documented
+ * catalog-metadata-RPC limitation.
+ *
  * Classloading: the Spark Connect *server* uber-jar (on the main classpath)
  * and the *client* uber-jar (`connect-repl/`) both define
  * `org.apache.spark.connect.proto.*`, compiled against two different
@@ -50,32 +64,60 @@ object ConnectServe {
     * Binding address is pinned to localhost: the serving surface is
     * in-machine only, mirroring the reference's local read-only connect. */
   @volatile private var startedPort = -1
+  @volatile private var startedReadOnly = true
   @volatile private var startedCtx: org.apache.spark.SparkContext = _
 
-  def start(spark: SparkSession, port: Int = DefaultPort): Unit = synchronized {
+  def start(spark: SparkSession, port: Int = DefaultPort,
+            readOnly: Boolean = true): Unit = synchronized {
     // the service dies with its SparkContext: if that context was stopped,
     // the guard flag is stale — reset so a fresh context can re-serve
     if (started && startedCtx != null && startedCtx.isStopped) started = false
     if (!started) {
+      if (readOnly) {
+        // force the analyzer build so the ReadOnlyGuard check rule — if the
+        // session was built with GraftExtensions — registers itself, then
+        // fail fast when it did not: client sessions are clones of THIS
+        // session, so an unguarded engine session means an unenforceable
+        // read-only claim, which is exactly what a deployer must not get
+        // silently.
+        spark.sql("SELECT 1")
+        require(ReadOnlyGuard.isCapable(spark),
+          "readOnly=true requires the engine session to carry the " +
+            "ReadOnlyGuard check rule: build it with " +
+            "SparkSession.builder().withExtensions(new GraftExtensions()(_)) " +
+            "or --conf spark.sql.extensions=graft.GraftExtensions, or pass " +
+            "readOnly=false to serve trusted full-capability clients")
+      }
       // sc.conf is private[spark]; SparkEnv.conf is the same live SparkConf
       // instance the Connect service reads its binding config from.
       org.apache.spark.SparkEnv.get.conf
         .set("spark.connect.grpc.binding.address", "localhost")
         .set("spark.connect.grpc.binding.port", port.toString)
       SparkConnectService.start(spark.sparkContext)
+      ReadOnlyGuard.enforcing = readOnly
       started = true
       startedPort = port
+      startedReadOnly = readOnly
       startedCtx = spark.sparkContext
-    } else require(port == startedPort,
-      s"Connect endpoint already started on port $startedPort; " +
-        s"cannot also bind $port — stop() first")
+    } else {
+      require(port == startedPort,
+        s"Connect endpoint already started on port $startedPort; " +
+          s"cannot also bind $port — stop() first")
+      require(readOnly == startedReadOnly,
+        s"Connect endpoint already started with readOnly=$startedReadOnly; " +
+          "cannot change enforcement on a live endpoint — stop() first")
+    }
   }
 
-  /** Stop the endpoint (idempotent). */
+  /** Stop the endpoint (idempotent), releasing enforcement and the
+    * started-port/context markers so a later start() is self-consistent. */
   def stop(): Unit = synchronized {
     if (started) {
       SparkConnectService.stop(None, None)
+      ReadOnlyGuard.enforcing = false
       started = false
+      startedPort = -1
+      startedCtx = null
     }
   }
 
@@ -92,8 +134,17 @@ object ConnectServe {
 
   // ---------------------------------------------------------------- client
 
-  private val clientJarDir = new File("/opt/spark/jars/connect-repl")
-  private val distJarDir = new File("/opt/spark/jars")
+  /** Root of the Spark distribution the client jars are taken from:
+    * `-Dgraft.spark.home` beats `$SPARK_HOME` beats the container default.
+    * Resolved per call so a test or embedding app can retarget without a
+    * JVM restart. */
+  private def sparkHome: String =
+    sys.props.get("graft.spark.home")
+      .orElse(sys.env.get("SPARK_HOME"))
+      .getOrElse("/opt/spark")
+
+  private def clientJarDir = new File(sparkHome, "jars/connect-repl")
+  private def distJarDir = new File(sparkHome, "jars")
 
   /** Jars visible to the isolated client: the Connect JDBC + client-jvm
     * uber-jars first, then the API-side `spark-*` jars the client was built

@@ -20,6 +20,10 @@ object SparkSuite {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      // the deployment shape: graft sessions carry the SQL-function surface
+      // and the serving boundary's read-only check rule (inert unless a
+      // read-only ConnectServe endpoint is live — see ReadOnlyGuard)
+      .withExtensions(new GraftExtensions()(_))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -59,7 +59,28 @@ class AqeParitySpec extends SparkSuite {
     s
   }
 
+  /** Sibling sessions share the SparkContext's CacheManager, and a
+    * persisted frame substitutes into ANY plan-equal subtree of a later
+    * query — so a sketch or memoized table persisted during the AQE-on
+    * collect would be read back (already computed under the AQE-on config)
+    * by the AQE-off and width-7 collects, making the parity assertion
+    * vacuous for those subtrees. Draining every library-managed cache
+    * before each variant's collect forces a genuine re-execution under
+    * that variant's config. */
+  private def drainCaches(): Unit = {
+    OperatorQueries.clearCache()
+    LlmOpQueries.clearCache()
+    graft.operators.Dedup.unpersistSketches()
+  }
+
+  override def afterAll(): Unit = {
+    // don't leak this suite's cached frames into later suites' plan matching
+    try drainCaches()
+    finally super.afterAll()
+  }
+
   private def canonical(s: SparkSession, name: String): Seq[String] = {
+    drainCaches()
     val df = graft.SparkEntry.queries(name)(s, sfDir)
     df.collect().toSeq
       .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|#|"))

@@ -120,7 +120,14 @@ class ConnectServeSpec extends SparkSuite {
       ConnectServe.start(spark, port = ConnectServe.DefaultPort + 1)
     }
     assert(thrown.getMessage.contains("already started"))
-    // same-port re-start stays an idempotent no-op
+    // flipping enforcement on a live endpoint must also fail loudly —
+    // silently continuing with the OLD readOnly mode would hand a deployer
+    // the opposite contract from the one they just asked for
+    val flipped = intercept[IllegalArgumentException] {
+      ConnectServe.start(spark, readOnly = false)
+    }
+    assert(flipped.getMessage.contains("readOnly"))
+    // same-port same-mode re-start stays an idempotent no-op
     ConnectServe.start(spark)
   }
 
@@ -134,6 +141,98 @@ class ConnectServeSpec extends SparkSuite {
         "SELECT count(*) AS n FROM global_temp.dash_events_by_status")._2
     }
     assert(first == Seq(Seq("6")) && second == Seq(Seq("6")))
+  }
+
+  // ------------------------------------------------ read-only enforcement
+  // the reference's dashboards hold duckdb.connect(read_only=True): a
+  // client can query but can NEVER mutate the warehouse or the published
+  // catalog. start() defaults to readOnly=true; these tests drive the
+  // enforcement over the real wire.
+
+  private def exec(sql: String): Unit =
+    ConnectServe.withConnection() { conn =>
+      val st = conn.createStatement()
+      try st.execute(sql) finally st.close()
+    }
+
+  private def assertDenied(sql: String): Unit = {
+    val thrown = intercept[Exception] { exec(sql) }
+    assert(thrown.getMessage.contains("read-only"),
+      s"expected a read-only rejection for [$sql], got: ${thrown.getMessage}")
+  }
+
+  test("client write/DDL statements are rejected by the read-only boundary") {
+    assertDenied("CREATE TABLE graft_ro_ctas_probe AS SELECT 1 AS x")
+    assertDenied("CREATE TABLE graft_ro_ddl_probe (x INT) USING parquet")
+    assertDenied("DROP TABLE IF EXISTS graft_ro_ctas_probe")
+    assertDenied("CREATE GLOBAL TEMP VIEW graft_ro_gview AS SELECT 1 AS x")
+    assertDenied("CACHE TABLE global_temp.dash_dq_issues")
+    // indirection is not a bypass: EXECUTE IMMEDIATE resolves to the inner
+    // statement's plan inside the same session's analyzer
+    assertDenied("EXECUTE IMMEDIATE 'CREATE TABLE graft_ro_ei AS SELECT 1 AS x'")
+  }
+
+  test("a client cannot unpublish a served model, and it keeps serving") {
+    assertDenied("DROP VIEW global_temp.dash_dq_issues")
+    val (_, rows) = ConnectServe.withConnection() { conn =>
+      ConnectServe.querySeq(conn,
+        "SELECT count(*) AS n FROM global_temp.dash_dq_issues")
+    }
+    assert(rows.head.head.toInt >= 0) // still resolvable after the denial
+  }
+
+  test("client INSERT into a warehouse table is rejected; the engine still writes") {
+    // engine-side: full capability while serving (the dbt-run half of the
+    // contract) — create, insert, verify, then leave for the client test
+    spark.sql("DROP TABLE IF EXISTS graft_ro_target")
+    spark.sql("CREATE TABLE graft_ro_target (x INT) USING parquet")
+    try {
+      spark.sql("INSERT INTO graft_ro_target VALUES (1)")
+      assert(spark.sql("SELECT count(*) FROM graft_ro_target")
+        .collect().head.getLong(0) == 1L)
+      assertDenied("INSERT INTO graft_ro_target VALUES (2)")
+      assert(spark.sql("SELECT count(*) FROM graft_ro_target")
+        .collect().head.getLong(0) == 1L, "the denied INSERT must not land")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ro_target")
+  }
+
+  test("session-local temp views remain available to clients") {
+    // scratch state inside the client's own isolated session is not a write
+    // to anything shared — mirrors read_only DuckDB allowing temp objects
+    ConnectServe.withConnection() { conn =>
+      val st = conn.createStatement()
+      try {
+        st.execute("CREATE TEMP VIEW graft_ro_scratch AS SELECT 7 AS x")
+        val (_, rows) = ConnectServe.querySeq(conn,
+          "SELECT x FROM graft_ro_scratch")
+        assert(rows == Seq(Seq("7")))
+        st.execute("DROP VIEW graft_ro_scratch")
+      } finally st.close()
+    }
+  }
+
+  test("a denied statement leaves the connection healthy") {
+    ConnectServe.withConnection() { conn =>
+      val st = conn.createStatement()
+      try {
+        intercept[Exception] { st.execute("CREATE TABLE graft_ro_again AS SELECT 1") }
+        val (_, rows) = ConnectServe.querySeq(conn,
+          "SELECT count(*) AS n FROM global_temp.dash_events_by_status")
+        assert(rows == Seq(Seq("6")))
+      } finally st.close()
+    }
+  }
+
+  test("SET / SHOW / DESCRIBE / EXPLAIN stay available to read-only clients") {
+    ConnectServe.withConnection() { conn =>
+      val st = conn.createStatement()
+      try {
+        st.execute("SET spark.sql.shuffle.partitions=7")
+        st.execute("SHOW TABLES")
+        st.execute("EXPLAIN SELECT * FROM global_temp.dash_dq_issues")
+        st.execute("DESCRIBE QUERY SELECT 1 AS x")
+      } finally st.close()
+    }
   }
 
   test("concurrent clients: parallel connections all serve correct results") {
