@@ -1119,10 +1119,12 @@ object OracleSql {
     // Incremental dedup ground truth: the exact corpus x batch CROSS join
     // (no self-join, so this oracle is O(|corpus|*|batch|) and cheap) —
     // hash-equality certifies full recall of the band-index join on every
-    // >= 0.7 cross pair. The n.doc_id <> c.doc_id predicate mirrors the
-    // operator's re-delivery guard; it is vacuous here (the constructed id
-    // spaces are disjoint by +1M/+3M offsets) but keeps oracle and operator
-    // expressing the same query.
+    // >= 0.7 cross pair. The n.doc_id <> c.doc_id predicate and the
+    // c.doc_id NOT IN (batch ids) anti-join mirror the operator's
+    // re-delivery guard (both halves — doc_ids are non-null so NOT IN is
+    // safe); they are vacuous here (the constructed id spaces are disjoint
+    // by +1M/+3M offsets) but keep oracle and operator expressing the same
+    // query.
     "dedup_incremental" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
@@ -1145,6 +1147,7 @@ object OracleSql {
          |                 / len(list_distinct(list_concat(n.sh, c.sh))) END AS jaccard
          |FROM shn n CROSS JOIN shc c
          |WHERE n.doc_id <> c.doc_id
+         |  AND c.doc_id NOT IN (SELECT doc_id FROM inc)
          |  AND CASE WHEN len(list_distinct(list_concat(n.sh, c.sh))) = 0 THEN 0.0
          |           ELSE CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
          |                / len(list_distinct(list_concat(n.sh, c.sh))) END >= 0.7

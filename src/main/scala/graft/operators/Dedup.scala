@@ -460,14 +460,20 @@ object Dedup {
    * ids), so corpus text is touched proportionally to match volume, never
    * scanned per batch.
    *
-   * Id-equal collisions are excluded: under the at-least-once streaming
+   * Corpus-side ids that appear in the incoming batch are excluded
+   * entirely (id-equal AND id-unequal): under the at-least-once streaming
    * contract ([[graft.streaming.StreamingDedup]]) a crashed-then-replayed
-   * batch re-probes an index that already holds its own band rows, and
-   * without the guard every replayed document reports itself as a
-   * jaccard-1.0 "duplicate" — a row no (new_id, corpus_id) dropDuplicates
-   * repair can remove, silently poisoning downstream keep-lists. A cross
-   * pair with identical ids is by definition a re-delivery of the same
-   * document, never a near-duplicate.
+   * batch re-probes an index that already holds its own band rows. Without
+   * the guard, every replayed document reports itself as a jaccard-1.0
+   * "duplicate" (id-equal), and — one level deeper — two near-identical
+   * documents WITHIN the replayed batch report each other as
+   * batch-vs-corpus pairs (id-unequal, verified against the crashed
+   * attempt's corpus-text append): rows a clean run never produces, that
+   * no (new_id, corpus_id) dropDuplicates repair can remove, and that make
+   * a downstream keep-list delete BOTH copies of the content. A corpus-side
+   * id in the current batch is by definition re-delivered state, never a
+   * batch-vs-corpus near-duplicate; intra-batch pairs remain
+   * [[nearDuplicatePairs]]' job on the batch, replayed or not.
    */
   def incrementalNearDupPairs(
       corpus: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
@@ -487,9 +493,18 @@ object Dedup {
       .join(corpusIdx.as("c"),
         col("n.band") === col("c.band") &&
         col("n.band_hash") === col("c.band_hash") &&
-        col("n.id") =!= col("c.id"))   // re-delivery guard (see scaladoc)
+        col("n.id") =!= col("c.id"))   // re-delivery guard, cheap half
       .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
       .distinct()
+      // re-delivery guard, id-UNEQUAL half (see scaladoc): any corpus-side
+      // id that is also in the incoming batch is this batch's own
+      // crashed-attempt index rows showing through on replay — emitting
+      // those pairs would let a replayed batch's intra-batch near-dups
+      // masquerade as batch-vs-corpus pairs that a clean run never produces.
+      // The batch id set is micro-batch-sized, so this anti-join broadcasts;
+      // the id-inequality in the join condition above is subsumed by it but
+      // kept to cut the (numerous) self-band collisions before the distinct.
+      .join(inc.select(col("id").as("corpus_id")), Seq("corpus_id"), "left_anti")
 
     val touched = corpus
       .select(col(idCol).as("corpus_id"), col(textCol).as("__text"))

@@ -26,12 +26,16 @@ import graft.operators.Dedup
  * `dropDuplicates` on (new_id, corpus_id) / (id, band) — same contract as
  * any at-least-once parquet append pipeline. One subtlety makes that repair
  * sound: a replayed batch re-probes an index that already holds its OWN
- * band rows from the crashed attempt, and the resulting id-equal
- * self-collisions are excluded inside
- * [[graft.operators.Dedup.incrementalNearDupPairs]] (they are re-deliveries,
- * not duplicates), so a replay appends exactly the original pair rows again
- * and nothing else. StreamingDedupSpec drives the full crash→replay→repair
- * cycle.
+ * band rows from the crashed attempt — both the id-equal self-collisions
+ * AND the id-unequal collisions between near-identical documents of the
+ * same batch (which would otherwise verify against the crashed attempt's
+ * corpus-text append and masquerade as batch-vs-corpus pairs). Both are
+ * excluded inside [[graft.operators.Dedup.incrementalNearDupPairs]] by
+ * anti-joining candidate corpus ids against the batch's own id set: a
+ * corpus-side id in the current batch is re-delivered state, never a
+ * duplicate. A replay therefore appends exactly the original pair rows
+ * again and nothing else. StreamingDedupSpec drives both
+ * crash→replay→repair cycles.
  *
  * The corpus TEXT table is read per batch only to verify collided candidate
  * ids (left_semi inside the incremental operator) — batch-proportional,

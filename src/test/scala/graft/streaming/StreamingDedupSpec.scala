@@ -172,4 +172,83 @@ class StreamingDedupSpec extends SparkSuite {
       .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
       === Set((101L, 3L), (201L, 102L)))
   }
+
+  test("crash replay of a batch that CONTAINS near-duplicates of itself: " +
+      "no intra-batch pairs leak, true cross pairs survive") {
+    // One level past the previous drive: the replayed batch holds two
+    // near-identical NEW documents (301 ≈ 302). The crashed first attempt
+    // appended 302's band rows to the index and 302's text to the corpus, so
+    // on replay 301 collides with 302 (id-UNEQUAL — the id-equal guard alone
+    // cannot help) and verifies against 302's crashed-attempt corpus text.
+    // Without the batch-id anti-join the replay emits (301,302) and
+    // (302,301): rows a clean run never produces, that no
+    // (new_id, corpus_id) dropDuplicates can remove, and that make a
+    // downstream keep-list delete BOTH copies of the content. The batch also
+    // carries a genuine corpus near-dup (303 ≈ corpus doc 5) to pin that the
+    // guard does not over-exclude.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-sdedup-intra").toString
+    val corpusPath = s"$tmp/corpus"; val indexPath = s"$tmp/index"
+    val pairsPath = s"$tmp/pairs"; val ckpt = s"$tmp/ckpt"
+    val landing = s"$tmp/landing"
+
+    val corpus = (0L until 20L).map(i => doc(i, baseText(i))).toDF("id", "text")
+    corpus.write.parquet(corpusPath)
+    Dedup.bandIndex(corpus, "id", "text", numHashes = 32, bands = 8)
+      .write.parquet(indexPath)
+
+    land(Seq(
+      doc(301L, baseText(900L) + " alpha"),  // ≈ 302, ≉ corpus
+      doc(302L, baseText(900L) + " beta"),
+      doc(303L, baseText(5L) + " extra")),   // ≈ corpus doc 5
+      s"$landing/b1.parquet")
+
+    @volatile var injected = false
+    val crashing = spark.readStream.schema("id LONG, text STRING")
+      .parquet(landing).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        StreamingDedup.processBatch(spark, b, corpusPath, indexPath,
+          pairsPath, "id", "text", 0.7, 32, 8)
+        if (!injected) { injected = true; sys.error("injected crash") }
+      }
+      .start()
+    intercept[StreamingQueryException] { crashing.awaitTermination(120000) }
+    assert(injected)
+
+    val q = StreamingDedup.start(spark,
+      spark.readStream.schema("id LONG, text STRING").parquet(landing),
+      corpusPath, indexPath, pairsPath, ckpt, "id", "text",
+      threshold = 0.7, numHashes = 32, bands = 8)
+    q.awaitTermination(120000)
+
+    val pairs = spark.read.parquet(pairsPath)
+    // the replay emitted ONLY the original batch-vs-corpus pair rows again:
+    // no id-equal self-pairs AND no intra-batch (301,302)/(302,301) pairs
+    assert(pairs.filter(col("new_id") === col("corpus_id")).count() === 0)
+    assert(pairs.filter(col("corpus_id") >= 300L).count() === 0,
+      "intra-batch pairs leaked through the replayed index")
+    // the documented repair restores exactly the clean-run result
+    assert(pairs.dropDuplicates("new_id", "corpus_id")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+      === Set((303L, 5L)))
+    // and a LATER batch still pairs against this batch's docs through the
+    // grown index — the anti-join excludes only the CURRENT batch's ids
+    land(Seq(doc(401L, baseText(900L) + " alpha gamma")), s"$landing/b2.parquet")
+    val q2 = StreamingDedup.start(spark,
+      spark.readStream.schema("id LONG, text STRING").parquet(landing),
+      corpusPath, indexPath, pairsPath, ckpt, "id", "text",
+      threshold = 0.7, numHashes = 32, bands = 8)
+    q2.awaitTermination(120000)
+    val later = spark.read.parquet(pairsPath)
+      .dropDuplicates("new_id", "corpus_id")
+      .filter(col("new_id") === 401L)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(later.contains(301L) || later.contains(302L),
+      "batch N+1 must still near-dup against batch N's documents")
+  }
 }
