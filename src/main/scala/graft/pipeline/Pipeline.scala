@@ -64,4 +64,29 @@ object Pipeline {
 
   /** Serving entry (§3.3): the registered views answer ad-hoc SQL. */
   def query(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
+
+  /**
+   * The dashboard-serving stage: publish every dashboard model under
+   * `global_temp.dash_*` and stand up the read-only Spark Connect endpoint
+   * ([[graft.serve.ConnectServe]]). This is the reference's post-run state —
+   * `dbt run` outputs served to Streamlit over a separate read-only
+   * connection (`Business_KPI_dashboard.py:10-14`) — as one call after
+   * [[run]]: clients query, only the engine mutates. Re-invoking after a
+   * later run() re-publishes the views under live client connections
+   * (global temp view replace is atomic per lookup; ConnectServeSpec pins
+   * it), so the hourly cadence needs no endpoint restart.
+   */
+  def serve(spark: SparkSession, w: Warehouse,
+            port: Int = graft.serve.ConnectServe.DefaultPort): Unit = {
+    import graft.serve.{ConnectServe, DashboardQueries => D}
+    ConnectServe.publish("dash_carrier_performance", D.carrierPerformance(w))
+    ConnectServe.publish("dash_active_shipments", D.activeShipments(w))
+    ConnectServe.publish("dash_weight_distribution", D.weightDistribution(w))
+    ConnectServe.publish("dash_events_by_status", D.eventsByStatus(w))
+    ConnectServe.publish("dash_headline_kpis", D.headlineKpis(w))
+    ConnectServe.publish("dash_ingestion_trend", D.ingestionTrend(w))
+    ConnectServe.publish("dash_dq_issues", D.dqIssues(w))
+    ConnectServe.publish("dash_recent_raw", D.recentRaw(w))
+    ConnectServe.start(spark, port) // readOnly = true: the dashboard contract
+  }
 }

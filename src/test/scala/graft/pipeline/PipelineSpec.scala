@@ -47,6 +47,35 @@ class PipelineSpec extends SparkSuite {
     assert(r2.newRawRows == 10)   // 55-60 deduped by the anti-join
   }
 
+  test("serve stage: dashboards attach over the wire, read-only enforced") {
+    import graft.serve.ConnectServe
+    val tmp = Files.createTempDirectory("graft-pipe3").toString
+    writeBatchFile((1 to 40).map(ev), s"$tmp/landing/b1.parquet")
+    val r = Pipeline.run(spark, s"$tmp/landing", s"$tmp/bronze",
+      s"$tmp/ckpt", s"$tmp/raw")
+
+    // a fresh port: this JVM's ConnectServeSpec may have served (and
+    // stopped) the default one — the serve stage must work on either
+    val port = ConnectServe.DefaultPort + 2
+    Pipeline.serve(spark, r.warehouse, port)
+    try {
+      val (cols, rows) = ConnectServe.withConnection(port) { conn =>
+        ConnectServe.querySeq(conn,
+          "SELECT total_events FROM global_temp.dash_headline_kpis")
+      }
+      assert(cols == Seq("total_events") && rows == Seq(Seq("40")))
+      // the reference's read_only=True contract holds at the DAG level too
+      val denied = intercept[Exception] {
+        ConnectServe.withConnection(port) { conn =>
+          val st = conn.createStatement()
+          try st.execute("DROP VIEW global_temp.dash_headline_kpis")
+          finally st.close()
+        }
+      }
+      assert(denied.getMessage.contains("read-only"))
+    } finally ConnectServe.stop()
+  }
+
   test("DQ gate halts the pipeline on ERROR-severity violations") {
     val tmp = Files.createTempDirectory("graft-pipe2").toString
     writeBatchFile(Seq(ev(1), ev(2).copy(weight_kg = Some(-1.0))),
