@@ -251,4 +251,68 @@ class StreamingDedupSpec extends SparkSuite {
     assert(later.contains(301L) || later.contains(302L),
       "batch N+1 must still near-dup against batch N's documents")
   }
+
+  test("PARTIAL-append crashes (between the three sinks) repair to the clean state") {
+    // The scaladoc's "or vice versa" clause: the three appends inside one
+    // batch are not atomic with each other either — a crash can land BETWEEN
+    // them. Each partial state is constructed from exactly the public calls
+    // processBatch makes (the crash point is between library calls, so the
+    // on-disk state is identical), then the real stream delivers the same
+    // batch = the replay. The batch again contains near-identical new docs
+    // (501 ≈ 502) plus a genuine corpus dup (503 ≈ corpus 5), so both guard
+    // halves are exercised with the index/corpus tables INCONSISTENT with
+    // each other at replay time.
+    val s = spark
+    import s.implicits._
+    val batchDocs = Seq(
+      doc(501L, baseText(910L) + " alpha"),
+      doc(502L, baseText(910L) + " beta"),
+      doc(503L, baseText(5L) + " extra"))
+
+    for ((crashedSinks, label) <- Seq(1 -> "pairs-only", 2 -> "pairs+index")) {
+      val tmp = Files.createTempDirectory(s"graft-sdedup-part-$label").toString
+      val corpusPath = s"$tmp/corpus"; val indexPath = s"$tmp/index"
+      val pairsPath = s"$tmp/pairs"; val ckpt = s"$tmp/ckpt"
+      val landing = s"$tmp/landing"
+
+      val corpus = (0L until 20L).map(i => doc(i, baseText(i))).toDF("id", "text")
+      corpus.write.parquet(corpusPath)
+      Dedup.bandIndex(corpus, "id", "text", numHashes = 32, bands = 8)
+        .write.parquet(indexPath)
+      land(batchDocs, s"$landing/b1.parquet")
+
+      // the crashed first attempt: processBatch's appends, truncated
+      val b = batchDocs.toDF("id", "text")
+      Dedup.incrementalNearDupPairs(spark.read.parquet(corpusPath), b,
+          "id", "text", 0.7, 32, 8,
+          corpusBands = Some(spark.read.parquet(indexPath)))
+        .write.mode("append").parquet(pairsPath)
+      if (crashedSinks >= 2)
+        Dedup.bandIndex(b, "id", "text", 32, 8)
+          .write.mode("append").parquet(indexPath)
+      Dedup.unpersistSketches()
+
+      // nothing was committed, so the stream delivers the batch = replay
+      val q = StreamingDedup.start(spark,
+        spark.readStream.schema("id LONG, text STRING").parquet(landing),
+        corpusPath, indexPath, pairsPath, ckpt, "id", "text",
+        threshold = 0.7, numHashes = 32, bands = 8)
+      q.awaitTermination(120000)
+
+      val pairs = spark.read.parquet(pairsPath)
+      assert(pairs.filter(col("new_id") === col("corpus_id")).count() === 0,
+        s"[$label] id-equal self-pairs leaked")
+      assert(pairs.filter(col("corpus_id") >= 500L).count() === 0,
+        s"[$label] intra-batch pairs leaked")
+      assert(pairs.dropDuplicates("new_id", "corpus_id")
+        .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+        === Set((503L, 5L)), s"[$label] repaired pairs != clean-run pairs")
+      // corpus text landed exactly once in both scenarios; the index repairs
+      // by its documented (id, band) key
+      assert(spark.read.parquet(corpusPath).dropDuplicates("id").count() === 23,
+        s"[$label] corpus repair")
+      assert(spark.read.parquet(indexPath).dropDuplicates("id", "band").count()
+        === 23 * 8, s"[$label] index repair")
+    }
+  }
 }
