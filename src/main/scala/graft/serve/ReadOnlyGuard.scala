@@ -43,15 +43,19 @@ class ReadOnlyViolationException(msg: String) extends SparkException(msg)
  * and drop their OWN local temp views (invisible to other sessions), but
  * global temp views — the published serving catalog — are untouchable.
  *
- * Known limitation (documented, not hidden): enforcement lives in
+ * Known limitations (documented, not hidden): enforcement lives in
  * `checkAnalysis`, so it covers every plan-producing surface — SQL over
  * JDBC, client DataFrame writes (`WriteOperation` protos execute
- * server-side through `QueryExecution`), CTAS, INSERT, DDL. Catalog
- * METADATA RPCs that never build a plan (e.g. the Connect
- * `spark.catalog.dropGlobalTempView` proto, which calls the catalog object
- * directly) are not intercepted; the JDBC/SQL surface served here does not
- * expose them, and localhost-only binding bounds who can speak protos at
- * all.
+ * server-side through `QueryExecution`), CTAS, INSERT, DDL, and streaming
+ * sink statements. Two proto surfaces never build a plan and are NOT
+ * intercepted: catalog METADATA RPCs (e.g. the Connect
+ * `spark.catalog.dropGlobalTempView` proto calls the catalog object
+ * directly) and client-shipped executable code (Connect UDF / foreachBatch
+ * upload runs arbitrary JVM bytecode server-side — no analyzer rule can
+ * contain that). The JDBC/SQL surface served here exposes neither, and
+ * localhost-only binding bounds who can speak raw protos at all; a
+ * deployment serving untrusted full client-jvm sessions must additionally
+ * disable artifact/UDF upload at the Connect service level.
  */
 object ReadOnlyGuard {
 
@@ -127,6 +131,12 @@ object ReadOnlyGuard {
         val n = c.getClass.getSimpleName.stripSuffix("$")
         if (readOnlyCommands.contains(n)) None
         else Some(s"$n is not a read-only operation")
+      // streaming sinks are writes but not Commands: a full client-jvm
+      // session can submit writeStream protos, whose WriteToStream /
+      // WriteToStreamStatement wrapper reaches analysis on the client's
+      // session — fail closed on both class names
+      case w if w.getClass.getSimpleName.startsWith("WriteToStream") =>
+        Some("streaming writes are not available on a read-only connection")
       case _ => None // plain queries: always allowed
     }
 

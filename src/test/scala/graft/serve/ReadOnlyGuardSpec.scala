@@ -11,6 +11,13 @@ case class FakeWriteCommand() extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 
+/** Same simple name as Catalyst's streaming sink statement (which is not a
+  * Command): pins the classifier's WriteToStream* prefix denial without
+  * standing up a streaming query. */
+case class WriteToStreamStatement() extends LeafNode {
+  override def output: Seq[Attribute] = Nil
+}
+
 /**
  * Unit surface of the read-only serving guard: the pure plan classifier
  * ([[ReadOnlyGuard.violation]]) and the session-identity gates. The
@@ -35,6 +42,11 @@ class ReadOnlyGuardSpec extends SparkSuite {
   test("unknown commands fail CLOSED: default-deny, not default-allow") {
     val v = ReadOnlyGuard.violation(FakeWriteCommand(), gdb)
     assert(v.isDefined && v.get.contains("FakeWriteCommand"))
+  }
+
+  test("streaming sink statements are denied even though they are not Commands") {
+    val v = ReadOnlyGuard.violation(WriteToStreamStatement(), gdb)
+    assert(v.isDefined && v.get.contains("streaming"))
   }
 
   test("global-temp-view drop is denied; a session-local one is allowed") {
