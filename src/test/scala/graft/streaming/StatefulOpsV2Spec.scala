@@ -48,6 +48,81 @@ class StatefulOpsV2Spec extends SparkSuite {
     spark.table(name).as[OrderUpdate].collect().toSeq
   }
 
+  /** Phase 1: query over batch 1 runs to completion and STOPS. Phase 2: a
+    * NEW query instance on the same checkpoint processes batch 2. Returns
+    * phase 2's output only. This is the restart-recovery contract a real
+    * cluster invokes on driver loss: per-order state must be RESTORED from
+    * the state store by the fresh query, not recounted from zero. */
+  private def runRestarted(name: String,
+      progress: org.apache.spark.sql.Dataset[LogisticsEvent] =>
+        org.apache.spark.sql.Dataset[OrderUpdate]): Seq[OrderUpdate] = {
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory(s"graft-$name").toString
+    val srcDir = s"$tmp/landing"; new java.io.File(srcDir).mkdirs()
+    def writeFile(fname: String, events: Seq[LogisticsEvent]): Unit = {
+      val stage = Files.createTempDirectory(s"graft-$name-stage").toString
+      spark.createDataFrame(events).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new java.io.File(s"$srcDir/$fname").toPath)
+    }
+    // the memory sink refuses checkpoint recovery by design; foreachBatch
+    // is the recoverable sink a production restart would use
+    def phase(): Seq[OrderUpdate] = {
+      val buf = scala.collection.mutable.ArrayBuffer[OrderUpdate]()
+      val stream = spark.readStream.schema(LogisticsEvent.schema)
+        .parquet(srcDir).as[LogisticsEvent]
+      val q = progress(stream)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[OrderUpdate], _: Long) =>
+          val rows = b.collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      buf.synchronized(buf.toSeq)
+    }
+    writeFile("b1.parquet", batch1)
+    phase()
+    writeFile("b2.parquet", batch2)
+    phase() // fresh query instance, fresh buffer: batch-2 rows only
+  }
+
+  test("restart recovery: a NEW query on the same checkpoint restores per-order state") {
+    // o1's batch-2 update must count 3 events (2 recovered + 1 new) with an
+    // UNCHANGED status flag, and o2 must see its status change — both
+    // depend on state written by the stopped phase-1 query. A recovery bug
+    // (state lost, recounted from zero) would read (1, "In Transit", true)
+    // / (1, "Delivered", true) instead.
+    val expected = Set(
+      ("o1", 3L, "In Transit", false),
+      ("o2", 2L, "Delivered", true))
+    def shape(us: Seq[OrderUpdate]) =
+      us.map(u => (u.order_id, u.n_events, u.status, u.status_changed)).toSet
+
+    // v1 flatMapGroupsWithState on the default (HDFS-backed) store
+    assert(shape(runRestarted("restart_v1", StatefulOps.orderProgress))
+      === expected)
+
+    // v2 transformWithState on RocksDB — the production store whose
+    // changelog/snapshot files are what an executor-loss recovery replays
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      assert(shape(runRestarted("restart_v2", StatefulOpsV2.orderProgress))
+        === expected)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState: state carries across micro-batches, TTL-backed RocksDB store") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val saved = spark.conf.getOption(key)
