@@ -285,4 +285,33 @@ class DedupSpec extends SparkSuite {
     assert(viaIndex == got)
     Dedup.unpersistSketches()
   }
+
+  test("incremental near-dup: corpus ids present in the batch are re-delivered state") {
+    // The replay guard's operator-level contract (see scaladoc): a
+    // corpus-side id that is ALSO in the incoming batch is excluded from
+    // candidates entirely. This covers the crashed-replay case (the batch's
+    // own bands showing through the index) AND the deliberate trade-off for
+    // a genuinely re-delivered document: if id 11 already lives in the
+    // corpus and arrives again in a batch alongside a new near-dup 12, the
+    // (12, 11) pair is NOT emitted — with 11 in the current batch it is an
+    // intra-batch relationship, nearDuplicatePairs' job, and emitting it on
+    // some runs but not replays would make the stream non-deterministic.
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (20L, "totally different words about parquet row groups and dictionary encoding")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"), // re-delivery
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"), // ≈ 11
+      (13L, "fresh unrelated content on bloom filters and zone maps for data skipping")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDupPairs(corpus, incoming, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set.empty[(Long, Long)],
+      "corpus ids in the batch must produce no pairs (re-delivered state)")
+    Dedup.unpersistSketches()
+  }
 }
