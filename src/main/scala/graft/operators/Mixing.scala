@@ -32,9 +32,19 @@ object Mixing {
    * Union of all sources' epochs: input columns plus (`mix_source`,
    * `mix_epoch`). Sources must share a schema; `keyCol` is the per-source
    * stable row key the fractional epochs sample on.
+   *
+   * `scanOnce = true` (the default, and the 100 TB shape) replicates epochs
+   * with one `explode` per source instead of unioning `⌈w⌉` scans of the
+   * source: a weight-2.3 source is READ ONCE and its rows generated three
+   * times, where the union form re-reads the full source per epoch —
+   * scan I/O is the dominant cost at scale, so epoch count must not
+   * multiply it. Row multisets are IDENTICAL either way (the partial
+   * epoch's hash threshold and salt are shared; MixingSpec pins parity),
+   * and `scanOnce = false` remains for engines/sinks that prefer plain
+   * unions of scans.
    */
   def mixCorpora(sources: Seq[(String, DataFrame, Double)],
-                 keyCol: String): DataFrame = {
+                 keyCol: String, scanOnce: Boolean = true): DataFrame = {
     require(sources.nonEmpty, "at least one source")
     require(sources.map(_._1).distinct.size == sources.size,
       "source names must be unique")
@@ -42,17 +52,33 @@ object Mixing {
       require(w > 0.0, s"source $name: weight must be positive, got $w")
       val fullEpochs = math.floor(w).toInt
       val frac = w - fullEpochs
-      val fulls = (0 until fullEpochs).map { e =>
-        df.withColumn("mix_source", lit(name)).withColumn("mix_epoch", lit(e))
+      val salt = s"$name:$fullEpochs:"
+      if (scanOnce) {
+        val nEpochs = fullEpochs + (if (frac > 1e-12) 1 else 0)
+        val replicated = df
+          .withColumn("mix_source", lit(name))
+          .withColumn("mix_epoch", explode(lit((0 until nEpochs).toArray)))
+        Seq(
+          if (frac > 1e-12)
+            // full epochs pass unconditionally; the one partial epoch keeps
+            // exactly deterministicSample's rows (same salt ⇒ same subset)
+            replicated.filter(col("mix_epoch") < fullEpochs ||
+              Sampling.hexBucket(col(keyCol), salt) <
+                lit(Sampling.hexThreshold(frac)))
+          else replicated)
+      } else {
+        val fulls = (0 until fullEpochs).map { e =>
+          df.withColumn("mix_source", lit(name)).withColumn("mix_epoch", lit(e))
+        }
+        val partial =
+          if (frac > 1e-12)
+            Some(Sampling
+              .deterministicSample(df, keyCol, frac, salt = salt)
+              .withColumn("mix_source", lit(name))
+              .withColumn("mix_epoch", lit(fullEpochs)))
+          else None
+        fulls ++ partial
       }
-      val partial =
-        if (frac > 1e-12)
-          Some(Sampling
-            .deterministicSample(df, keyCol, frac, salt = s"$name:$fullEpochs:")
-            .withColumn("mix_source", lit(name))
-            .withColumn("mix_epoch", lit(fullEpochs)))
-        else None
-      fulls ++ partial
     }.reduce(_ unionByName _)
   }
 
@@ -62,8 +88,9 @@ object Mixing {
    * mixed columns plus (`shard`, `pos`).
    */
   def mixShuffled(sources: Seq[(String, DataFrame, Double)], keyCol: String,
-                  seed: String, nShards: Int): DataFrame = {
-    val mixed = mixCorpora(sources, keyCol)
+                  seed: String, nShards: Int,
+                  scanOnce: Boolean = true): DataFrame = {
+    val mixed = mixCorpora(sources, keyCol, scanOnce)
       .withColumn("__mix_key",
         concat_ws(":", col("mix_source"), col("mix_epoch"), col(keyCol)))
     Shuffling.shuffled(mixed, "__mix_key", seed, nShards).drop("__mix_key")

@@ -49,6 +49,23 @@ class MixingSpec extends SparkSuite {
     assert(before === after)
   }
 
+  test("scanOnce ≡ union form, row-identical; and it reads each source once") {
+    // the 100 TB shape: epoch replication by explode must produce the exact
+    // multiset of the union-of-scans form (full epochs AND the salted
+    // partial), while referencing the source once instead of ⌈w⌉ times
+    val sources = Seq(("a", src(1000, "a"), 2.3), ("b", src(500, "b"), 0.25))
+    val once = Mixing.mixCorpora(sources, "id", scanOnce = true)
+    val union = Mixing.mixCorpora(sources, "id", scanOnce = false)
+    assert(once.exceptAll(union).isEmpty && union.exceptAll(once).isEmpty)
+
+    val planOnce = once.queryExecution.executedPlan.toString
+    val planUnion = union.queryExecution.executedPlan.toString
+    def scans(p: String) = "LocalTableScan".r.findAllIn(p).size
+    assert(scans(planOnce) === 2, s"scanOnce must read each source once:\n$planOnce")
+    assert(scans(planUnion) === 4, "union form: 2+1 epochs of a, 1 of b")
+    assert(planOnce.contains("Generate explode"), planOnce)
+  }
+
   test("mixShuffled assigns a complete (shard, pos) order over the mixture") {
     val out = Mixing.mixShuffled(
       Seq(("a", src(300, "a"), 1.5), ("b", src(300, "b"), 0.5)),
