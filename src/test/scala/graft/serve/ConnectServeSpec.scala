@@ -235,6 +235,48 @@ class ConnectServeSpec extends SparkSuite {
     }
   }
 
+  test("re-publish churn under concurrent clients: every read sees a complete version") {
+    // the deployed steady state: the hourly engine run re-publishes models
+    // WHILE several dashboards poll. Each client read must resolve one
+    // complete published version — v1 or v2, never an error, never a mix.
+    // 3 reader threads loop over the wire while the engine swaps the view
+    // between two frames of different sizes 10 times.
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    import java.util.concurrent.atomic.AtomicBoolean
+    val s = spark
+    import s.implicits._
+    val v1 = Seq(("a", 1L)).toDF("tag", "n")
+    val v2 = Seq(("b", 1L), ("b", 2L), ("b", 3L)).toDF("tag", "n")
+    ConnectServe.publish("serve_churn_probe", v1)
+    val stop = new AtomicBoolean(false)
+    val pool = Executors.newFixedThreadPool(3)
+    val readers = (0 until 3).map { _ =>
+      pool.submit(new Callable[Seq[(String, Int)]] {
+        def call(): Seq[(String, Int)] = ConnectServe.withConnection() { conn =>
+          val seen = Seq.newBuilder[(String, Int)]
+          while (!stop.get()) {
+            val rows = ConnectServe.querySeq(conn,
+              "SELECT tag FROM global_temp.serve_churn_probe")._2
+            seen += ((rows.head.head, rows.size))
+          }
+          seen.result()
+        }
+      })
+    }
+    try {
+      for (i <- 1 to 10) {
+        ConnectServe.publish("serve_churn_probe", if (i % 2 == 0) v1 else v2)
+        Thread.sleep(150)
+      }
+    } finally stop.set(true)
+    val observed = readers.flatMap(_.get(120, TimeUnit.SECONDS)).toSet
+    pool.shutdownNow()
+    // only the two complete versions are ever observable
+    assert(observed.subsetOf(Set(("a", 1), ("b", 3))),
+      s"readers saw a torn or mixed version: $observed")
+    assert(observed.nonEmpty)
+  }
+
   test("concurrent clients: parallel connections all serve correct results") {
     // the reference's dashboards are multi-user — several Streamlit sessions
     // hold simultaneous read-only connections. Drive 8 client sessions over
