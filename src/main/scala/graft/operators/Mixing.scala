@@ -55,17 +55,21 @@ object Mixing {
       val salt = s"$name:$fullEpochs:"
       if (scanOnce) {
         val nEpochs = fullEpochs + (if (frac > 1e-12) 1 else 0)
-        val replicated = df
-          .withColumn("mix_source", lit(name))
-          .withColumn("mix_epoch", explode(lit((0 until nEpochs).toArray)))
+        val epochs = explode(lit((0 until nEpochs).toArray))
         Seq(
-          if (frac > 1e-12)
+          if (frac > 1e-12) {
             // full epochs pass unconditionally; the one partial epoch keeps
-            // exactly deterministicSample's rows (same salt ⇒ same subset)
-            replicated.filter(col("mix_epoch") < fullEpochs ||
-              Sampling.hexBucket(col(keyCol), salt) <
-                lit(Sampling.hexThreshold(frac)))
-          else replicated)
+            // exactly deterministicSample's rows (same salt ⇒ same subset).
+            // The hash is computed BEFORE the explode — once per source row,
+            // not once per row-epoch — and rides through the Generate.
+            df.withColumn("mix_source", lit(name))
+              .withColumn("__mix_bucket", Sampling.hexBucket(col(keyCol), salt))
+              .withColumn("mix_epoch", epochs)
+              .filter(col("mix_epoch") < fullEpochs ||
+                col("__mix_bucket") < lit(Sampling.hexThreshold(frac)))
+              .drop("__mix_bucket")
+          } else
+            df.withColumn("mix_source", lit(name)).withColumn("mix_epoch", epochs))
       } else {
         val fulls = (0 until fullEpochs).map { e =>
           df.withColumn("mix_source", lit(name)).withColumn("mix_epoch", lit(e))
