@@ -85,8 +85,8 @@ object ConnectedComponents {
    *
    * Correct only when every component's diameter is covered: init reaches
    * direct neighbours and each round at least doubles the reached radius
-   * (hash-min step + pointer jump), so `rounds` handles diameter ≥ 2^rounds
-   * on chains and far more on denser components. Near-dup cluster graphs
+   * (hash-min step + pointer jump), so `rounds` handles diameters up to
+   * 2^rounds on chains and far more on denser components. Near-dup cluster graphs
    * (diameter ≤ ~3) are covered by the default with a wide margin; for
    * unknown graphs use [[components]], which detects its own fixpoint.
    *
