@@ -37,9 +37,12 @@ import org.apache.spark.sql.connect.service.SparkConnectService
  * session keeps full capability, so models re-publish while dashboards stay
  * connected. `start(readOnly = true)` fails fast if the engine session was
  * built without the extension (the claim would otherwise be unenforceable);
- * `readOnly = false` serves trusted full-capability clients. See
- * [[ReadOnlyGuard]] for the enforcement surface and its documented
- * catalog-metadata-RPC limitation.
+ * `readOnly = false` serves trusted full-capability clients. The plan-less
+ * proto surfaces (catalog-metadata RPCs, `AddArtifacts`/UDF code upload,
+ * shared-cache and streaming commands) are denied at the gRPC service layer
+ * by [[ReadOnlyInterceptor]], registered here via the service's public
+ * `spark.connect.grpc.interceptor.classes` hook — see [[ReadOnlyGuard]] for
+ * the full two-layer enforcement surface.
  *
  * Classloading: the Spark Connect *server* uber-jar (on the main classpath)
  * and the *client* uber-jar (`connect-repl/`) both define
@@ -90,11 +93,28 @@ object ConnectServe {
       }
       // sc.conf is private[spark]; SparkEnv.conf is the same live SparkConf
       // instance the Connect service reads its binding config from.
-      org.apache.spark.SparkEnv.get.conf
+      val conf = org.apache.spark.SparkEnv.get.conf
+      conf
         .set("spark.connect.grpc.binding.address", "localhost")
         .set("spark.connect.grpc.binding.port", port.toString)
-      SparkConnectService.start(spark.sparkContext)
+      // register the wire-level guard (AddArtifacts / catalog-metadata /
+      // streaming-command denial — [[ReadOnlyInterceptor]]) through the
+      // service's public interceptor hook. Registered unconditionally —
+      // it is a volatile-read pass-through unless enforcing — and appended
+      // so deployer-configured interceptors keep running ahead of it.
+      val icKey = "spark.connect.grpc.interceptor.classes"
+      val icCls = classOf[ReadOnlyInterceptor].getName
+      val ics = conf.getOption(icKey).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      if (!ics.contains(icCls)) conf.set(icKey, (ics :+ icCls).mkString(","))
+      // arm BEFORE the endpoint binds: a client that connects in the start
+      // window must never reach an analyzer (or the interceptor) unguarded —
+      // the boundary exists from the first instant the port is live
       ReadOnlyGuard.enforcing = readOnly
+      try SparkConnectService.start(spark.sparkContext)
+      catch {
+        case t: Throwable => ReadOnlyGuard.enforcing = false; throw t
+      }
       started = true
       startedPort = port
       startedReadOnly = readOnly
@@ -201,6 +221,63 @@ object ConnectServe {
       try f(conn)
       finally conn.close()
     } finally Thread.currentThread().setContextClassLoader(prevCtx)
+  }
+
+  /**
+   * Run `f` with a full client-jvm Connect session (the
+   * `org.apache.spark.sql.connect.SparkSession` from the isolated client
+   * loader, passed as `AnyRef` — the type cannot cross the classloader
+   * boundary, so callers drive it reflectively). This is the surface that
+   * can speak the catalog-metadata and artifact-upload protos the JDBC
+   * client never sends — exactly the surface [[ReadOnlyInterceptor]]
+   * guards — and the session is always `close()`d.
+   */
+  def withClientSession[T](port: Int = DefaultPort)(f: AnyRef => T): T = {
+    val prevCtx = Thread.currentThread().getContextClassLoader
+    Thread.currentThread().setContextClassLoader(clientLoader)
+    try {
+      val sessCls = clientClass("org.apache.spark.sql.connect.SparkSession")
+      val builderCls =
+        clientClass("org.apache.spark.sql.connect.SparkSession$Builder")
+      val builder = java.lang.invoke.MethodHandles.publicLookup()
+        .findStatic(sessCls, "builder",
+          java.lang.invoke.MethodType.methodType(builderCls))
+        .invoke()
+      clientCall(builder, "remote", builderCls,
+        classOf[String] -> s"sc://localhost:$port")
+      val session = clientCall(builder, "create", sessCls)
+      try f(session)
+      finally clientCall(session, "close", java.lang.Void.TYPE)
+    } finally Thread.currentThread().setContextClassLoader(prevCtx)
+  }
+
+  /** Load a class in the isolated client loader (for exact-descriptor
+    * [[clientCall]] signatures). */
+  def clientClass(name: String): Class[_] =
+    Class.forName(name, true, clientLoader)
+
+  /**
+   * Invoke one public method on an isolated-loader object via a
+   * `MethodHandle` with an EXACT descriptor. Plain `Class#getMethods`
+   * reflection is unusable here: enumerating the client API's members
+   * eagerly resolves every signature, and the client distribution
+   * deliberately lacks engine-side types (`SparkContext`, …) that some
+   * inherited members mention — single-member lookup resolves only what
+   * is called. Throws the callee's own exception un-wrapped, so tests see
+   * the server's denial message directly.
+   */
+  def clientCall(target: AnyRef, method: String, ret: Class[_],
+                 args: (Class[_], AnyRef)*): AnyRef = {
+    val mt = java.lang.invoke.MethodType
+      .methodType(ret, args.map(_._1).toArray)
+    // the runtime class may be a non-public impl subclass; resolve against
+    // the nearest public ancestor (virtual dispatch still hits the override)
+    var owner: Class[_] = target.getClass
+    while (!java.lang.reflect.Modifier.isPublic(owner.getModifiers))
+      owner = owner.getSuperclass
+    java.lang.invoke.MethodHandles.publicLookup()
+      .findVirtual(owner, method, mt)
+      .invokeWithArguments((target +: args.map(_._2)): _*)
   }
 
   /** Convenience: run one SQL statement over the wire and materialize the

@@ -43,19 +43,19 @@ class ReadOnlyViolationException(msg: String) extends SparkException(msg)
  * and drop their OWN local temp views (invisible to other sessions), but
  * global temp views — the published serving catalog — are untouchable.
  *
- * Known limitations (documented, not hidden): enforcement lives in
- * `checkAnalysis`, so it covers every plan-producing surface — SQL over
- * JDBC, client DataFrame writes (`WriteOperation` protos execute
- * server-side through `QueryExecution`), CTAS, INSERT, DDL, and streaming
- * sink statements. Two proto surfaces never build a plan and are NOT
- * intercepted: catalog METADATA RPCs (e.g. the Connect
+ * Enforcement is two-layer: this analyzer rule covers every PLAN-producing
+ * surface — SQL over JDBC, client DataFrame writes (`WriteOperation` protos
+ * execute server-side through `QueryExecution`), CTAS, INSERT, DDL,
+ * streaming sink statements — and [[ReadOnlyInterceptor]] (registered at
+ * the gRPC service layer by [[ConnectServe.start]]) covers the proto
+ * surfaces that never build a plan: catalog METADATA RPCs (the Connect
  * `spark.catalog.dropGlobalTempView` proto calls the catalog object
- * directly) and client-shipped executable code (Connect UDF / foreachBatch
- * upload runs arbitrary JVM bytecode server-side — no analyzer rule can
- * contain that). The JDBC/SQL surface served here exposes neither, and
- * localhost-only binding bounds who can speak raw protos at all; a
- * deployment serving untrusted full client-jvm sessions must additionally
- * disable artifact/UDF upload at the Connect service level.
+ * directly, during planner transformation), client code upload
+ * (`AddArtifacts`, UDF/data-source registration commands), shared-cache
+ * mutation (`Persist`/`Unpersist` analyze RPCs), and streaming
+ * start/management commands. Remaining boundary assumption (documented,
+ * not hidden): binding is localhost-only — who can reach the port at all
+ * is the host's access control, as with the reference's local DuckDB file.
  */
 object ReadOnlyGuard {
 
@@ -134,8 +134,15 @@ object ReadOnlyGuard {
       // streaming sinks are writes but not Commands: a full client-jvm
       // session can submit writeStream protos, whose WriteToStream /
       // WriteToStreamStatement wrapper reaches analysis on the client's
-      // session — fail closed on both class names
-      case w if w.getClass.getSimpleName.startsWith("WriteToStream") =>
+      // session — fail closed on the catalyst TYPES, anywhere in the tree
+      // (a future Spark that nests or renames the wrapper breaks this at
+      // compile time instead of silently passing), with the simple-name
+      // prefix kept as a net for not-yet-typed wrappers
+      case w if w.exists {
+          case _: org.apache.spark.sql.catalyst.streaming.WriteToStream => true
+          case _: org.apache.spark.sql.catalyst.streaming.WriteToStreamStatement => true
+          case o => o.getClass.getSimpleName.startsWith("WriteToStream")
+        } =>
         Some("streaming writes are not available on a read-only connection")
       case _ => None // plain queries: always allowed
     }

@@ -235,6 +235,88 @@ class ConnectServeSpec extends SparkSuite {
     }
   }
 
+  // ---------------------------------------------- wire-level proto surfaces
+  // the JDBC client only speaks SqlCommand; these drive the client-jvm
+  // session's catalog-metadata and artifact-upload protos — the surfaces
+  // ReadOnlyInterceptor closes at the gRPC service layer.
+
+  // exact-descriptor client API classes (loaded in the isolated loader);
+  // lazily resolved so suites that never wire-drive don't touch client jars
+  private lazy val dsCls =
+    ConnectServe.clientClass("org.apache.spark.sql.connect.Dataset")
+  private lazy val catCls =
+    ConnectServe.clientClass("org.apache.spark.sql.connect.Catalog")
+
+  private def call(target: AnyRef, method: String, ret: Class[_],
+                   args: (Class[_], AnyRef)*): AnyRef =
+    ConnectServe.clientCall(target, method, ret, args: _*)
+
+  test("catalog-metadata RPCs: dropGlobalTempView is denied over the wire, listTables works") {
+    ConnectServe.withClientSession() { session =>
+      val catalog = call(session, "catalog", catCls)
+      // read-only metadata keeps working (and sees the published views)
+      val tables = call(catalog, "listTables", dsCls)
+      val n = call(tables, "count", java.lang.Long.TYPE).asInstanceOf[Long]
+      assert(n >= 0)
+      // the mutation proto is rejected at the service layer
+      val thrown = intercept[Exception] {
+        call(catalog, "dropGlobalTempView", java.lang.Boolean.TYPE,
+          classOf[String] -> "dash_dq_issues")
+      }
+      assert(thrown.getMessage.contains("read-only"),
+        s"expected wire-level denial, got: ${thrown.getMessage}")
+    }
+    // the served model is untouched
+    val (_, rows) = ConnectServe.withConnection() { conn =>
+      ConnectServe.querySeq(conn,
+        "SELECT count(*) AS n FROM global_temp.dash_dq_issues")
+    }
+    assert(rows.head.head.toInt >= 0)
+  }
+
+  test("catalog cache RPCs are denied: cacheTable/clearCache can't touch the shared cache") {
+    ConnectServe.withClientSession() { session =>
+      val catalog = call(session, "catalog", catCls)
+      val cached = intercept[Exception] {
+        call(catalog, "cacheTable", java.lang.Void.TYPE,
+          classOf[String] -> "global_temp.dash_dq_issues")
+      }
+      assert(cached.getMessage.contains("read-only"))
+      val cleared = intercept[Exception] {
+        call(catalog, "clearCache", java.lang.Void.TYPE)
+      }
+      assert(cleared.getMessage.contains("read-only"))
+    }
+  }
+
+  test("artifact upload is denied over the wire; the session still queries") {
+    val jar = java.nio.file.Files.createTempFile("graft_ro_artifact", ".jar")
+    try {
+      java.nio.file.Files.write(jar, Array[Byte](0x50, 0x4b, 0x03, 0x04))
+      ConnectServe.withClientSession() { session =>
+        val thrown = intercept[Exception] {
+          call(session, "addArtifact", java.lang.Void.TYPE,
+            classOf[String] -> jar.toString)
+        }
+        assert(thrown.getMessage.contains("read-only"),
+          s"expected AddArtifacts denial, got: ${thrown.getMessage}")
+        // the same session keeps serving queries after the denial
+        val df = call(session, "sql", dsCls, classOf[String] -> "SELECT 41 + 1 AS x")
+        val rows = call(df, "collect", classOf[Object]).asInstanceOf[Array[_]]
+        assert(rows.length == 1 && rows.head.toString.contains("42"))
+      }
+    } finally java.nio.file.Files.deleteIfExists(jar)
+  }
+
+  test("client persist is denied: the shared cache manager is not client-mutable") {
+    ConnectServe.withClientSession() { session =>
+      val df = call(session, "sql", dsCls,
+        classOf[String] -> "SELECT * FROM global_temp.dash_events_by_status")
+      val thrown = intercept[Exception] { call(df, "cache", dsCls) }
+      assert(thrown.getMessage.contains("read-only"))
+    }
+  }
+
   test("re-publish churn under concurrent clients: every read sees a complete version") {
     // the deployed steady state: the hourly engine run re-publishes models
     // WHILE several dashboards poll. Each client read must resolve one
