@@ -449,18 +449,24 @@ object LlmOpQueries {
     })
 
   /** Streaming-dedup state evolution, replayed deterministically
-    * (oracle-checked): three batches run through the REAL
+    * (oracle-checked): four batches run through the REAL
     * `StreamingDedup.processBatch` body — batch 1 near-dups the bootstrap
     * corpus, batch 2 near-dups BATCH 1 (its pairs exist only because the
     * band index grew between batches — the incremental-state property
-    * itself), batch 3 is an unrelated slice. The oracle is the exact
-    * cross join of each batch against corpus ∪ all EARLIER batches at
-    * Jaccard ≥ 0.7, so hash-equality certifies both full cross-pair recall
-    * and that the index evolved exactly once per batch (a stale index
-    * loses batch-2 rows; a prematurely-grown one adds intra-batch rows).
-    * Memoized: the replay writes real corpus/index/pairs tables to a
-    * session temp dir once (the at-least-once append contract under test
-    * is the production one). */
+    * itself), batch 3 is an unrelated slice, batch 4 RE-DELIVERS batch 1
+    * verbatim (same ids, same text — the at-least-once source shape)
+    * alongside brand-new exact twins of those texts. The oracle is exact:
+    * each batch crossed against corpus ∪ all EARLIER batches at
+    * Jaccard ≥ 0.7 — excluding corpus-side ids present in the probing
+    * batch, mirroring the operator's re-delivery guard, which batch 4
+    * makes NON-vacuous — plus each batch's intra-batch pairs in canonical
+    * (min_id, max_id) orientation. Hash-equality therefore certifies full
+    * cross-pair recall, the once-per-batch index evolution, the guard's
+    * exclusion set, and the intra-batch pass that records edges the guard
+    * deliberately withholds from cross pairs (batch 4's re-delivered docs
+    * vs their new twins). Memoized: the replay writes real
+    * corpus/index/pairs tables to a session temp dir once (the
+    * at-least-once append contract under test is the production one). */
   def dedupStreamingReplay(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "__q_stream_replay"), {
       val d = docs(s, dir)
@@ -481,7 +487,14 @@ object LlmOpQueries {
           .select((col("doc_id") + 20000000L).as("doc_id"),
             concat(col("text"), lit(" extraword extrabatch")).as("text")),
         d.filter(col("doc_id") % 10 === 5 && col("doc_id") < 1000)
-          .select((col("doc_id") + 30000000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + 30000000L).as("doc_id"), col("text")),
+        d.filter(col("doc_id") % 10 === 0 && col("doc_id") < 1000)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" extraword")).as("text"))
+          .unionByName(
+            d.filter(col("doc_id") % 10 === 0 && col("doc_id") < 1000)
+              .select((col("doc_id") + 40000000L).as("doc_id"),
+                concat(col("text"), lit(" extraword")).as("text"))))
       batches.foreach { b =>
         graft.streaming.StreamingDedup.processBatch(s, b,
           s"$root/corpus", s"$root/index", s"$root/pairs",

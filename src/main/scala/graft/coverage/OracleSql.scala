@@ -1072,8 +1072,12 @@ object OracleSql {
         |ORDER BY tk.doc_id""".stripMargin,
 
     // Streaming-dedup replay ground truth: each batch crossed against the
-    // corpus plus every EARLIER batch only (batch 3 shares nothing planted;
-    // any natural near-dups it has are in the truth too). Certifies the
+    // corpus plus every EARLIER batch — minus corpus-side ids present in
+    // the probing batch (the operator's re-delivery guard; batch 4
+    // re-delivers batch 1's rows, making the NOT-IN non-vacuous; doc_ids
+    // are non-null so NOT IN is safe) — plus every batch's INTRA-batch
+    // pairs in (min_id, max_id) orientation (batch 3 shares nothing
+    // planted; any natural near-dups are in the truth too). Certifies the
     // foreachBatch state evolution — see LlmOpQueries.dedupStreamingReplay.
     "dedup_streaming_replay" ->
       s"""WITH c0 AS (
@@ -1090,10 +1094,18 @@ object OracleSql {
          |b3 AS (
          |  SELECT doc_id + 30000000 AS doc_id, text, 3 AS batch
          |  FROM documents WHERE doc_id % 10 = 5 AND doc_id < 1000),
+         |b4 AS (
+         |  SELECT doc_id + 10000000 AS doc_id, text || ' extraword' AS text,
+         |         4 AS batch
+         |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 1000
+         |  UNION ALL
+         |  SELECT doc_id + 40000000 AS doc_id, text || ' extraword' AS text,
+         |         4 AS batch
+         |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 1000),
          |news AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2
-         |         UNION ALL SELECT * FROM b3),
+         |         UNION ALL SELECT * FROM b3 UNION ALL SELECT * FROM b4),
          |olds AS (SELECT * FROM c0 UNION ALL SELECT * FROM b1
-         |         UNION ALL SELECT * FROM b2),
+         |         UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3),
          |shn AS (SELECT doc_id, batch, ${shingleSql("toks")} AS sh FROM (
          |  SELECT doc_id, batch,
          |         string_split_regex(trim(lower(text)), '\\s+') AS toks
@@ -1102,11 +1114,21 @@ object OracleSql {
          |  SELECT doc_id, batch,
          |         string_split_regex(trim(lower(text)), '\\s+') AS toks
          |  FROM olds)),
-         |pairs AS (SELECT n.doc_id AS new_id, o.doc_id AS corpus_id,
+         |pairs AS (
+         |  SELECT n.doc_id AS new_id, o.doc_id AS corpus_id,
          |       CASE WHEN len(list_distinct(list_concat(n.sh, o.sh))) = 0 THEN 0.0
          |            ELSE CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
          |                 / len(list_distinct(list_concat(n.sh, o.sh))) END AS jaccard
-         |FROM shn n JOIN sho o ON o.batch < n.batch)
+         |  FROM shn n JOIN sho o ON o.batch < n.batch
+         |  WHERE o.doc_id NOT IN (
+         |    SELECT n2.doc_id FROM news n2 WHERE n2.batch = n.batch)
+         |  UNION ALL
+         |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+         |       CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |            ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |                 / len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard
+         |  FROM shn a JOIN shn b
+         |    ON a.batch = b.batch AND a.doc_id < b.doc_id)
          |SELECT new_id, corpus_id, jaccard FROM pairs WHERE jaccard >= 0.7
          |ORDER BY new_id, corpus_id""".stripMargin,
 

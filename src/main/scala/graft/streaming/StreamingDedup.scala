@@ -10,9 +10,15 @@ import graft.operators.Dedup
  * continuous version of [[graft.operators.Dedup.incrementalNearDupPairs]]:
  * documents arrive on a stream; each micro-batch is MinHash-banded and
  * joined against the corpus's persisted band index; matched (new, corpus)
- * pairs append to a parquet sink; the batch's own band rows are then
- * appended to the index, so batch N+1 dedups against batch N without the
- * corpus ever being re-sketched.
+ * pairs — plus the batch's own INTRA-batch near-dup pairs, in canonical
+ * (min_id, max_id) orientation — append to a parquet sink; the batch's own
+ * band rows are then appended to the index, so batch N+1 dedups against
+ * batch N without the corpus ever being re-sketched. The intra-batch pass
+ * is what records a near-dup edge between a new document and an
+ * already-committed document that happens to be RE-DELIVERED in the same
+ * batch: the incremental operator's re-delivery guard (below) excludes
+ * every in-batch corpus id from cross pairs, so that edge is the batch's
+ * own to report.
  *
  * State lives in TABLES, not executor memory: the band index is a parquet
  * (at scale: bucketed by (band, band_hash) — [[graft.layout.TableLayout]])
@@ -83,9 +89,23 @@ object StreamingDedup {
         // appends by the caller; here the corpus table is read as-is.
         val corpus = spark.read.parquet(corpusPath)
         val index = spark.read.parquet(indexPath)
-        Dedup.incrementalNearDupPairs(corpus, b, idCol, textCol,
-            threshold, numHashes, bands, corpusBands = Some(index))
-          .write.mode("append").parquet(pairsPath)
+        val cross = Dedup.incrementalNearDupPairs(corpus, b, idCol, textCol,
+          threshold, numHashes, bands, corpusBands = Some(index))
+        // INTRA-batch near-dups are the batch's own job (the incremental
+        // operator's batch-id anti-join deliberately never emits a pair
+        // whose corpus side is in the current batch — re-delivered state is
+        // not a batch-vs-corpus duplicate). Without this, a near-dup edge
+        // between a NEW doc and an already-committed doc RE-DELIVERED in the
+        // same batch would be recorded nowhere. nearDuplicatePairs emits the
+        // canonical (min_id, max_id) orientation and is a pure function of
+        // batch content, so replays re-append identical rows — the same
+        // dropDuplicates repair as every other sink here. One append total:
+        // cross and intra pairs land atomically-together per batch.
+        val intra = Dedup.nearDuplicatePairs(b, idCol, textCol,
+            threshold, numHashes, bands)
+          .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
+            col("jaccard"))
+        cross.unionByName(intra).write.mode("append").parquet(pairsPath)
         // grow the index with this batch's bands so later batches see it;
         // the batch's text must also be appended to the corpus table for
         // verification — done here, same at-least-once contract as above.

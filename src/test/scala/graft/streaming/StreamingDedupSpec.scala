@@ -174,18 +174,23 @@ class StreamingDedupSpec extends SparkSuite {
   }
 
   test("crash replay of a batch that CONTAINS near-duplicates of itself: " +
-      "no intra-batch pairs leak, true cross pairs survive") {
+      "the intra-batch pair is reported ONCE in canonical orientation, " +
+      "never as a replay-minted reversed cross pair") {
     // One level past the previous drive: the replayed batch holds two
-    // near-identical NEW documents (301 ≈ 302). The crashed first attempt
-    // appended 302's band rows to the index and 302's text to the corpus, so
-    // on replay 301 collides with 302 (id-UNEQUAL — the id-equal guard alone
-    // cannot help) and verifies against 302's crashed-attempt corpus text.
-    // Without the batch-id anti-join the replay emits (301,302) and
-    // (302,301): rows a clean run never produces, that no
-    // (new_id, corpus_id) dropDuplicates can remove, and that make a
-    // downstream keep-list delete BOTH copies of the content. The batch also
-    // carries a genuine corpus near-dup (303 ≈ corpus doc 5) to pin that the
-    // guard does not over-exclude.
+    // near-identical NEW documents (301 ≈ 302). The 301–302 edge is real
+    // and must reach the pairs sink — as the intra-batch pass's canonical
+    // (301, 302) row, a pure function of batch content that replays
+    // idempotently. What must NOT happen: the crashed first attempt
+    // appended 302's band rows to the index and 302's text to the corpus,
+    // so on replay 301 collides with 302 (id-UNEQUAL — the id-equal guard
+    // alone cannot help) and would verify against 302's crashed-attempt
+    // corpus text; without the batch-id anti-join the replay ALSO emits the
+    // reversed (302, 301) as a batch-vs-corpus pair — a row a clean run
+    // never produces, that no (new_id, corpus_id) dropDuplicates can
+    // remove, and that makes a downstream keep-min-id list delete BOTH
+    // copies of the content. The batch also carries a genuine corpus
+    // near-dup (303 ≈ corpus doc 5) to pin that the guard does not
+    // over-exclude.
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
     val s = spark
@@ -227,15 +232,18 @@ class StreamingDedupSpec extends SparkSuite {
     q.awaitTermination(120000)
 
     val pairs = spark.read.parquet(pairsPath)
-    // the replay emitted ONLY the original batch-vs-corpus pair rows again:
-    // no id-equal self-pairs AND no intra-batch (301,302)/(302,301) pairs
+    // the replay emitted ONLY the original batch's pair rows again: no
+    // id-equal self-pairs, and the 301–302 edge appears ONLY in the
+    // intra-batch pass's canonical orientation — the reversed (302, 301)
+    // would be the replayed index showing through as a fake cross pair
     assert(pairs.filter(col("new_id") === col("corpus_id")).count() === 0)
-    assert(pairs.filter(col("corpus_id") >= 300L).count() === 0,
-      "intra-batch pairs leaked through the replayed index")
-    // the documented repair restores exactly the clean-run result
+    assert(pairs.filter(col("new_id") === 302L).count() === 0,
+      "replay minted a reversed intra-batch pair as a cross pair")
+    // the documented repair restores exactly the clean-run result: the
+    // corpus cross pair AND the intra-batch edge, once each
     assert(pairs.dropDuplicates("new_id", "corpus_id")
       .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
-      === Set((303L, 5L)))
+      === Set((301L, 302L), (303L, 5L)))
     // and a LATER batch still pairs against this batch's docs through the
     // grown index — the anti-join excludes only the CURRENT batch's ids
     land(Seq(doc(401L, baseText(900L) + " alpha gamma")), s"$landing/b2.parquet")
@@ -250,6 +258,46 @@ class StreamingDedupSpec extends SparkSuite {
       .select("corpus_id").as[Long].collect().toSet
     assert(later.contains(301L) || later.contains(302L),
       "batch N+1 must still near-dup against batch N's documents")
+  }
+
+  test("a committed corpus doc RE-DELIVERED alongside a new near-dup of it: " +
+      "the edge is recorded as the batch's intra pair, not lost to the guard") {
+    // The recall hole the intra-batch pass closes: corpus doc 5 is already
+    // committed; the at-least-once source re-delivers it (same id, same
+    // text) in the same batch as NEW doc 601 ≈ doc 5. The incremental
+    // operator's re-delivery guard excludes every in-batch corpus id from
+    // cross pairs — correct for replay hygiene, but it would suppress the
+    // genuine 5–601 edge entirely if the batch didn't report its own
+    // intra-batch pairs. Expected: the edge lands exactly once, as the
+    // canonical (5, 601) intra pair.
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-sdedup-redeliver").toString
+    val corpusPath = s"$tmp/corpus"; val indexPath = s"$tmp/index"
+    val pairsPath = s"$tmp/pairs"; val ckpt = s"$tmp/ckpt"
+    val landing = s"$tmp/landing"
+
+    val corpus = (0L until 20L).map(i => doc(i, baseText(i))).toDF("id", "text")
+    corpus.write.parquet(corpusPath)
+    Dedup.bandIndex(corpus, "id", "text", numHashes = 32, bands = 8)
+      .write.parquet(indexPath)
+
+    land(Seq(
+      doc(5L, baseText(5L)),                // committed doc, re-delivered
+      doc(601L, baseText(5L) + " extra"),   // NEW near-dup of it
+      doc(602L, baseText(901L))),           // unrelated new doc
+      s"$landing/b1.parquet")
+    val q = StreamingDedup.start(spark,
+      spark.readStream.schema("id LONG, text STRING").parquet(landing),
+      corpusPath, indexPath, pairsPath, ckpt, "id", "text",
+      threshold = 0.7, numHashes = 32, bands = 8)
+    q.awaitTermination(120000)
+
+    val pairs = spark.read.parquet(pairsPath)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((5L, 601L)),
+      "the re-delivered-doc edge must surface exactly once, as the " +
+        s"canonical intra-batch pair; got $pairs")
   }
 
   test("PARTIAL-append crashes (between the three sinks) repair to the clean state") {
@@ -281,11 +329,16 @@ class StreamingDedupSpec extends SparkSuite {
         .write.parquet(indexPath)
       land(batchDocs, s"$landing/b1.parquet")
 
-      // the crashed first attempt: processBatch's appends, truncated
+      // the crashed first attempt: processBatch's appends, truncated — the
+      // pairs sink gets cross∪intra in one append, exactly as processBatch
+      // writes it
       val b = batchDocs.toDF("id", "text")
       Dedup.incrementalNearDupPairs(spark.read.parquet(corpusPath), b,
           "id", "text", 0.7, 32, 8,
           corpusBands = Some(spark.read.parquet(indexPath)))
+        .unionByName(Dedup.nearDuplicatePairs(b, "id", "text", 0.7, 32, 8)
+          .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
+            col("jaccard")))
         .write.mode("append").parquet(pairsPath)
       if (crashedSinks >= 2)
         Dedup.bandIndex(b, "id", "text", 32, 8)
@@ -302,11 +355,12 @@ class StreamingDedupSpec extends SparkSuite {
       val pairs = spark.read.parquet(pairsPath)
       assert(pairs.filter(col("new_id") === col("corpus_id")).count() === 0,
         s"[$label] id-equal self-pairs leaked")
-      assert(pairs.filter(col("corpus_id") >= 500L).count() === 0,
-        s"[$label] intra-batch pairs leaked")
+      assert(pairs.filter(col("new_id") === 502L).count() === 0,
+        s"[$label] replay minted a reversed intra-batch pair as a cross pair")
       assert(pairs.dropDuplicates("new_id", "corpus_id")
         .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
-        === Set((503L, 5L)), s"[$label] repaired pairs != clean-run pairs")
+        === Set((501L, 502L), (503L, 5L)),
+        s"[$label] repaired pairs != clean-run pairs")
       // corpus text landed exactly once in both scenarios; the index repairs
       // by its documented (id, band) key
       assert(spark.read.parquet(corpusPath).dropDuplicates("id").count() === 23,
