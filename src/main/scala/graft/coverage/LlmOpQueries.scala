@@ -1203,6 +1203,33 @@ object LlmOpQueries {
     * fixture ground truth as a literal VALUES table, and the driver's
     * hash-compare certifies the decode pipeline end-to-end (a parser
     * regression changes counts/dims and flips the hash). */
+  /** ImageIO decode facts over the COMPRESSED image formats (PNG / JPEG /
+    * GIF / animated GIF) plus three undecodable payloads (truncated PNG,
+    * garbage, empty). Every good payload is generated from a pixel FORMULA,
+    * so the oracle is a literal VALUES table computed from the formula
+    * alone — equality certifies the JDK-codec decode path end-to-end:
+    * pixel-exact sums for the lossless formats, true geometry for JPEG
+    * (sums deliberately NULL — IDCT output would pin a codec
+    * implementation, not the data), real frame counts for animation, and
+    * the fail-soft ok=false contract for corrupt blobs. */
+  def mmDecodeImageio(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(900101L, "image", Multimodal.pngBytes(40, 20), "builtin://png/40x20"),
+      Row(900102L, "image", Multimodal.jpegBytes(32, 16), "builtin://jpeg/32x16"),
+      Row(900103L, "image", Multimodal.gifBytes(24, 10), "builtin://gif/24x10"),
+      Row(900104L, "image", Multimodal.gifAnimatedBytes(20, 8, 3),
+        "builtin://agif/20x8x3"),
+      Row(900105L, "image", Multimodal.pngBytes(40, 20).take(24),
+        "builtin://png/truncated"),
+      Row(900106L, "image", Array.fill[Byte](16)(0xDE.toByte),
+        "builtin://garbage"),
+      Row(900107L, "image", Array.emptyByteArray, "builtin://empty"))
+    val media = s.createDataFrame(
+      s.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    Multimodal.decodeImageFacts(media).orderBy("media_id")
+  }
+
   def mmDecodeFeaturize(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAndFeaturize(
         Multimodal.syntheticMedia(s, 999)

@@ -1287,6 +1287,35 @@ object OracleSql {
         |  AS t(media_type, n, max_width, max_frames)
         |ORDER BY media_type""".stripMargin,
 
+    // Formula ground truth for the ImageIO (PNG/JPEG/GIF) decode pipeline:
+    // every good payload is generated from a pixel formula (PNG/GIF:
+    // r=(7x+3y)%256 RGB / 16-level gray), so the expected facts are
+    // computable WITHOUT any codec: per-channel first-frame pixel sums for
+    // the lossless formats, geometry-only for JPEG (sums NULL — lossy),
+    // frames=3 for the animated GIF, and all-zero ok=false rows for the
+    // three undecodable payloads. A codec regression (wrong frame, palette
+    // drift, non-fail-soft corrupt handling) flips the hash.
+    "mm_decode_imageio" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, ok,
+        |       CAST(width AS INTEGER) AS width,
+        |       CAST(height AS INTEGER) AS height,
+        |       CAST(n_frames AS INTEGER) AS n_frames,
+        |       CAST(channels AS INTEGER) AS channels,
+        |       CAST(sum_r AS BIGINT) AS sum_r,
+        |       CAST(sum_g AS BIGINT) AS sum_g,
+        |       CAST(sum_b AS BIGINT) AS sum_b
+        |FROM (VALUES
+        |  (900101, true,  40, 20, 1, 3, 95904, 104512, 102112),
+        |  (900102, true,  32, 16, 1, 3, NULL,  NULL,   NULL),
+        |  (900103, true,  24, 10, 1, 3, 30736, 30736,  30736),
+        |  (900104, true,  20,  8, 3, 3, 20400, 20400,  20400),
+        |  (900105, false,  0,  0, 0, 0, NULL,  NULL,   NULL),
+        |  (900106, false,  0,  0, 0, 0, NULL,  NULL,   NULL),
+        |  (900107, false,  0,  0, 0, 0, NULL,  NULL,   NULL))
+        |  AS t(media_id, ok, width, height, n_frames, channels,
+        |       sum_r, sum_g, sum_b)
+        |ORDER BY media_id""".stripMargin,
+
     // Replays FilterCascade.gopherRecipe: every metric (token count,
     // stopword ratio, dup-2-gram fraction, marker-vote language) plus the
     // ordered CASE chain with the operator's default thresholds. Stopword

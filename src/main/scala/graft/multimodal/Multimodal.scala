@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
  * stages.
  *
  * The Spark-side plumbing (schema, partitioning, batch shape) is real, and so
- * is the decode for the container-friendly formats: BMP, binary PPM (P6) and
- * RIFF/WAV headers are parsed in pure JVM code ([[decode]] — no external
- * codec library). Compressed formats (JPEG/PNG/MP3-class) stay behind the
- * clearly-marked [[decodeStub]] fallback — this container has no image/audio
- * libraries; swapping in a real codec there is a one-function change (the
+ * is the decode: BMP, binary PPM (P6) and RIFF/WAV headers are parsed in
+ * pure JVM code, and the COMPRESSED image formats — PNG, JPEG, GIF
+ * (including animated) — decode through the JDK's own `javax.imageio`
+ * codecs ([[decodeImage]]): headless-safe, in every standard JDK, zero
+ * external dependencies. Only compressed AUDIO/VIDEO (MP3/H.264-class)
+ * stays behind the clearly-marked [[decodeStub]] fallback — the JDK ships
+ * no such codecs; swapping in a real one is a one-function change (the
  * mapPartitions batch loop is codec-agnostic).
  *
  * Scale design:
@@ -65,9 +67,11 @@ object Multimodal {
 
   /**
    * Real decode, pure JVM: sniffs the payload's magic bytes and parses BMP /
-   * binary PPM (P6) / RIFF-WAV headers directly; anything else falls back to
-   * [[decodeStub]]. Returns (width, height, n_frames, duration_ms) — audio
-   * reports (0, 0, sample_frames, ms).
+   * binary PPM (P6) / RIFF-WAV headers directly, and routes PNG / JPEG / GIF
+   * through the JDK's own `javax.imageio` codecs ([[decodeImage]] — ships in
+   * every standard JDK, zero external dependencies); anything else falls
+   * back to [[decodeStub]]. Returns (width, height, n_frames, duration_ms) —
+   * audio reports (0, 0, sample_frames, ms).
    */
   def decode(mediaType: String, content: Array[Byte]): (Int, Int, Int, Long) = {
     if (content == null || content.length < 2) (0, 0, 0, 0L)
@@ -77,7 +81,94 @@ object Multimodal {
       content(0) == 'R' && content(1) == 'I' && content(2) == 'F' && content(3) == 'F' &&
       content(8) == 'W' && content(9) == 'A' && content(10) == 'V' && content(11) == 'E')
       decodeWav(content)
+    else if (isPng(content) || isJpeg(content) || isGif(content)) {
+      // header-level pass (no pixel work) — the hot decodeAndFeaturize path
+      // only needs geometry; decodeImage(fullDecode = true) is the
+      // pixel-accurate variant
+      val info = decodeImage(content, fullDecode = false)
+      if (info.ok) (info.width, info.height, info.nFrames, 0L)
+      else (0, 0, 0, 0L)
+    }
     else decodeStub(mediaType, content)
+  }
+
+  private[multimodal] def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && (b(4) & 0xFF) == 0x0D && (b(5) & 0xFF) == 0x0A
+
+  private[multimodal] def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
+      (b(2) & 0xFF) == 0xFF
+
+  private[multimodal] def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  /** Decoded-image facts: `ok = false` means the payload failed to decode
+    * (corrupt, truncated, or no codec) and every other field is zero/None —
+    * the fail-soft contract a 100 TB crawl corpus needs (bad blobs are data,
+    * not exceptions). Pixel sums are per-channel totals over the FIRST
+    * frame, populated for lossless formats only (`None` for JPEG: IDCT
+    * output is codec-implementation-defined, so asserting it would pin a
+    * library, not the data). */
+  final case class ImageInfo(ok: Boolean, width: Int, height: Int,
+                             nFrames: Int, channels: Int,
+                             sumR: Option[Long], sumG: Option[Long],
+                             sumB: Option[Long])
+
+  private val badImage = ImageInfo(ok = false, 0, 0, 0, 0, None, None, None)
+
+  /**
+   * PNG / JPEG / GIF decode via the JDK's `javax.imageio` (headless-safe,
+   * no external codec library). `fullDecode = true` decodes the first
+   * frame's pixels (corrupt payloads fail here → `badImage`) and sums each
+   * channel; `false` reads geometry from the header only. Frame count uses
+   * the reader's full scan (`getNumImages(true)`) so animated GIFs report
+   * their real length.
+   */
+  def decodeImage(content: Array[Byte],
+                  fullDecode: Boolean = true): ImageInfo = {
+    if (content == null || content.length < 8) return badImage
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return badImage
+        val reader = readers.next()
+        reader.setInput(iis, false, true)
+        try {
+          val frames =
+            try reader.getNumImages(true)
+            catch { case scala.util.control.NonFatal(_) => 1 }
+          if (!fullDecode) {
+            ImageInfo(ok = true, reader.getWidth(0), reader.getHeight(0),
+              frames, 0, None, None, None)
+          } else {
+            val img = reader.read(0) // corrupt/truncated data throws here
+            val w = img.getWidth; val h = img.getHeight
+            val ch = img.getColorModel.getNumColorComponents
+            if (isJpeg(content)) {
+              ImageInfo(ok = true, w, h, frames, ch, None, None, None)
+            } else {
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xFF
+                  sg += (p >> 8) & 0xFF
+                  sb += p & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              ImageInfo(ok = true, w, h, frames, ch, Some(sr), Some(sg), Some(sb))
+            }
+          }
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => badImage }
   }
 
   /** BMP: BITMAPINFOHEADER width/height (int32 LE at offsets 18/22; height
@@ -188,6 +279,107 @@ object Multimodal {
     val header = s"P6\n# graft sample\n$w $h\n255\n"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     header ++ Array.tabulate[Byte](w * h * 3)(i => (i % 256).toByte)
+  }
+
+  /** Deterministic RGB test image: r=(7x+3y)%256, g=(5x+11y)%256,
+    * b=(13x+17y)%256 — pixel sums are computable from the formula alone,
+    * independent of any codec (the oracle's ground truth). */
+  private def formulaRgbImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        (((x * 7 + y * 3) % 256) << 16) |
+        (((x * 5 + y * 11) % 256) << 8) |
+        ((x * 13 + y * 17) % 256))
+    img
+  }
+
+  /** Deterministic 16-level GRAY test image (offset shifts the pattern per
+    * animation frame): 16 distinct colors fit any GIF palette exactly, so
+    * the indexed round-trip is lossless and the formula stays ground truth. */
+  private def formulaGrayImage(w: Int, h: Int,
+                               offset: Int = 0): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((x * 7 + y * 13 + offset) % 16) * 17
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def imageBytes(img: java.awt.image.BufferedImage,
+                         format: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, baos),
+      s"JDK ImageIO has no $format writer")
+    baos.toByteArray
+  }
+
+  /** A real PNG (JDK ImageIO writer, formula pixels — lossless). */
+  def pngBytes(w: Int, h: Int): Array[Byte] =
+    imageBytes(formulaRgbImage(w, h), "png")
+
+  /** A real baseline JPEG (JDK ImageIO writer — lossy; geometry ground
+    * truth only). */
+  def jpegBytes(w: Int, h: Int): Array[Byte] =
+    imageBytes(formulaRgbImage(w, h), "jpg")
+
+  /** A real single-frame GIF (16-gray formula — palette round-trip exact). */
+  def gifBytes(w: Int, h: Int): Array[Byte] =
+    imageBytes(formulaGrayImage(w, h), "gif")
+
+  /** A real ANIMATED GIF via the JDK writer's sequence API: `frames` frames
+    * of the 16-gray formula, frame k shifted by k (frame 0 = [[gifBytes]]'
+    * pattern — the first-frame pixel ground truth). */
+  def gifAnimatedBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until frames)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(formulaGrayImage(w, h, offset = f),
+            null, null), null)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** Output schema of [[decodeImageFacts]]. */
+  val imageFactsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /**
+   * Full-decode pass for ImageIO-backed media (PNG/JPEG/GIF): one narrow
+   * mapPartitions over (media_id, content) — blobs never shuffle —
+   * producing per-image facts per [[ImageInfo]]'s contract (fail-soft
+   * `ok = false` rows for undecodable payloads, first-frame channel sums
+   * for lossless formats).
+   */
+  def decodeImageFacts(media: DataFrame): DataFrame = {
+    val outEncoder = org.apache.spark.sql.Encoders.row(imageFactsSchema)
+    media.select("media_id", "content")
+      .mapPartitions { it =>
+        it.map { r =>
+          val info = decodeImage(r.getAs[Array[Byte]](1), fullDecode = true)
+          Row(r.getLong(0), info.ok, info.width, info.height, info.nFrames,
+            info.channels, info.sumR.map(Long.box).orNull,
+            info.sumG.map(Long.box).orNull, info.sumB.map(Long.box).orNull)
+        }
+      }(outEncoder)
+      .toDF()
   }
 
   /** A real RIFF/WAV: 16-bit mono PCM, `nSamples` frames at `sampleRate`. */

@@ -63,6 +63,74 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decode("audio", riffOnly) == ((0, 0, 0, 0L)))
   }
 
+  // ------------------------------------------------- ImageIO (PNG/JPEG/GIF)
+
+  test("PNG round-trip: dimensions, channels, and FORMULA pixel sums (codec-independent ground truth)") {
+    val info = Multimodal.decodeImage(Multimodal.pngBytes(40, 20))
+    assert(info.ok)
+    assert((info.width, info.height, info.nFrames, info.channels) == ((40, 20, 1, 3)))
+    // sums derived from the generator formula alone (r=(7x+3y)%256, …) —
+    // equality proves the write+decode path is pixel-exact, not just shaped
+    assert((info.sumR, info.sumG, info.sumB) ==
+      ((Some(95904L), Some(104512L), Some(102112L))))
+  }
+
+  test("JPEG decodes to true geometry; pixel sums deliberately absent (lossy)") {
+    val info = Multimodal.decodeImage(Multimodal.jpegBytes(32, 16))
+    assert(info.ok)
+    assert((info.width, info.height, info.nFrames, info.channels) == ((32, 16, 1, 3)))
+    assert(info.sumR.isEmpty && info.sumG.isEmpty && info.sumB.isEmpty)
+  }
+
+  test("GIF: 16-level palette round-trips pixel-exact; animated GIF reports real frame count") {
+    val gif = Multimodal.decodeImage(Multimodal.gifBytes(24, 10))
+    assert(gif.ok)
+    assert((gif.width, gif.height, gif.nFrames) == ((24, 10, 1)))
+    assert((gif.sumR, gif.sumG, gif.sumB) ==
+      ((Some(30736L), Some(30736L), Some(30736L))))
+    val anim = Multimodal.decodeImage(Multimodal.gifAnimatedBytes(20, 8, 3))
+    assert(anim.ok)
+    assert((anim.width, anim.height, anim.nFrames) == ((20, 8, 3)))
+    // first-frame sums = offset-0 formula
+    assert(anim.sumR == Some(20400L))
+  }
+
+  test("corrupt/truncated image payloads fail SOFT: ok=false zeros, never an exception") {
+    // truncated mid-IHDR: the PNG magic sniffs, the decode fails
+    assert(!Multimodal.decodeImage(Multimodal.pngBytes(40, 20).take(24)).ok)
+    // truncated mid-pixel-data
+    val png = Multimodal.pngBytes(40, 20)
+    assert(!Multimodal.decodeImage(png.take(png.length / 2)).ok)
+    // garbage, empty, null
+    assert(!Multimodal.decodeImage(Array.fill[Byte](16)(0xDE.toByte)).ok)
+    assert(!Multimodal.decodeImage(Array.emptyByteArray).ok)
+    assert(!Multimodal.decodeImage(null).ok)
+    // a corrupt payload decodes to all-zero facts, not partial ones
+    val bad = Multimodal.decodeImage(png.take(24))
+    assert((bad.width, bad.height, bad.nFrames, bad.channels) == ((0, 0, 0, 0)))
+    assert(bad.sumR.isEmpty)
+  }
+
+  test("decode() sniffs PNG/JPEG/GIF magics into the ImageIO path") {
+    assert(Multimodal.decode("image", Multimodal.pngBytes(40, 20)) == ((40, 20, 1, 0L)))
+    assert(Multimodal.decode("image", Multimodal.jpegBytes(32, 16)) == ((32, 16, 1, 0L)))
+    assert(Multimodal.decode("image", Multimodal.gifAnimatedBytes(20, 8, 3)) == ((20, 8, 3, 0L)))
+  }
+
+  test("decodeImageFacts: the mapPartitions pass carries fail-soft rows and sums end-to-end") {
+    val s = spark
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "image", Multimodal.pngBytes(40, 20), "png"),
+      org.apache.spark.sql.Row(2L, "image", Array.fill[Byte](16)(0x7F.toByte), "junk"))
+    val df = s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+      Multimodal.mediaSchema)
+    val facts = Multimodal.decodeImageFacts(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(facts(1L).getBoolean(1) && facts(1L).getInt(2) == 40)
+    assert(facts(1L).getLong(6) == 95904L)
+    assert(!facts(2L).getBoolean(1) && facts(2L).isNullAt(6))
+  }
+
   test("frame sampling yields stride-spaced indices only for videos") {
     val f = Multimodal.decodeAndFeaturize(media)
     val frames = Multimodal.sampleFrames(f, stride = 24)
