@@ -97,6 +97,12 @@ object Mixing {
     val mixed = mixCorpora(sources, keyCol, scanOnce)
       .withColumn("__mix_key",
         concat_ws(":", col("mix_source"), col("mix_epoch"), col(keyCol)))
+    // Window form deliberately: the r10 A/B measured the one-exchange
+    // shuffledLocalRank variant ~10% SLOWER here (isolated min 0.56 vs
+    // 0.50 s, twice, same windows) — an in-plan consumer saves no exchange
+    // (the ranking exchange exists either way) and pays the local-rank
+    // pass's row ser/de outside codegen. writeShuffled, whose second
+    // exchange the fused form genuinely deletes, uses shuffledLocalRank.
     Shuffling.shuffled(mixed, "__mix_key", seed, nShards).drop("__mix_key")
   }
 }

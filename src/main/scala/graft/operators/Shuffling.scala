@@ -58,16 +58,72 @@ object Shuffling {
   }
 
   /**
+   * [[shuffled]]'s output from ONE exchange: hash-repartition on `shard`
+   * (width `nShards` — the write layout), sort partition-locally by
+   * (shard, hash, key), then rank each shard with a running counter in a
+   * single narrow pass. Row-for-row identical to [[shuffled]]
+   * (ShufflingSpec pins parity): hash partitioning puts a shard's rows in
+   * exactly one partition, and the partition-local sort is the same total
+   * order the Window version ranks in. What it buys: the Window operator's
+   * separate `Exchange(hashpartitioning(shard))` disappears, so a consumer
+   * that wants shard-partitioned output ([[writeShuffled]]) pays ONE
+   * wide exchange for mix+rank+layout instead of two. What it costs: the
+   * ranking pass is a `mapPartitions` outside whole-stage codegen — per-row
+   * ser/de where the Window version stays in Tungsten. Net is workload-
+   * dependent; [[writeShuffled]] always wins (an exchange of the full
+   * corpus is orders beyond row codec cost at 100 TB), while for an
+   * in-plan consumer the A/B lives in NOTES_r10.
+   */
+  def shuffledLocalRank(df: DataFrame, keyCol: String, seed: String,
+                        nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val spark = df.sparkSession
+    val n = df.schema.size
+    val sorted = df
+      .withColumn("__sk", shuffleKey(col(keyCol), seed))
+      .withColumn("shard", shardOf(col("__sk"), nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__sk"), col(keyCol))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.LongType,
+          nullable = true) :+ // matches the Window form (conv/pmod nullability)
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val outEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+    sorted.mapPartitions { it =>
+      // rows arrive sorted by (shard, __sk, key); shards never span
+      // partitions, so a running counter per shard run IS row_number
+      var curShard = Long.MinValue
+      var pos = 0L
+      it.map { r =>
+        val shard = r.getLong(n + 1) // __sk at n, shard at n + 1
+        if (shard != curShard) { curShard = shard; pos = 0L }
+        pos += 1
+        org.apache.spark.sql.Row.fromSeq(
+          (0 until n).map(r.get) :+ shard :+ pos)
+      }
+    }(outEncoder).toDF()
+  }
+
+  /**
    * Write the shuffled corpus as `nShards` shard directories, rows sorted in
-   * shuffle order inside each file: `repartition(nShards, shard)` +
-   * `sortWithinPartitions` — the exchange that the ranking already paid IS
-   * the write layout, so the sort is partition-local (no range exchange, no
-   * global barrier). Trainers stream shard k's file(s) sequentially.
+   * shuffle order inside each file, paying ONE wide exchange total:
+   * [[shuffledLocalRank]]'s hash-repartition on `shard` IS the write
+   * layout, and its partition-local (shard, pos) order IS the file order —
+   * no second `repartition`, no range exchange, no global barrier. (The
+   * Window-based form paid that exchange twice: once under the Window,
+   * once for the write layout.) Trainers stream shard k's file(s)
+   * sequentially.
    */
   def writeShuffled(df: DataFrame, keyCol: String, seed: String,
                     nShards: Int, path: String): Unit =
-    shuffled(df, keyCol, seed, nShards)
-      .repartition(nShards, col("shard"))
+    shuffledLocalRank(df, keyCol, seed, nShards)
+      // rows already stream out in (shard, pos) order; this partition-local
+      // sort re-states it declaratively so the dynamic-partition write's
+      // required ordering is provably satisfied (no planner-inserted sort
+      // with its own stability rules), and it is no exchange
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

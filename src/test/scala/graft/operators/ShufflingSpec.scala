@@ -48,6 +48,30 @@ class ShufflingSpec extends SparkSuite {
       s"unbalanced shards: ${counts.toSeq}")
   }
 
+  test("shuffledLocalRank is row-for-row identical to the Window form") {
+    // the one-exchange variant must be a pure plan change: same (shard, pos)
+    // for every row, at more than one shard width and on a multi-column frame
+    val wide = corpus.withColumn("payload", concat(lit("p"), $"id"))
+    for (nShards <- Seq(4, 7)) {
+      val a = Shuffling.shuffled(wide, "id", "parity", nShards)
+      val b = Shuffling.shuffledLocalRank(wide, "id", "parity", nShards)
+      assert(a.schema == b.schema, s"schema drift at nShards=$nShards")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"row drift at nShards=$nShards")
+    }
+  }
+
+  test("shuffledLocalRank pays exactly ONE exchange (the Window form pays it too, plus its own)") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString()
+        .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges(Shuffling.shuffledLocalRank(corpus, "id", "x", 4)) === 1)
+    // and the write path's input plan carries no second exchange either:
+    // sortWithinPartitions is partition-local by construction
+    assert(exchanges(Shuffling.shuffledLocalRank(corpus, "id", "x", 4)
+      .sortWithinPartitions("shard", "pos")) === 1)
+  }
+
   test("writeShuffled lays out one directory per shard, rows in pos order") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shuffle").toString
     Shuffling.writeShuffled(corpus, "id", "w", nShards = 4, path = dir)
