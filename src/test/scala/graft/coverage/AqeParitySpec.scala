@@ -87,7 +87,42 @@ class AqeParitySpec extends SparkSuite {
       .sorted
   }
 
-  for (name <- graft.SparkEntry.queries.keys.toSeq.sorted)
+  /** Two-tier battery (r10): the full 115-query × 3-config sweep costs
+    * ~30 loaded minutes — right once per round and on the final binary
+    * (`GRAFT_FULL_PARITY=true sbt test`), wrong for the
+    * certify-after-every-commit loop. The default tier sweeps a fixed
+    * representative subset: every family with genuine config-sensitivity
+    * risk — iterative persist/checkpoint loops (CC, BPE), manual salting
+    * next to AQE's own skew handling (skew join, salted sessionize),
+    * scalar-subquery model carriers (DSIR, LM), foreachBatch replay state,
+    * persisted index tables (IVF), partition-width-sensitive hash sharding
+    * (shuffle/mix), mapPartitions codecs (ImageIO), sketch aggregates
+    * (HLL), bounded-sort fusion (top-k), positional census (span report),
+    * and the broadcast anti-join (incremental dedup). Plain projections /
+    * joins / aggregates ride only the full tier: their plans carry no
+    * partition-local state to diverge. */
+  private val fastTier: Set[String] = Set(
+    "dedup_minhash_verified", "dedup_cluster_assign", "dedup_incremental",
+    "dedup_streaming_replay", "dedup_span_report",
+    "j_skew_salted", "j_asof_join", "j_range_join", "w_sessionize_salted",
+    "samp_shuffle_shards", "samp_mix_weighted",
+    "t_dsir_select", "t_lm_perplexity", "t_bpe_merges",
+    "sim_ivf_indexed", "mm_decode_imageio",
+    "a8_hll_union_rollup", "o3_top_k")
+
+  private val fullSweep = sys.env.get("GRAFT_FULL_PARITY").contains("true")
+
+  test("tier notice: which parity tier is running") {
+    val names = graft.SparkEntry.queries.keys.toSet
+    val missing = fastTier.diff(names)
+    assert(missing.isEmpty, s"fast-tier names not in the driver map: $missing")
+    info(if (fullSweep) s"FULL parity sweep: ${names.size} queries × 3 configs"
+    else s"fast parity tier: ${fastTier.size} of ${names.size} queries — " +
+      "run GRAFT_FULL_PARITY=true sbt test on the final binary")
+  }
+
+  for (name <- graft.SparkEntry.queries.keys.toSeq.sorted
+       if fullSweep || fastTier.contains(name))
     test(s"$name: rows invariant under AQE on/off and shuffle width") {
       assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
       val on = canonical(spark, name)
