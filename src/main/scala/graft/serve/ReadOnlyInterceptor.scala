@@ -12,9 +12,11 @@ import org.sparkproject.connect.protobuf.{Message => ProtoMessage}
  * build a `LogicalPlan`:
  *
  *  1. **client-shipped executable code** — the `AddArtifacts` RPC uploads
- *     jars/classfiles that later UDF calls execute server-side, and the
+ *     jars/classfiles that later UDF calls execute server-side; the
  *     `REGISTER_FUNCTION` / `REGISTER_TABLE_FUNCTION` / `REGISTER_DATA_SOURCE`
- *     command protos install client-defined functions into the session.
+ *     command protos install client-defined functions into the session; and
+ *     `CommonInlineUserDefinedFunction` EXPRESSIONS embed serialized Scala
+ *     closures or pickled Python directly inside an otherwise-plain query.
  *     The reference's `duckdb.connect(read_only=True)`
  *     (`Business_KPI_dashboard.py:10-14`) gives a client no way to run
  *     arbitrary code inside the engine; neither does this endpoint.
@@ -148,16 +150,13 @@ object ReadOnlyInterceptor {
   }
 
   private def planViolation(p: proto.Plan): Option[String] = {
-    if (p.hasCompressedOperation)
-      return Some("compressed plans cannot be inspected by the read-only " +
-        "boundary; resend the statement with plan compression disabled")
     val byCommand =
       if (p.hasCommand) {
         val tc = p.getCommand.getCommandTypeCase
         if (allowedCommands.contains(tc)) None
         else Some(s"client command $tc is not available")
       } else None
-    byCommand.orElse(scanForCatalog(p))
+    byCommand.orElse(scanTree(p))
   }
 
   private def analyzeViolation(r: proto.AnalyzePlanRequest): Option[String] =
@@ -167,34 +166,54 @@ object ReadOnlyInterceptor {
       // plan-equality, so a client could drop the ENGINE's caches)
       case AnalyzeCase.PERSIST | AnalyzeCase.UNPERSIST =>
         Some(s"${r.getAnalyzeCase} mutates the context-shared cache manager")
-      case _ => scanForCatalog(r)
+      case _ => scanTree(r)
     }
 
-  /** Recursive scan of a request proto for `Catalog` messages anywhere in
-    * the tree (catalog relations compose under joins/filters/writes, and the
-    * Connect planner EXECUTES them against the catalog during proto
-    * transformation — before analysis, so before the analyzer guard).
+  /** Recursive scan of a request proto for denied messages ANYWHERE in the
+    * tree — position-independent because each is dangerous wherever it sits:
+    *  - mutating `Catalog` messages: catalog relations compose under
+    *    joins/filters/writes, and the Connect planner EXECUTES them against
+    *    the catalog during proto transformation — before analysis, so
+    *    before the analyzer guard (and analyze RPCs like Schema carry
+    *    plans too);
+    *  - inline user code (`CommonInlineUserDefinedFunction` / table
+    *    function / data source): a plain `SELECT udf(x)` EXPRESSION proto
+    *    carries client-serialized Scala closures or pickled Python the
+    *    server would execute — code upload without AddArtifacts, so the
+    *    method-level denial alone doesn't cover it;
+    *  - `Plan.CompressedOperation`: an uninspectable operation — including
+    *    one nested inside an analyze request's plan, where a top-level
+    *    `hasCompressedOperation` check would miss it — is denied, not
+    *    trusted.
     * `getAllFields` returns set fields only; scalars and ByteStrings (e.g.
     * LocalRelation Arrow payloads) are skipped, so the walk is proportional
     * to plan-tree size, not data size. */
-  private[serve] def scanForCatalog(m: ProtoMessage): Option[String] = {
+  private[serve] def scanTree(m: ProtoMessage): Option[String] = {
     m match {
       case c: proto.Catalog =>
         val tc = c.getCatTypeCase
         if (!allowedCatalog.contains(tc))
           return Some(s"catalog RPC $tc writes shared catalog or cache state")
+      case _: proto.CommonInlineUserDefinedFunction |
+           _: proto.CommonInlineUserDefinedTableFunction |
+           _: proto.CommonInlineUserDefinedDataSource =>
+        return Some("inline user-defined functions ship client code for " +
+          "server-side execution")
+      case _: proto.Plan.CompressedOperation =>
+        return Some("compressed plans cannot be inspected by the read-only " +
+          "boundary; resend the statement with plan compression disabled")
       case _ =>
     }
     val it = m.getAllFields.values().iterator()
     while (it.hasNext) it.next() match {
       case sub: ProtoMessage =>
-        val v = scanForCatalog(sub)
+        val v = scanTree(sub)
         if (v.isDefined) return v
       case l: java.util.List[_] =>
         val li = l.iterator()
         while (li.hasNext) li.next() match {
           case sub: ProtoMessage =>
-            val v = scanForCatalog(sub)
+            val v = scanTree(sub)
             if (v.isDefined) return v
           case _ =>
         }

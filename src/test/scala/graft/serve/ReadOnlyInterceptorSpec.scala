@@ -117,10 +117,42 @@ class ReadOnlyInterceptorSpec extends AnyFunSuite {
     assert(v(schemaDrop).exists(_.contains("DROP_GLOBAL_TEMP_VIEW")))
   }
 
-  test("compressed plans are uninspectable and fail closed") {
+  test("compressed plans are uninspectable and fail closed — top-level AND nested in analyze") {
     val compressed = proto.Plan.newBuilder().setCompressedOperation(
       proto.Plan.CompressedOperation.newBuilder()).build()
     assert(v(execOf(compressed)).exists(_.contains("compressed")))
+    // a compressed plan inside AnalyzePlan.Schema would be decompressed and
+    // TRANSFORMED (executing any catalog op) before any guard ran — the
+    // recursive scan must catch it where a top-level hasCompressedOperation
+    // check cannot
+    val nested = proto.AnalyzePlanRequest.newBuilder()
+      .setSchema(proto.AnalyzePlanRequest.Schema.newBuilder()
+        .setPlan(compressed))
+      .build()
+    assert(v(nested).exists(_.contains("compressed")))
+  }
+
+  test("inline UDF expressions are client code and fail closed") {
+    // `SELECT my_udf(x)` from a client-jvm/PySpark Connect session arrives
+    // as a CommonInlineUserDefinedFunction EXPRESSION carrying a serialized
+    // closure / pickled function — executable upload inside a plain query,
+    // reachable without AddArtifacts for Python. Denied wherever it sits.
+    val udfExpr = proto.Expression.newBuilder()
+      .setCommonInlineUserDefinedFunction(
+        proto.CommonInlineUserDefinedFunction.newBuilder()
+          .setFunctionName("evil"))
+    val plan = proto.Plan.newBuilder().setRoot(
+      proto.Relation.newBuilder().setProject(
+        proto.Project.newBuilder()
+          .setInput(proto.Relation.newBuilder().setSql(
+            proto.SQL.newBuilder().setQuery("SELECT 1 AS x")))
+          .addExpressions(udfExpr))).build()
+    assert(v(execOf(plan)).exists(_.contains("inline user-defined")))
+    // …including under schema analysis, which also transforms the plan
+    val analyzed = proto.AnalyzePlanRequest.newBuilder()
+      .setSchema(proto.AnalyzePlanRequest.Schema.newBuilder().setPlan(plan))
+      .build()
+    assert(v(analyzed).exists(_.contains("inline user-defined")))
   }
 
   test("non-plan requests pass through untouched") {
