@@ -69,15 +69,17 @@ object Shuffling {
    * that wants shard-partitioned output ([[writeShuffled]]) pays ONE
    * wide exchange for mix+rank+layout instead of two. What it costs: the
    * ranking pass is a `mapPartitions` outside whole-stage codegen — per-row
-   * ser/de where the Window version stays in Tungsten. Net is workload-
-   * dependent; [[writeShuffled]] always wins (an exchange of the full
-   * corpus is orders beyond row codec cost at 100 TB), while for an
-   * in-plan consumer the A/B lives in NOTES_r10.
+   * ser/de where the Window version stays in Tungsten. Measured
+   * (WriteShuffleAB, NOTES_r10): a WASH at single-node sf0.1/sf1 where the
+   * parquet write dominates; the deleted exchange is network+spill of the
+   * FULL corpus, which is what matters on a real cluster, so the write
+   * path keeps this form. For an in-plan consumer the A/B was ~10%
+   * negative — [[graft.operators.Mixing.mixShuffled]] keeps the Window
+   * form.
    */
   def shuffledLocalRank(df: DataFrame, keyCol: String, seed: String,
                         nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val spark = df.sparkSession
     val n = df.schema.size
     val sorted = df
       .withColumn("__sk", shuffleKey(col(keyCol), seed))
