@@ -1123,12 +1123,18 @@ object OracleSql {
          |  WHERE o.doc_id NOT IN (
          |    SELECT n2.doc_id FROM news n2 WHERE n2.batch = n.batch)
          |  UNION ALL
+         |  -- intra-batch pairs, EXCLUDING pairs whose endpoints are both
+         |  -- already committed (edge necessarily recorded when the newer
+         |  -- endpoint first arrived — the operator's orientation guard)
          |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
          |       CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
          |            ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |                 / len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard
          |  FROM shn a JOIN shn b
-         |    ON a.batch = b.batch AND a.doc_id < b.doc_id)
+         |    ON a.batch = b.batch AND a.doc_id < b.doc_id
+         |  WHERE NOT (
+         |    a.doc_id IN (SELECT o2.doc_id FROM olds o2 WHERE o2.batch < a.batch)
+         |    AND b.doc_id IN (SELECT o3.doc_id FROM olds o3 WHERE o3.batch < b.batch)))
          |SELECT new_id, corpus_id, jaccard FROM pairs WHERE jaccard >= 0.7
          |ORDER BY new_id, corpus_id""".stripMargin,
 

@@ -137,9 +137,16 @@ object Multimodal {
         val reader = readers.next()
         reader.setInput(iis, false, true)
         try {
-          val frames =
-            try reader.getNumImages(true)
-            catch { case scala.util.control.NonFatal(_) => 1 }
+          // frame count: PNG/JPEG are single-frame by format, answered from
+          // the header; only GIF pays the full-payload scan
+          // (getNumImages(true) walks every frame block), because animation
+          // length IS the datum there — the header-only pass must not read
+          // O(payload) for the common single-frame formats
+          def frames: Int =
+            if (isGif(content))
+              try reader.getNumImages(true)
+              catch { case scala.util.control.NonFatal(_) => 1 }
+            else 1
           if (!fullDecode) {
             ImageInfo(ok = true, reader.getWidth(0), reader.getHeight(0),
               frames, 0, None, None, None)
@@ -150,18 +157,17 @@ object Multimodal {
             if (isJpeg(content)) {
               ImageInfo(ok = true, w, h, frames, ch, None, None, None)
             } else {
+              // bulk pixel fetch: one getRGB(int[]) call per image instead
+              // of w*h per-pixel calls (each a color-model conversion)
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
               var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val p = img.getRGB(x, y)
-                  sr += (p >> 16) & 0xFF
-                  sg += (p >> 8) & 0xFF
-                  sb += p & 0xFF
-                  x += 1
-                }
-                y += 1
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                sr += (p >> 16) & 0xFF
+                sg += (p >> 8) & 0xFF
+                sb += p & 0xFF
+                i += 1
               }
               ImageInfo(ok = true, w, h, frames, ch, Some(sr), Some(sg), Some(sb))
             }

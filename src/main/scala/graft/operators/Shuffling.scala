@@ -46,9 +46,22 @@ object Shuffling {
    * permutation keyed by `keyCol`. One shuffle (hash on `shard`), per-shard
    * window ranking — shards rank concurrently across the cluster.
    */
+  /** The operator's output/scratch column names: inputs must not carry
+    * them — `withColumn` would REPLACE the input column in place, shifting
+    * layouts (positional ranking would crash or corrupt) and silently
+    * losing caller data. */
+  private def requireNoReserved(df: DataFrame): Unit = {
+    val clash = df.columns.toSet.intersect(Set("__sk", "shard", "pos"))
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — reserved by " +
+        "Shuffling output; rename or drop them first (re-sharding an " +
+        "already-sharded corpus: drop the old shard/pos)")
+  }
+
   def shuffled(df: DataFrame, keyCol: String, seed: String,
                nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    requireNoReserved(df)
     val k = shuffleKey(col(keyCol), seed)
     val w = Window.partitionBy(col("shard")).orderBy(col("__sk"), col(keyCol))
     df.withColumn("__sk", k)
@@ -80,6 +93,7 @@ object Shuffling {
   def shuffledLocalRank(df: DataFrame, keyCol: String, seed: String,
                         nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    requireNoReserved(df)
     val n = df.schema.size
     val sorted = df
       .withColumn("__sk", shuffleKey(col(keyCol), seed))

@@ -110,9 +110,25 @@ object ConnectServe {
       // arm BEFORE the endpoint binds: a client that connects in the start
       // window must never reach an analyzer (or the interceptor) unguarded —
       // the boundary exists from the first instant the port is live
+      val installsBefore = ReadOnlyInterceptor.installCount.get()
       ReadOnlyGuard.enforcing = readOnly
-      try SparkConnectService.start(spark.sparkContext)
-      catch {
+      try {
+        SparkConnectService.start(spark.sparkContext)
+        // the interceptor conf is only read while the gRPC server is BUILT:
+        // if the service was already running (started externally before
+        // this call), start() is a no-op, the conf was never read, and the
+        // wire guard is silently absent — an unenforceable read-only claim,
+        // which must fail fast exactly like the analyzer-rule require above
+        if (readOnly) require(
+          ReadOnlyInterceptor.installCount.get() > installsBefore,
+          "readOnly=true but the Connect service was already running " +
+            "before ConnectServe.start registered its wire interceptor — " +
+            "the gRPC server reads spark.connect.grpc.interceptor.classes " +
+            "only when it is built, so plan-less protos (AddArtifacts, " +
+            "catalog RPCs) would pass unguarded. Stop the existing service " +
+            "(SparkConnectService.stop) and start it through ConnectServe, " +
+            "or serve readOnly=false")
+      } catch {
         case t: Throwable => ReadOnlyGuard.enforcing = false; throw t
       }
       started = true

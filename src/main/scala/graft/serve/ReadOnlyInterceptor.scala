@@ -57,6 +57,14 @@ class ReadOnlyInterceptor extends ServerInterceptor {
 
   import ReadOnlyInterceptor._
 
+  // the interceptor registry instantiates this class while BUILDING the
+  // gRPC server (inside SparkConnectService.start), so construction is the
+  // machine-checkable witness that the wire guard is actually installed —
+  // ConnectServe.start(readOnly = true) requires the count to advance
+  // across its start() call and fails fast otherwise (e.g. a service that
+  // was already running before the conf was set would silently ignore it)
+  installCount.incrementAndGet()
+
   override def interceptCall[ReqT, RespT](
       call: ServerCall[ReqT, RespT], headers: Metadata,
       next: ServerCallHandler[ReqT, RespT]): ServerCall.Listener[ReqT] = {
@@ -92,6 +100,11 @@ class ReadOnlyInterceptor extends ServerInterceptor {
 }
 
 object ReadOnlyInterceptor {
+
+  /** Times an instance has been constructed in this JVM (see the class-body
+    * comment): advances exactly when a Connect server is built with the
+    * interceptor conf in place. */
+  private[serve] val installCount = new java.util.concurrent.atomic.AtomicLong
 
   private def message(why: String): String =
     s"read-only serving connection: $why. This Spark Connect endpoint " +

@@ -54,18 +54,28 @@ object StreamingDedup {
    * parquet); `indexPath` its precomputed band index
    * ([[Dedup.bandIndex]] written once at bootstrap); `pairsPath` the append
    * sink for verified (new_id, corpus_id, jaccard) rows.
+   *
+   * `intraMaxBucketSize` bounds the intra-batch SELF-join's per-bucket work
+   * ([[Dedup.nearDuplicatePairs]]' skew guard): a band bucket larger than
+   * this is dropped from the intra pass. Deliberately asymmetric with the
+   * cross pass, which never prunes — the index join is LINEAR in bucket
+   * size where the self-join is QUADRATIC, so the trade only exists on the
+   * intra side. On boilerplate-heavy batches where hot buckets exceed the
+   * bound, intra recall is traded for bounded work — raise it (or size
+   * batches down) if intra completeness matters more than the guard.
    */
   def start(spark: SparkSession, newDocs: DataFrame,
             corpusPath: String, indexPath: String, pairsPath: String,
             checkpoint: String, idCol: String, textCol: String,
             threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            intraMaxBucketSize: Int = 256): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(spark, batch, corpusPath, indexPath, pairsPath,
-          idCol, textCol, threshold, numHashes, bands)
+          idCol, textCol, threshold, numHashes, bands, intraMaxBucketSize)
       }
       .start()
 
@@ -76,7 +86,8 @@ object StreamingDedup {
       spark: SparkSession, batch: DataFrame,
       corpusPath: String, indexPath: String, pairsPath: String,
       idCol: String, textCol: String,
-      threshold: Double, numHashes: Int, bands: Int): Unit = {
+      threshold: Double, numHashes: Int, bands: Int,
+      intraMaxBucketSize: Int = 256): Unit = {
     // The batch feeds two consumers (pair join + index append) and the
     // incremental operator itself persists its sketch frame; materialize the
     // batch once so the source is not re-read per consumer.
@@ -99,12 +110,34 @@ object StreamingDedup {
         // same batch would be recorded nowhere. nearDuplicatePairs emits the
         // canonical (min_id, max_id) orientation and is a pure function of
         // batch content, so replays re-append identical rows — the same
-        // dropDuplicates repair as every other sink here. One append total:
-        // cross and intra pairs land atomically-together per batch.
+        // dropDuplicates repair as every other sink here.
+        //
+        // One exclusion keeps the sink orientation-unique per edge: a pair
+        // whose endpoints are BOTH already committed is re-delivered state
+        // whose edge is necessarily already recorded — when the newer
+        // endpoint first arrived, as a cross pair (possibly in the
+        // opposite orientation: new_id=the-then-new doc) or as that batch's
+        // intra pair. Re-emitting it canonically here would put the same
+        // logical edge in the sink under TWO orientations, which no
+        // (new_id, corpus_id) dropDuplicates can collapse and which makes a
+        // keep-min-id consumer delete both copies. Both committed-ness
+        // probes are batch∩corpus sized (broadcast). Crash windows stay
+        // repairable: a crash before the corpus append leaves the new
+        // endpoint un-committed, so the replay re-emits the identical row.
+        val committed = b.select(col(idCol).as("__cid"))
+          .join(corpus.select(col(idCol).as("__cid")), Seq("__cid"),
+            "left_semi")
         val intra = Dedup.nearDuplicatePairs(b, idCol, textCol,
-            threshold, numHashes, bands)
+            threshold, numHashes, bands, maxBucketSize = intraMaxBucketSize)
           .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
             col("jaccard"))
+          .join(broadcast(committed.select(col("__cid").as("new_id"))
+            .withColumn("__a_c", lit(true))), Seq("new_id"), "left")
+          .join(broadcast(committed.select(col("__cid").as("corpus_id"))
+            .withColumn("__b_c", lit(true))), Seq("corpus_id"), "left")
+          .filter(!(coalesce(col("__a_c"), lit(false)) &&
+                    coalesce(col("__b_c"), lit(false))))
+          .select("new_id", "corpus_id", "jaccard")
         cross.unionByName(intra).write.mode("append").parquet(pairsPath)
         // grow the index with this batch's bands so later batches see it;
         // the batch's text must also be appended to the corpus table for

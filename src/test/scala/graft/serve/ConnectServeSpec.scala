@@ -389,4 +389,24 @@ class ConnectServeSpec extends SparkSuite {
       }
     } finally pool.shutdownNow()
   }
+
+  test("readOnly start FAILS FAST when the Connect service was already running") {
+    // the interceptor conf is read only while the gRPC server is built; a
+    // service started outside ConnectServe means our start() is a no-op and
+    // the wire guard may be absent — the read-only claim must fail loudly,
+    // not degrade to analyzer-only enforcement
+    import org.apache.spark.sql.connect.service.SparkConnectService
+    ConnectServe.stop()
+    try {
+      SparkConnectService.start(spark.sparkContext) // the "external" start
+      val thrown = intercept[IllegalArgumentException] {
+        ConnectServe.start(spark)
+      }
+      assert(thrown.getMessage.contains("already running"))
+    } finally {
+      SparkConnectService.stop(None, None)
+      // restore the suite's endpoint for afterAll symmetry
+      ConnectServe.start(spark)
+    }
+  }
 }

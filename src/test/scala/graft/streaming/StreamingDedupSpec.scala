@@ -300,6 +300,54 @@ class StreamingDedupSpec extends SparkSuite {
         s"canonical intra-batch pair; got $pairs")
   }
 
+  test("re-delivery of a pair whose edge is ALREADY recorded adds no second orientation") {
+    // The dual-orientation hazard: batch A delivers only NEW doc 601 ≈
+    // committed doc 5 → cross pair (new_id=601, corpus_id=5). Batch B then
+    // re-delivers BOTH 5 and 601 (now both committed). The intra pass is a
+    // pure function of batch content, so without the both-committed
+    // exclusion it would re-emit the same logical edge canonically as
+    // (5, 601) — two orientations of one edge, uncollapsible by
+    // dropDuplicates(new_id, corpus_id), fatal to a keep-min-id consumer
+    // (it would drop BOTH copies). Expected: the sink holds the edge in
+    // its original cross orientation only.
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-sdedup-orient").toString
+    val corpusPath = s"$tmp/corpus"; val indexPath = s"$tmp/index"
+    val pairsPath = s"$tmp/pairs"; val ckpt = s"$tmp/ckpt"
+    val landing = s"$tmp/landing"
+
+    val corpus = (0L until 20L).map(i => doc(i, baseText(i))).toDF("id", "text")
+    corpus.write.parquet(corpusPath)
+    Dedup.bandIndex(corpus, "id", "text", numHashes = 32, bands = 8)
+      .write.parquet(indexPath)
+
+    // batch A: 601 alone → cross pair (601, 5)
+    land(Seq(doc(601L, baseText(5L) + " extra")), s"$landing/bA.parquet")
+    val qA = StreamingDedup.start(spark,
+      spark.readStream.schema("id LONG, text STRING").parquet(landing),
+      corpusPath, indexPath, pairsPath, ckpt, "id", "text",
+      threshold = 0.7, numHashes = 32, bands = 8)
+    qA.awaitTermination(120000)
+    assert(spark.read.parquet(pairsPath)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+      === Set((601L, 5L)))
+
+    // batch B: the at-least-once source re-delivers BOTH endpoints
+    land(Seq(doc(5L, baseText(5L)), doc(601L, baseText(5L) + " extra")),
+      s"$landing/bB.parquet")
+    val qB = StreamingDedup.start(spark,
+      spark.readStream.schema("id LONG, text STRING").parquet(landing),
+      corpusPath, indexPath, pairsPath, ckpt, "id", "text",
+      threshold = 0.7, numHashes = 32, bands = 8)
+    qB.awaitTermination(120000)
+
+    val pairs = spark.read.parquet(pairsPath)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((601L, 5L)),
+      s"one logical edge must keep ONE orientation in the sink; got $pairs")
+  }
+
   test("PARTIAL-append crashes (between the three sinks) repair to the clean state") {
     // The scaladoc's "or vice versa" clause: the three appends inside one
     // batch are not atomic with each other either — a crash can land BETWEEN
