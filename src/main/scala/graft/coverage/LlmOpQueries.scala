@@ -323,14 +323,17 @@ object LlmOpQueries {
       .duplicateSpans(docs(s, dir), "doc_id", "text", n = 8, hashGrams = false)
       .orderBy("doc_id")
 
-  /** Exact-substring duplicate spans at 10× (scaling evidence, rows-only,
-    * memoized): the same gram census over the disjoint-vocab replicated
-    * corpus, in `hashGrams = true` mode (the 100 TB path — shuffles carry
-    * xxhash64 longs, not 8-token strings). Replica vocabularies are
-    * disjoint, so cross-replica grams never collide and every within-replica
-    * duplicate span survives suffixing: `n_dup_grams_total` must be exactly
-    * 10× the 1× corpus's total, and near-linear wall-clock vs
-    * [[dedupSpanReport]] in the same bench JSON is the scaling claim. */
+  /** Exact-substring duplicate spans at 10× (scaling evidence, memoized;
+    * ORACLE-CHECKED since r11 — DuckDB replays the replication and the full
+    * census, see OracleSql): the same gram census over the disjoint-vocab
+    * replicated corpus, in `hashGrams = true` mode (the 100 TB path —
+    * shuffles carry xxhash64 longs, not 8-token strings; the oracle groups
+    * raw grams, identical barring an xxhash64 collision). Replica
+    * vocabularies are disjoint, so cross-replica grams never collide and
+    * every within-replica duplicate span survives suffixing:
+    * `n_dup_grams_total` is exactly 10× the 1× corpus's total, and
+    * near-linear wall-clock vs [[dedupSpanReport]] in the same bench JSON
+    * is the scaling claim. */
   def dedupSpanReport10x(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "__q_span_10x"),
       graft.operators.Dedup

@@ -1017,6 +1017,34 @@ object OracleSql {
         |FROM g LEFT JOIN dup ON g.gram = dup.gram
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
+    // The 10× span census, replayed END-TO-END (r11 — converts the row from
+    // rows-only structural self-check to a hash oracle): DuckDB rebuilds
+    // the disjoint-vocab replicated corpus, the per-doc distinct 8-gram
+    // sets, the cross-doc census, and the three aggregate totals. The Spark
+    // side runs hashGrams = true (the 100 TB mode — shuffles carry xxhash64
+    // longs); DuckDB groups the RAW gram strings, which agrees exactly
+    // unless two distinct grams collide under xxhash64 (~4M grams at the
+    // sf1 10× scale ⇒ p ≈ 4e-7, and deterministic per corpus — a collision
+    // would show as a stable off-by-one, not a flake).
+    "dedup_span_report_10x" ->
+      s"""WITH rep AS ($docs10xSql),
+        |tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+        |       FROM rep),
+        |g AS (SELECT doc_id,
+        |             unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+        |               FOR i IN range(1, greatest(len(toks)-7, 1) + 1)])) AS gram
+        |      FROM tk),
+        |d AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram),
+        |dup AS (SELECT gram FROM d WHERE n_docs >= 2),
+        |per AS (SELECT g.doc_id, count(*) AS n_grams,
+        |               sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+        |        FROM g LEFT JOIN dup ON g.gram = dup.gram
+        |        GROUP BY g.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_grams) AS BIGINT) AS n_grams_total,
+        |       CAST(sum(n_dup) AS BIGINT) AS n_dup_grams_total
+        |FROM per""".stripMargin,
+
     // Maximal duplicate-span excision: POSITIONAL 8-token grams (repeats
     // included), a gram occurrence is excisable iff its content occurs >= 2
     // times corpus-wide AND it is not the global first occurrence (min

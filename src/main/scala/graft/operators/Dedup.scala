@@ -388,25 +388,52 @@ object Dedup {
                  size(array_union(a, b)))
 
   /**
+   * The shared (id, sh, sig) MinHash sketch frame of a corpus or batch —
+   * tokenize → shingle → one-permutation signature, the per-row narrow pass
+   * every LSH entry point starts from. Computing it ONCE and threading it
+   * through [[nearDuplicatePairs]] / [[incrementalNearDupPairs]] /
+   * [[bandIndex]] (their `precomputedSketch` parameters) is how a caller
+   * that feeds the same documents to several of them — the per-batch hot
+   * loop of [[graft.streaming.StreamingDedup]] — pays the sketch exactly
+   * once instead of once per entry point. Callers persist it themselves
+   * ([[persistTracked]]) since it feeds multiple consumers. Default
+   * (xxhash64) hashing only — the portable-md5 variants build their own.
+   */
+  def sketchFrame(df: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 64): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
+      .select(col("id"), col("sh"),
+        minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
+
+  /**
    * Near-duplicate pairs: MinHash-LSH candidates verified with exact n-gram
    * Jaccard over the shingle sets, thresholded. The verify join re-attaches
    * shingles only for candidate ids (semi-joined), so the wide arrays travel
    * for candidates only.
+   *
+   * `precomputedSketch`: a [[sketchFrame]] of `df` the caller already
+   * computed (and persisted) — `df` is then not read at all. Only valid with
+   * the default hashing (`portableHashing = false`), whose shingle hash the
+   * shared frame uses.
    */
   def nearDuplicatePairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 256,
-      portableHashing: Boolean = false): DataFrame = {
+      portableHashing: Boolean = false,
+      precomputedSketch: Option[DataFrame] = None): DataFrame = {
+    require(precomputedSketch.isEmpty || !portableHashing,
+      "precomputedSketch carries xxhash64 signatures; portableHashing builds md5 ones")
     val shingleHash: Column => Column =
       if (portableHashing) portableHash60 else (c: Column) => xxhash64(c)
-    val sig = persistTracked(
+    val sig = precomputedSketch.getOrElse(persistTracked(
       df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
         .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
         .select(col("id"), col("sh"),
           graft.expressions.SketchExpressions.minhash_signature(
-            transform(col("sh"), shingleHash), numHashes).as("sig")))
+            transform(col("sh"), shingleHash), numHashes).as("sig"))))
 
     val banded = pruneFullBuckets(
       bandRows(sig, numHashes, bands, portableHashing),
@@ -437,11 +464,13 @@ object Dedup {
    * the corpus is never re-sketched per batch.
    */
   def bandIndex(df: DataFrame, idCol: String, textCol: String,
-                numHashes: Int = 64, bands: Int = 16): DataFrame =
+                numHashes: Int = 64, bands: Int = 16,
+                precomputedSketch: Option[DataFrame] = None): DataFrame =
     bandRows(
-      df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-        .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
-        .select(col("id"), minhashSignatureOfShingles(col("sh"), numHashes).as("sig")),
+      precomputedSketch.map(_.select(col("id"), col("sig"))).getOrElse(
+        df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+          .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
+          .select(col("id"), minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))),
       numHashes, bands)
 
   /**
@@ -479,12 +508,15 @@ object Dedup {
       corpus: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16,
-      corpusBands: Option[DataFrame] = None): DataFrame = {
-    val inc = persistTracked(
+      corpusBands: Option[DataFrame] = None,
+      precomputedSketch: Option[DataFrame] = None): DataFrame = {
+    // `precomputedSketch`: a [[sketchFrame]] of `incoming` the caller already
+    // computed and persisted — the batch is then sketched zero times here.
+    val inc = precomputedSketch.getOrElse(persistTracked(
       incoming.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
         .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
         .select(col("id"), col("sh"),
-          minhashSignatureOfShingles(col("sh"), numHashes).as("sig")))
+          minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))))
     val incBands = bandRows(inc.select("id", "sig"), numHashes, bands)
     val corpusIdx = corpusBands
       .getOrElse(bandIndex(corpus, idCol, textCol, numHashes, bands))

@@ -109,7 +109,19 @@ object ConnectServe {
       if (!ics.contains(icCls)) conf.set(icKey, (ics :+ icCls).mkString(","))
       // arm BEFORE the endpoint binds: a client that connects in the start
       // window must never reach an analyzer (or the interceptor) unguarded —
-      // the boundary exists from the first instant the port is live
+      // the boundary exists from the first instant the port is live.
+      // Direct liveness probe first: a service already running means the
+      // start() below is a no-op that never reads the interceptor conf —
+      // fail fast here rather than rely on the installCount witness alone,
+      // which a CONCURRENT Connect-server build in the same JVM advancing
+      // the counter could mask (the witness assumes this is the only
+      // builder between its two reads; the probe has no such assumption)
+      if (readOnly) require(
+        !org.apache.spark.sql.connect.GraftConnectBridge.serviceRunning(),
+        "readOnly=true but a Spark Connect service is already running in " +
+          "this JVM — its gRPC server was built without the read-only wire " +
+          "interceptor. Stop it (SparkConnectService.stop) and start the " +
+          "endpoint through ConnectServe, or serve readOnly=false")
       val installsBefore = ReadOnlyInterceptor.installCount.get()
       ReadOnlyGuard.enforcing = readOnly
       try {

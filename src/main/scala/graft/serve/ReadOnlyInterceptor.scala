@@ -172,13 +172,26 @@ object ReadOnlyInterceptor {
     byCommand.orElse(scanTree(p))
   }
 
+  /** Analyze RPC cases a read-only client may send — all genuinely
+    * read-only metadata/introspection. Default-DENY like the command and
+    * catalog allowlists: PERSIST/UNPERSIST mutate the context-SHARED
+    * CacheManager (and unpersist evicts by plan-equality, so a client could
+    * drop the ENGINE's caches), and any case this build does not know —
+    * a future Spark adding a mutating analyze RPC — fails closed instead of
+    * sailing through. Allowed cases still get the recursive plan scan (their
+    * payloads carry plans: e.g. a catalog mutation nested under Schema). */
+  private val allowedAnalyze: Set[AnalyzeCase] = Set(
+    AnalyzeCase.SCHEMA, AnalyzeCase.EXPLAIN, AnalyzeCase.TREE_STRING,
+    AnalyzeCase.IS_LOCAL, AnalyzeCase.IS_STREAMING, AnalyzeCase.INPUT_FILES,
+    AnalyzeCase.SPARK_VERSION, AnalyzeCase.DDL_PARSE,
+    AnalyzeCase.SAME_SEMANTICS, AnalyzeCase.SEMANTIC_HASH,
+    AnalyzeCase.GET_STORAGE_LEVEL, AnalyzeCase.JSON_TO_DDL,
+    AnalyzeCase.ANALYZE_NOT_SET) // empty request: nothing to guard
+
   private def analyzeViolation(r: proto.AnalyzePlanRequest): Option[String] =
     r.getAnalyzeCase match {
-      // df.persist()/unpersist() over Connect are analyze RPCs, not plans:
-      // they mutate the context-SHARED CacheManager (and unpersist evicts by
-      // plan-equality, so a client could drop the ENGINE's caches)
-      case AnalyzeCase.PERSIST | AnalyzeCase.UNPERSIST =>
-        Some(s"${r.getAnalyzeCase} mutates the context-shared cache manager")
+      case tc if !allowedAnalyze.contains(tc) =>
+        Some(s"analyze RPC $tc is not available on a read-only connection")
       case _ => scanTree(r)
     }
 

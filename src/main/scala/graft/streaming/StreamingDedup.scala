@@ -89,11 +89,19 @@ object StreamingDedup {
       threshold: Double, numHashes: Int, bands: Int,
       intraMaxBucketSize: Int = 256): Unit = {
     // The batch feeds two consumers (pair join + index append) and the
-    // incremental operator itself persists its sketch frame; materialize the
-    // batch once so the source is not re-read per consumer.
+    // shared sketch frame below is persisted; materialize the batch once so
+    // the source is not re-read per consumer.
     val b = batch.persist()
     try {
       if (!b.isEmpty) {
+        // ONE sketch per batch: tokenize/shingle/minhash is the hot per-row
+        // pass, and the batch feeds THREE sketch consumers (cross pairs,
+        // intra pairs, index append). The shared persisted frame makes each
+        // consumer an InMemoryTableScan over the same cache — machine-checked
+        // by StreamingDedupSpec's sketch-count pin (exactly one cached
+        // minhash relation, zero sketch computations outside it).
+        val sketch = Dedup.persistTracked(
+          Dedup.sketchFrame(b, idCol, textCol, numHashes))
         // corpus text: verify-side only (left_semi on collided ids). The
         // index covers the original corpus AND every previously accepted
         // batch, whose text lands in the same table via acceptNewDocs-style
@@ -101,7 +109,8 @@ object StreamingDedup {
         val corpus = spark.read.parquet(corpusPath)
         val index = spark.read.parquet(indexPath)
         val cross = Dedup.incrementalNearDupPairs(corpus, b, idCol, textCol,
-          threshold, numHashes, bands, corpusBands = Some(index))
+          threshold, numHashes, bands, corpusBands = Some(index),
+          precomputedSketch = Some(sketch))
         // INTRA-batch near-dups are the batch's own job (the incremental
         // operator's batch-id anti-join deliberately never emits a pair
         // whose corpus side is in the current batch — re-delivered state is
@@ -121,14 +130,26 @@ object StreamingDedup {
         // logical edge in the sink under TWO orientations, which no
         // (new_id, corpus_id) dropDuplicates can collapse and which makes a
         // keep-min-id consumer delete both copies. Both committed-ness
-        // probes are batch∩corpus sized (broadcast). Crash windows stay
+        // probes are batch∩corpus sized (broadcast); the probe is DISTINCT
+        // because an at-least-once source can duplicate an id WITHIN one
+        // batch, and a non-distinct probe would multiply each intra pair row
+        // per copy through the two left joins. Crash windows stay
         // repairable: a crash before the corpus append leaves the new
         // endpoint un-committed, so the replay re-emits the identical row.
-        val committed = b.select(col(idCol).as("__cid"))
+        // Note one interaction with `intraMaxBucketSize`: the exclusion
+        // assumes a both-committed edge was recorded when its newer endpoint
+        // first arrived — true for cross pairs (the index join never
+        // prunes), but an edge FIRST seen as an intra pair inside a bucket
+        // the skew guard dropped was never recorded, and a later
+        // re-delivery of both endpoints cannot recover it (both-committed ⇒
+        // excluded). The prune trades exactly this recall for bounded
+        // quadratic work; raise the bound if intra completeness matters.
+        val committed = b.select(col(idCol).as("__cid")).distinct()
           .join(corpus.select(col(idCol).as("__cid")), Seq("__cid"),
             "left_semi")
         val intra = Dedup.nearDuplicatePairs(b, idCol, textCol,
-            threshold, numHashes, bands, maxBucketSize = intraMaxBucketSize)
+            threshold, numHashes, bands, maxBucketSize = intraMaxBucketSize,
+            precomputedSketch = Some(sketch))
           .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
             col("jaccard"))
           .join(broadcast(committed.select(col("__cid").as("new_id"))
@@ -142,14 +163,15 @@ object StreamingDedup {
         // grow the index with this batch's bands so later batches see it;
         // the batch's text must also be appended to the corpus table for
         // verification — done here, same at-least-once contract as above.
-        Dedup.bandIndex(b, idCol, textCol, numHashes, bands)
+        Dedup.bandIndex(b, idCol, textCol, numHashes, bands,
+            precomputedSketch = Some(sketch))
           .write.mode("append").parquet(indexPath)
         b.select(col(idCol), col(textCol))
           .write.mode("append").parquet(corpusPath)
       }
     } finally {
       b.unpersist()
-      Dedup.unpersistSketches() // the incremental op's per-batch sketch frame
+      Dedup.unpersistSketches() // the shared per-batch sketch frame
     }
   }
 }

@@ -25,4 +25,13 @@ object GraftConnectBridge {
       mgr.getIsolatedSessionIfPresent(info.key).map(_.session)
     }
   }
+
+  /** Whether a Connect gRPC server is live in this JVM right now
+    * (`started`/`stopped` are `private[connect]` vars). The read-only
+    * serving boundary needs this as a DIRECT liveness probe before
+    * `start()`: a service built before graft's interceptor conf was set
+    * never read it, so a read-only claim over that server would be
+    * unenforceable at the wire. */
+  def serviceRunning(): Boolean =
+    SparkConnectService.started && !SparkConnectService.stopped
 }

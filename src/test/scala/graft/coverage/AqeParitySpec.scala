@@ -87,7 +87,7 @@ class AqeParitySpec extends SparkSuite {
       .sorted
   }
 
-  /** Two-tier battery (r10): the full 115-query × 3-config sweep costs
+  /** Two-tier battery (r10): the full all-driver-queries × 3-config sweep costs
     * ~30 loaded minutes — right once per round and on the final binary
     * (`GRAFT_FULL_PARITY=true sbt test`), wrong for the
     * certify-after-every-commit loop. The default tier sweeps a fixed

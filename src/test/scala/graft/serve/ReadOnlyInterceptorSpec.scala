@@ -90,13 +90,24 @@ class ReadOnlyInterceptorSpec extends AnyFunSuite {
     assert(v(execOf(sql)).isEmpty)
   }
 
-  test("persist/unpersist analyze RPCs are denied; schema analysis passes") {
+  test("persist/unpersist analyze RPCs are denied (allowlist, not blocklist); " +
+      "schema analysis passes") {
+    // analyze RPCs are default-deny like commands and catalog protos: the
+    // allowlist names the read-only cases, so PERSIST/UNPERSIST (which
+    // mutate the context-SHARED CacheManager) — and any FUTURE mutating
+    // analyze case a Spark upgrade adds — fail closed
     val persist = proto.AnalyzePlanRequest.newBuilder()
       .setPersist(proto.AnalyzePlanRequest.Persist.newBuilder()
         .setRelation(proto.Relation.newBuilder().setSql(
           proto.SQL.newBuilder().setQuery("SELECT 1"))))
       .build()
-    assert(v(persist).exists(_.contains("cache manager")))
+    assert(v(persist).exists(_.contains("not available")))
+    val unpersist = proto.AnalyzePlanRequest.newBuilder()
+      .setUnpersist(proto.AnalyzePlanRequest.Unpersist.newBuilder()
+        .setRelation(proto.Relation.newBuilder().setSql(
+          proto.SQL.newBuilder().setQuery("SELECT 1"))))
+      .build()
+    assert(v(unpersist).exists(_.contains("not available")))
 
     val schema = proto.AnalyzePlanRequest.newBuilder()
       .setSchema(proto.AnalyzePlanRequest.Schema.newBuilder()

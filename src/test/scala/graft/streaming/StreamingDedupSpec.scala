@@ -348,6 +348,86 @@ class StreamingDedupSpec extends SparkSuite {
       s"one logical edge must keep ONE orientation in the sink; got $pairs")
   }
 
+  test("plan pin: ONE sketch computation per batch — all three sketch " +
+      "consumers read the same cached sketch frame") {
+    // processBatch feeds the batch to THREE sketch consumers (cross pairs,
+    // intra pairs, index append). Before r11 each entry point re-ran
+    // tokenize/shingle/minhash itself — three sketch computations per batch.
+    // This pin constructs the exact frames processBatch builds (shared
+    // persisted sketchFrame threaded through the precomputedSketch
+    // parameters) and machine-checks, like ShufflingSpec's exchange-count
+    // pin: (a) ZERO MinHash computations in any consumer's plan outside the
+    // cache, (b) exactly ONE cached relation computes the sketch — so the
+    // per-batch hot pass runs once, during that cache's first materialization.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import graft.expressions.MinHashSignatureExpr
+    val s = spark
+    import s.implicits._
+    spark.catalog.clearCache()
+    Dedup.unpersistSketches()
+    val tmp = Files.createTempDirectory("graft-sdedup-pin").toString
+    val corpusPath = s"$tmp/corpus"; val indexPath = s"$tmp/index"
+    val corpus = (0L until 20L).map(i => doc(i, baseText(i))).toDF("id", "text")
+    corpus.write.parquet(corpusPath)
+    Dedup.bandIndex(corpus, "id", "text", numHashes = 32, bands = 8)
+      .write.parquet(indexPath)
+    Dedup.unpersistSketches()
+
+    val b = Seq(doc(301L, baseText(900L) + " alpha"),
+      doc(302L, baseText(900L) + " beta"),
+      doc(303L, baseText(5L) + " extra")).toDF("id", "text").persist()
+    try {
+      val sketch = Dedup.persistTracked(
+        Dedup.sketchFrame(b, "id", "text", numHashes = 32))
+      val cross = Dedup.incrementalNearDupPairs(
+        spark.read.parquet(corpusPath), b, "id", "text", 0.7, 32, 8,
+        corpusBands = Some(spark.read.parquet(indexPath)),
+        precomputedSketch = Some(sketch))
+      val intra = Dedup.nearDuplicatePairs(b, "id", "text", 0.7, 32, 8,
+        precomputedSketch = Some(sketch))
+      val idx = Dedup.bandIndex(b, "id", "text", 32, 8,
+        precomputedSketch = Some(sketch))
+
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case other => other
+      }
+      def outerMinhash(p: SparkPlan): Int = unwrap(p).collect { case n =>
+        n.expressions.map(_.collect { case m: MinHashSignatureExpr => m }.size).sum
+      }.sum
+      def minhashCacheBuilders(p: SparkPlan): Seq[AnyRef] = unwrap(p).collect {
+        case sc: InMemoryTableScanExec
+            if sc.relation.cachedPlan.exists(_.expressions.exists(
+              _.exists(_.isInstanceOf[MinHashSignatureExpr]))) =>
+          sc.relation.cacheBuilder
+      }
+      val plans = Seq(cross, intra, idx).map(_.queryExecution.executedPlan)
+      assert(plans.map(outerMinhash).sum === 0,
+        "a consumer re-computes the sketch outside the shared cache:\n" +
+          plans.map(_.toString).mkString("\n---\n"))
+      val builders = plans.flatMap(minhashCacheBuilders)
+      assert(builders.nonEmpty, "no consumer reads a cached sketch at all")
+      assert(builders.map(System.identityHashCode(_)).toSet.size === 1,
+        "consumers read DIFFERENT cached sketch relations (one computation " +
+          "per consumer, not per batch)")
+
+      // …and threading the sketch changes nothing about the results
+      assert(cross.select("new_id", "corpus_id").as[(Long, Long)]
+        .collect().toSet ===
+        Dedup.incrementalNearDupPairs(spark.read.parquet(corpusPath), b,
+          "id", "text", 0.7, 32, 8,
+          corpusBands = Some(spark.read.parquet(indexPath)))
+          .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet)
+      assert(intra.select("id_a", "id_b").as[(Long, Long)].collect().toSet ===
+        Dedup.nearDuplicatePairs(b, "id", "text", 0.7, 32, 8)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet)
+      assert(idx.collect().toSet ===
+        Dedup.bandIndex(b, "id", "text", 32, 8).collect().toSet)
+    } finally { b.unpersist(); Dedup.unpersistSketches() }
+  }
+
   test("PARTIAL-append crashes (between the three sinks) repair to the clean state") {
     // The scaladoc's "or vice versa" clause: the three appends inside one
     // batch are not atomic with each other either — a crash can land BETWEEN
