@@ -6,18 +6,19 @@ import org.scalatest.funsuite.AnyFunSuite
  * Registry consistency guard: the driver records a weaker rows-only check
  * for any query missing from `oracleSql`, so a rename or a forgotten oracle
  * entry silently DOWNGRADES certification instead of failing. Pin the
- * rows-only set to exactly the five documented-by-construction queries
- * (recall-gated ANN rows and the two whose exact oracle is O((10N)²)) —
- * adding a query without an oracle, or orphaning an oracle entry, fails
- * here by name.
+ * rows-only set to exactly the four documented-by-construction queries
+ * (the recall-gated ANN rows, plus the embedding-cosine scale row whose
+ * exact oracle is O((10N)²) — its span-census sibling gained a full oracle
+ * in r11, since that census is linear) — adding a query without an oracle,
+ * or orphaning an oracle entry, fails here by name.
  */
 class SparkEntrySpec extends AnyFunSuite {
 
   private val documentedRowsOnly = Set(
     "sim_lsh_recall", "sim_ivf_recall", "sim_ivf_indexed",
-    "dedup_embedding_cosine_10x", "dedup_span_report_10x")
+    "dedup_embedding_cosine_10x")
 
-  test("every query is oracle-backed except the documented rows-only five") {
+  test("every query is oracle-backed except the documented rows-only four") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((q -- o) == documentedRowsOnly,

@@ -28,6 +28,26 @@ object SparkSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Spark 4.1's checkpoint file checksums (on by default) write a
+      // sidecar per state-store/offset file through a worker pool whose
+      // local-FS stats go through Hadoop Shell FORKS (no native hadoop lib
+      // here): the streaming suites' micro-batches each commit
+      // 4-partitions' deltas × checksum sidecars, and the fork storm was
+      // measured as the battery's dominant wall (state-store commits
+      // crawling in ChecksumCheckpointFileManager.awaitResult — r11 jstack).
+      // Integrity of test-local tmp checkpoints is not what these suites
+      // assert; a real DFS deployment re-enables it per stream.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // With ProcessingTimeTimeout state timers (StatefulOps) or
+      // transformWithState timers (StatefulOpsV2), `shouldRunAnotherBatch`
+      // is always true — under Trigger.AvailableNow the engine then spins
+      // NO-DATA micro-batches forever (r11 jstack: a single test query at
+      // batch 2600+, still running 17 min after its suite passed), outliving
+      // awaitTermination(timeout) and starving every later suite in the JVM.
+      // The in-test timers are hours long and never meant to fire; tests
+      // that DO need a no-data batch (watermark finalization) set this back
+      // to true around their query.
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
