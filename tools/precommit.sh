@@ -10,8 +10,9 @@
 #      with GRAFT_FULL_PARITY=true once per round / on the final binary),
 #   3. graft.Verify at sf0.01 + the DuckDB oracle compare (the real gate).
 #
-# Total ~10 min on this host — vs ~44 loaded minutes for the full battery,
-# which stays a per-round certification, not a per-commit one.
+# Total ~10 min on this host. (Since r11 the FULL battery is also cheap —
+# ~3-5 min wall via parallel suite groups — so `sbt test` is a reasonable
+# per-commit alternative when many suites are touched.)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
