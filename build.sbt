@@ -25,7 +25,13 @@ run / fork := true
 // affinity are pinned to one group (the serve trio shares the Connect
 // service lifecycle; streaming suites are the heavy drives, spread across
 // groups); the rest distribute by name hash.
-val testGroupCount = 8
+// Proportional to the host: 4 Spark threads per group JVM, capped at 8
+// groups (this box: 32 cores → 8). Merging groups on a smaller machine is
+// always safe — suites within a group run sequentially — it only costs
+// parallelism; a fixed 8 would commit up to 64 GB of heap ceilings and 32
+// worker threads regardless of host size.
+val testGroupCount = math.max(1,
+  math.min(8, java.lang.Runtime.getRuntime.availableProcessors / 4))
 val pinnedTestGroups: Map[String, Int] = Map(
   // the config-parity sweep is the single heaviest suite — own group
   "graft.coverage.AqeParitySpec" -> 0,
@@ -60,7 +66,7 @@ Test / testGrouping := {
   (Test / definedTests).value
     .groupBy(t => pinnedTestGroups.getOrElse(t.name,
       // unpinned suites hash over the non-pinned-heavy groups (4..7)
-      4 + math.abs(t.name.hashCode % 4)))
+      4 + math.abs(t.name.hashCode % 4)) % testGroupCount)
     .toSeq.sortBy(_._1)
     .map { case (g, tests) =>
       Tests.Group(s"g$g", tests, Tests.SubProcess(

@@ -404,7 +404,30 @@ object Dedup {
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
       .select(col("id"), col("sh"),
-        minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))
+        minhashSignatureOfShingles(col("sh"), numHashes).as("sig",
+          // stamped so the consuming entry points can fail fast on a
+          // numHashes mismatch: slicing a 32-slot signature as 64 would
+          // make half the band keys constant-empty — every document
+          // colliding, then silently dropped by the bucket skew guard
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(sketchNumHashesKey, numHashes.toLong).build()))
+
+  private val sketchNumHashesKey = "graft.sketch.numHashes"
+
+  /** Fail fast when a precomputed sketch was built with a different
+    * numHashes than the consuming call (see [[sketchFrame]]'s metadata
+    * stamp) — the mismatch is otherwise a silent wrong-AND-incomplete
+    * result, not an error. Unstamped frames pass (caller's contract). */
+  private def requireSketchHashes(sk: DataFrame, numHashes: Int): DataFrame = {
+    val md = sk.schema("sig").metadata
+    require(!md.contains(sketchNumHashesKey) ||
+        md.getLong(sketchNumHashesKey) == numHashes.toLong,
+      s"precomputedSketch was built with numHashes=" +
+        s"${md.getLong(sketchNumHashesKey)} but this call uses " +
+        s"numHashes=$numHashes — band slicing would silently produce " +
+        "constant band hashes (wrong and incomplete output)")
+    sk
+  }
 
   /**
    * Near-duplicate pairs: MinHash-LSH candidates verified with exact n-gram
@@ -426,14 +449,15 @@ object Dedup {
       precomputedSketch: Option[DataFrame] = None): DataFrame = {
     require(precomputedSketch.isEmpty || !portableHashing,
       "precomputedSketch carries xxhash64 signatures; portableHashing builds md5 ones")
-    val shingleHash: Column => Column =
-      if (portableHashing) portableHash60 else (c: Column) => xxhash64(c)
-    val sig = precomputedSketch.getOrElse(persistTracked(
-      df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-        .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
-        .select(col("id"), col("sh"),
-          graft.expressions.SketchExpressions.minhash_signature(
-            transform(col("sh"), shingleHash), numHashes).as("sig"))))
+    val sig = precomputedSketch.map(requireSketchHashes(_, numHashes))
+      .getOrElse(persistTracked(
+        if (portableHashing)
+          df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+            .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
+            .select(col("id"), col("sh"),
+              graft.expressions.SketchExpressions.minhash_signature(
+                transform(col("sh"), portableHash60(_)), numHashes).as("sig"))
+        else sketchFrame(df, idCol, textCol, numHashes)))
 
     val banded = pruneFullBuckets(
       bandRows(sig, numHashes, bands, portableHashing),
@@ -467,10 +491,9 @@ object Dedup {
                 numHashes: Int = 64, bands: Int = 16,
                 precomputedSketch: Option[DataFrame] = None): DataFrame =
     bandRows(
-      precomputedSketch.map(_.select(col("id"), col("sig"))).getOrElse(
-        df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-          .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
-          .select(col("id"), minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))),
+      precomputedSketch.map(requireSketchHashes(_, numHashes))
+        .getOrElse(sketchFrame(df, idCol, textCol, numHashes))
+        .select(col("id"), col("sig")),
       numHashes, bands)
 
   /**
@@ -512,11 +535,8 @@ object Dedup {
       precomputedSketch: Option[DataFrame] = None): DataFrame = {
     // `precomputedSketch`: a [[sketchFrame]] of `incoming` the caller already
     // computed and persisted — the batch is then sketched zero times here.
-    val inc = precomputedSketch.getOrElse(persistTracked(
-      incoming.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-        .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
-        .select(col("id"), col("sh"),
-          minhashSignatureOfShingles(col("sh"), numHashes).as("sig"))))
+    val inc = precomputedSketch.map(requireSketchHashes(_, numHashes))
+      .getOrElse(persistTracked(sketchFrame(incoming, idCol, textCol, numHashes)))
     val incBands = bandRows(inc.select("id", "sig"), numHashes, bands)
     val corpusIdx = corpusBands
       .getOrElse(bandIndex(corpus, idCol, textCol, numHashes, bands))

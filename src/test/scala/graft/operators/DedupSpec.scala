@@ -314,4 +314,29 @@ class DedupSpec extends SparkSuite {
       "corpus ids in the batch must produce no pairs (re-delivered state)")
     Dedup.unpersistSketches()
   }
+
+  test("a precomputed sketch built with a DIFFERENT numHashes fails fast " +
+      "in every consuming entry point") {
+    // Without the guard this is a silent wrong-AND-incomplete result, not
+    // an error: slicing a 32-slot signature as 64 makes half the band keys
+    // constant-empty, so every document collides and the skew guard then
+    // drops the exploded buckets. sketchFrame stamps numHashes in the sig
+    // column metadata; the entry points require a match.
+    val sk32 = Dedup.sketchFrame(docs, "doc_id", "text", numHashes = 32)
+    for (bad <- Seq(
+        () => Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+          numHashes = 64, precomputedSketch = Some(sk32)),
+        () => Dedup.bandIndex(docs, "doc_id", "text",
+          numHashes = 64, precomputedSketch = Some(sk32)),
+        () => Dedup.incrementalNearDupPairs(docs, docs, "doc_id", "text",
+          numHashes = 64, precomputedSketch = Some(sk32)))) {
+      val e = intercept[IllegalArgumentException](bad())
+      assert(e.getMessage.contains("numHashes"))
+    }
+    // matching numHashes passes the guard and produces the usual pairs
+    assert(Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.7,
+        numHashes = 32, precomputedSketch = Some(sk32))
+      .collect().nonEmpty)
+    Dedup.unpersistSketches()
+  }
 }
