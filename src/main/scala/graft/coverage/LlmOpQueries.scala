@@ -543,14 +543,19 @@ object LlmOpQueries {
 
   /**
    * The embedding near-dup corpus replicated 10× under per-replica
-   * deterministic SIGN FLIPS (dimension i of replica k flips iff
-   * `xxhash64(k, i)` is odd). Sign flips preserve all WITHIN-replica inner
-   * products exactly — ⟨s∘x, s∘y⟩ = Σ sᵢ²xᵢyᵢ = ⟨x,y⟩ — so each replica
-   * keeps the same planted-pair geometry, while CROSS-replica cosines of
-   * formerly-identical vectors become a ±-signed sum with mean 0 and std
-   * ≈ 1/√d ≈ 0.125: reaching the 0.99 verify threshold is a ~8σ event, so
-   * replicas contribute no cross pairs. A clean 10× scale-up of the
-   * LSH-bucket + verify workload (pre-materialized input).
+   * deterministic SIGN FLIPS (dimension i of replica k flips iff the first
+   * md5 hex digit of "k_i" is odd — md5 rather than xxhash64 since r11, so
+   * an external engine can rebuild the corpus bit-identically; the flips
+   * are a fixed per-(k,i) pattern either way, and within-replica geometry
+   * is invariant under ANY sign pattern). Sign flips preserve all
+   * WITHIN-replica inner products exactly — ⟨s∘x, s∘y⟩ = Σ sᵢ²xᵢyᵢ =
+   * ⟨x,y⟩ — so each replica keeps the same planted-pair geometry, while
+   * CROSS-replica cosines of formerly-identical vectors become a ±-signed
+   * sum with mean 0 and std ≈ 1/√d ≈ 0.125: reaching the 0.99 verify
+   * threshold is a ~8σ event, so replicas contribute no cross pairs. A
+   * clean 10× scale-up of the LSH-bucket + verify workload
+   * (pre-materialized input; the md5-per-(k,i) cost is construction-time,
+   * never timed).
    */
   private def nearDupEmbeddings10x(s: SparkSession, dir: String): DataFrame =
     matInput(s, dir, "emb_neardup10x") {
@@ -558,7 +563,8 @@ object LlmOpQueries {
       (0 until 10).map { k =>
         base.select((col("vec_id") + lit(k * 100000000L)).as("vec_id"),
           transform(col("v"), (x, i) =>
-            when(pmod(xxhash64(lit(k), i), lit(2)) === 0, x).otherwise(-x)).as("v"))
+            when(conv(substring(md5(concat_ws("_", lit(k), i)), 1, 1), 16, 10)
+                   .cast("int") % 2 === 0, x).otherwise(-x)).as("v"))
       }.reduce(_ unionByName _)
         .repartition(s.sessionState.conf.numShufflePartitions)
     }
@@ -610,6 +616,36 @@ object LlmOpQueries {
           sum(when(pmod(col("id_a"), lit(100000000L)) + 1000000L
               === pmod(col("id_b"), lit(100000000L)), 1L).otherwise(0L))
             .as("n_planted_found"))
+    })
+
+  /** The embedding-10× path ORACLE-certified by deterministic subsample
+    * (r11, VERDICT r10 item 3's second half): the full 10× corpus's exact
+    * all-pairs oracle is O((10N)²) and stays out of reach, so — the
+    * [[dedupMinhashVerified]] precedent — run the SAME bucket+verify
+    * operator over a BOUNDED, planted-pair-CLOSED sub-corpus of the 10×
+    * replicated vectors (base id ≡ 0 mod 10 and < 1000: every planted
+    * (b, b+1e6) pair keeps both endpoints, across all 10 replicas; ≤ 2 000
+    * vectors at any sf) and hash-compare the pair LIST against DuckDB's
+    * exact all-pairs join over the identically rebuilt sub-corpus — md5
+    * sign flips make the 10× replication engine-portable. Certifies the
+    * whole chain end-to-end at the 10× construction: replication, sign
+    * flips, normalization, occupancy-sized bucketing, exact-cosine verify,
+    * full recall on every ≥-threshold pair in the subset. Full-10×-corpus
+    * scale evidence remains [[dedupEmbeddingCosine10x]]'s job (rows-only,
+    * structural 10× self-check). */
+  def dedupEmbeddingCosine10xVerified(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((s, dir, "__q_emb_cosine_10x_ver"), {
+      val baseId = pmod(pmod(col("vec_id"), lit(100000000L)), lit(1000000L))
+      val sub = matInput(s, dir, "emb_neardup10x_sub") {
+        nearDupEmbeddings10x(s, dir)
+          .filter(baseId % 10 === 0 && baseId < 1000)
+      }
+      val bits = SimilaritySearch.sizedLshBits(sub.count(),
+        targetOccupancy = 21, minBits = 8)
+      SimilaritySearch.cosineNearDuplicates(sub,
+          "vec_id", "v", threshold = 0.99, nTables = 8, nBits = bits)
+        .select("id_a", "id_b")
+        .orderedSmallBarrier(col("id_a"), col("id_b"))
     })
 
   /**

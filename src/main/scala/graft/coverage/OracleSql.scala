@@ -1272,6 +1272,34 @@ object OracleSql {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // The 10× embedding path, oracle-certified by deterministic subsample
+    // (r11): DuckDB rebuilds the 10× replication — md5("k_i") first-hex-
+    // digit parity sign flips, bit-identical to the Spark construction —
+    // restricts to the bounded planted-pair-closed subset (base id ≡ 0
+    // mod 10, < 1000), and runs the EXACT all-pairs ≥ 0.99 join. The 0.99
+    // decision has ~0.49 of margin (planted ≈ 0.999999, natural max
+    // ≈ 0.51), so list_cosine_similarity's op order is irrelevant.
+    "dedup_embedding_cosine_10x_verified" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pert AS (SELECT vec_id + 1000000 AS vec_id,
+        |                list_transform(range(len(v)),
+        |                               i -> v[i+1] * (1 + 0.001*((i % 5) - 2))) AS v
+        |         FROM base WHERE vec_id % 10 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |rep AS (SELECT c.vec_id + k.k * 100000000 AS vec_id,
+        |               list_transform(range(len(c.v)),
+        |                 i -> CASE WHEN (strpos('0123456789abcdef',
+        |                        substring(md5(k.k::VARCHAR || '_' || i::VARCHAR), 1, 1)) - 1) % 2 = 0
+        |                      THEN c.v[i+1] ELSE -c.v[i+1] END) AS v
+        |        FROM corpus c CROSS JOIN (SELECT unnest(range(10)) AS k) k),
+        |sub AS (SELECT * FROM rep
+        |        WHERE (vec_id % 100000000) % 1000000 % 10 = 0
+        |          AND (vec_id % 100000000) % 1000000 < 1000)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "j_asof_join" ->
       """WITH o AS (SELECT o_custkey AS user_id, o_orderdate,
         |                  max(o_orderkey) AS last_order_key

@@ -9,8 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
  * rows-only set to exactly the four documented-by-construction queries
  * (the recall-gated ANN rows, plus the embedding-cosine scale row whose
  * exact oracle is O((10N)²) — its span-census sibling gained a full oracle
- * in r11, since that census is linear) — adding a query without an oracle,
- * or orphaning an oracle entry, fails here by name.
+ * in r11 since that census is linear, and the embedding path itself is
+ * oracle-certified by the bounded-subsample twin
+ * `dedup_embedding_cosine_10x_verified`) — adding a query without an
+ * oracle, or orphaning an oracle entry, fails here by name.
  */
 class SparkEntrySpec extends AnyFunSuite {
 
