@@ -31,6 +31,19 @@ final case class OrderUpdate(order_id: String, n_events: Long,
  * The same function runs on a batch Dataset (state starts empty, one
  * invocation per key) — StatefulOpsSpec checks both, including state carry
  * across two real micro-batches.
+ *
+ * Deployment note (measured on Spark 4.1, r11): with `ProcessingTimeTimeout`
+ * state pending, `shouldRunAnotherBatch` is always true, so a
+ * `Trigger.AvailableNow()` drain does NOT terminate after the available
+ * data — the engine keeps scheduling no-data micro-batches to check timers
+ * (observed: thousands of empty batches after a two-file drain). For
+ * bounded drains either set
+ * `spark.sql.streaming.noDataMicroBatches.enabled=false` on the session
+ * (timers then fire only on data-bearing batches) or treat
+ * `awaitTermination(timeout)`'s false return as "drained but alive" and
+ * `stop()` the query. Continuous `Trigger.ProcessingTime` deployments are
+ * unaffected — there the timer-driven no-data batch per interval is
+ * exactly what evicts idle state.
  */
 object StatefulOps {
 

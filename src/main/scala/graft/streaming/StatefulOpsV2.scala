@@ -22,6 +22,12 @@ import graft.model.LogisticsEvent
  * (transformWithState requires the RocksDB provider — which is also the
  * right provider at production state sizes: state lives off-heap/on-disk
  * with changelog checkpointing, not in executor heap snapshots).
+ *
+ * Deployment note: the TTL timers interact with `Trigger.AvailableNow()`
+ * exactly like v1's `ProcessingTimeTimeout` — the engine keeps scheduling
+ * no-data micro-batches while timers are pending, so a bounded drain never
+ * terminates on its own; see [[StatefulOps]]' deployment note for the two
+ * remedies.
  */
 object StatefulOpsV2 {
 
