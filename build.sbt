@@ -61,7 +61,10 @@ val pinnedTestGroups: Map[String, Int] = Map(
   "graft.operators.DedupSpec" -> 7,
 )
 Test / testGrouping := {
-  val opts = (Test / javaOptions).value
+  // extend the task-scoped fork options (javaOptions, envVars, output
+  // strategy, …) rather than building bare ForkOptions() — a bare one
+  // silently drops any later `Test / envVars` / `javaHome` additions
+  val baseFo = (Test / forkOptions).value
   val base = baseDirectory.value
   (Test / definedTests).value
     .groupBy(t => pinnedTestGroups.getOrElse(t.name,
@@ -70,17 +73,18 @@ Test / testGrouping := {
     .toSeq.sortBy(_._1)
     .map { case (g, tests) =>
       Tests.Group(s"g$g", tests, Tests.SubProcess(
-        ForkOptions()
+        baseFo
           .withWorkingDirectory(Some(base))
-          .withRunJVMOptions((opts ++ Seq(
-            s"-Dspark.sql.warehouse.dir=${base / "target" / s"test-warehouse-g$g"}",
-          )).toVector)))
+          .withRunJVMOptions(baseFo.runJVMOptions :+
+            s"-Dspark.sql.warehouse.dir=${base / "target" / s"test-warehouse-g$g"}")))
     }
 }
-// sbt's default allows only ONE forked test group at a time
+// sbt's default allows only ONE forked test group at a time; keep the
+// default Clean exclusivity so `;clean ;test` can't race target/ deletion
 Global / concurrentRestrictions := Seq(
   Tags.limit(Tags.ForkedTestGroup, testGroupCount),
-  Tags.limitAll(math.max(testGroupCount, 4)))
+  Tags.limitAll(math.max(testGroupCount, 4)),
+  Tags.exclusive(Tags.Clean))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -324,11 +324,12 @@ object Dedup {
       maxBucketSize: Int = 256): DataFrame = {
     // The sketch projection feeds two consumers (bucket stats + the pair
     // join) — persist it once; the banded stream itself carries only
-    // (id, band, band_hash), never the 64-long signature.
+    // (id, band, band_hash), never the 64-long signature. The shingle
+    // array is pruned BEFORE the persist (this entry point verifies by
+    // signature agreement, not exact Jaccard), so the cache holds
+    // (id, sig) only — never the wide shingle arrays.
     val sig = persistTracked(
-      df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-        .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
-        .select(col("id"), minhashSignatureOfShingles(col("sh"), numHashes).as("sig")))
+      sketchFrame(df, idCol, textCol, numHashes).select(col("id"), col("sig")))
 
     val banded = pruneFullBuckets(bandRows(sig, numHashes, bands),
       Seq("band", "band_hash"), maxBucketSize)
@@ -396,15 +397,24 @@ object Dedup {
    * that feeds the same documents to several of them — the per-batch hot
    * loop of [[graft.streaming.StreamingDedup]] — pays the sketch exactly
    * once instead of once per entry point. Callers persist it themselves
-   * ([[persistTracked]]) since it feeds multiple consumers. Default
-   * (xxhash64) hashing only — the portable-md5 variants build their own.
+   * ([[persistTracked]]) since it feeds multiple consumers.
+   *
+   * `shingleHash` is the per-shingle 64-bit hash feeding the signature —
+   * xxhash64 by default, [[portableHash60]] for the oracle-replayable md5
+   * variants. This is the ONLY construction of the tokenize→shingle→minhash
+   * chain; every entry point (including the portable ones) goes through it
+   * so a staging change can never silently diverge the replayed sketch
+   * from the default one. The `precomputedSketch` contracts remain
+   * default-hash only.
    */
   def sketchFrame(df: DataFrame, idCol: String, textCol: String,
-                  numHashes: Int = 64): DataFrame =
+                  numHashes: Int = 64,
+                  shingleHash: Column => Column = xxhash64(_)): DataFrame =
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
       .select(col("id"), col("sh"),
-        minhashSignatureOfShingles(col("sh"), numHashes).as("sig",
+        graft.expressions.SketchExpressions.minhash_signature(
+          transform(col("sh"), shingleHash), numHashes).as("sig",
           // stamped so the consuming entry points can fail fast on a
           // numHashes mismatch: slicing a 32-slot signature as 64 would
           // make half the band keys constant-empty — every document
@@ -452,11 +462,7 @@ object Dedup {
     val sig = precomputedSketch.map(requireSketchHashes(_, numHashes))
       .getOrElse(persistTracked(
         if (portableHashing)
-          df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-            .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
-            .select(col("id"), col("sh"),
-              graft.expressions.SketchExpressions.minhash_signature(
-                transform(col("sh"), portableHash60(_)), numHashes).as("sig"))
+          sketchFrame(df, idCol, textCol, numHashes, portableHash60(_))
         else sketchFrame(df, idCol, textCol, numHashes)))
 
     val banded = pruneFullBuckets(

@@ -91,6 +91,23 @@ object ConnectServe {
             "or --conf spark.sql.extensions=graft.GraftExtensions, or pass " +
             "readOnly=false to serve trusted full-capability clients")
       }
+      // Direct liveness probe BEFORE any global-conf mutation: a service
+      // already running means the start() below would be a no-op that never
+      // reads the interceptor conf — fail fast here, and fail SIDE-EFFECT
+      // FREE (the binding/interceptor conf.sets below mutate the JVM-global
+      // SparkConf; probing after them would leave a failed readOnly start
+      // having silently re-pointed a later external service restart at
+      // graft's port with graft's interceptor installed). The probe also
+      // backs up the installCount witness after start(), which a CONCURRENT
+      // Connect-server build in the same JVM advancing the counter could
+      // mask (the witness assumes this is the only builder between its two
+      // reads; the probe has no such assumption).
+      if (readOnly) require(
+        !org.apache.spark.sql.connect.GraftConnectBridge.serviceRunning(),
+        "readOnly=true but a Spark Connect service is already running in " +
+          "this JVM — its gRPC server was built without the read-only wire " +
+          "interceptor. Stop it (SparkConnectService.stop) and start the " +
+          "endpoint through ConnectServe, or serve readOnly=false")
       // sc.conf is private[spark]; SparkEnv.conf is the same live SparkConf
       // instance the Connect service reads its binding config from.
       val conf = org.apache.spark.SparkEnv.get.conf
@@ -110,18 +127,6 @@ object ConnectServe {
       // arm BEFORE the endpoint binds: a client that connects in the start
       // window must never reach an analyzer (or the interceptor) unguarded —
       // the boundary exists from the first instant the port is live.
-      // Direct liveness probe first: a service already running means the
-      // start() below is a no-op that never reads the interceptor conf —
-      // fail fast here rather than rely on the installCount witness alone,
-      // which a CONCURRENT Connect-server build in the same JVM advancing
-      // the counter could mask (the witness assumes this is the only
-      // builder between its two reads; the probe has no such assumption)
-      if (readOnly) require(
-        !org.apache.spark.sql.connect.GraftConnectBridge.serviceRunning(),
-        "readOnly=true but a Spark Connect service is already running in " +
-          "this JVM — its gRPC server was built without the read-only wire " +
-          "interceptor. Stop it (SparkConnectService.stop) and start the " +
-          "endpoint through ConnectServe, or serve readOnly=false")
       val installsBefore = ReadOnlyInterceptor.installCount.get()
       ReadOnlyGuard.enforcing = readOnly
       try {

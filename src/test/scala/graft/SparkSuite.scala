@@ -44,9 +44,11 @@ object SparkSuite {
       // NO-DATA micro-batches forever (r11 jstack: a single test query at
       // batch 2600+, still running 17 min after its suite passed), outliving
       // awaitTermination(timeout) and starving every later suite in the JVM.
-      // The in-test timers are hours long and never meant to fire; tests
-      // that DO need a no-data batch (watermark finalization) set this back
-      // to true around their query.
+      // The in-test timers are hours long and never meant to fire; a test
+      // that DOES need a no-data batch (watermark finalization) sets this
+      // back to true around its query and restores false in a finally —
+      // the pattern to copy is EventStreamIngestSpec's "append-mode window
+      // finalization" test.
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -100,6 +100,42 @@ class EventStreamIngestSpec extends SparkSuite {
     assert(counts.agg(sum("event_count")).head().getLong(0) == 120L)
   }
 
+  test("append-mode window finalization: a no-data batch flushes closed windows") {
+    // The battery disables no-data micro-batches JVM-wide (see SparkSuite:
+    // pending stateful-timeout timers make a bounded AvailableNow drain spin
+    // forever). THIS test is the documented exception pattern for suites that
+    // need watermark finalization: re-enable the conf around the query.
+    // Append mode emits a window only once the watermark passes its end,
+    // which for a bounded drain happens in the NO-DATA batch after the last
+    // data batch — with the conf off, this query would emit zero rows. No
+    // timers are involved, so the drain still terminates: the no-data batch
+    // cannot advance the watermark further and shouldRunAnotherBatch goes
+    // false after one finalization pass.
+    val s = spark
+    import s.implicits._
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    spark.conf.set(key, "true")
+    try {
+      val tmp = Files.createTempDirectory("graft-append-final").toString
+      val srcDir = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
+      // minutes 01:01..01:30, one event each; 10-min lateness → after the
+      // data batch the watermark lands at 01:20, finalizing exactly the
+      // windows that END at or before it: minutes 1..19
+      writeBatchFile((1 to 30).map(ev), s"$srcDir/b.parquet")
+      val counts = EventStreamIngest.minuteCounts(
+        EventStreamIngest.fromFiles(spark, srcDir))
+      val q = counts.writeStream.format("memory").queryName("minute_final")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val out = spark.table("minute_final")
+        .select(date_format(col("minute"), "mm"), col("event_count"))
+        .as[(String, Long)].collect().toSeq.sorted
+      assert(out == (1 to 19).map(m => (f"$m%02d", 1L)))
+    } finally spark.conf.set(key, "false") // restore the battery-wide default
+  }
+
   test("streaming session counts: session_window closes sessions at the gap") {
     val s = spark
     import s.implicits._
