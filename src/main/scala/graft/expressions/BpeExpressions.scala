@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -32,8 +32,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * once per row.
  */
 case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = StructType(Seq(
     StructField("text_bpe", StringType, nullable = false),
     StructField("n_subwords", IntegerType, nullable = false)))
@@ -80,18 +81,28 @@ case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])
     val nTok = arr.numElements()
     val sb = new java.lang.StringBuilder
     var total = 0
+    var emitted = false
     var t = 0
     while (t < nTok) {
-      if (t > 0) sb.append(' ')
       val w = arr.getUTF8String(t)
+      // the separator is appended only when THIS token emits subwords (r11
+      // review): null/empty tokens contribute nothing, and appending the
+      // space unconditionally produced leading/double spaces — text_bpe
+      // could then not be split on single spaces to recover the subword
+      // groups n_subwords counts. (The tokenizer emits neither, so the
+      // certified rows are byte-identical.)
       if (w != null) {
         val subs = segmentWord(w.toString)
-        total += subs.length
-        var s = 0
-        while (s < subs.length) {
-          if (s > 0) sb.append("@@")
-          sb.append(subs(s))
-          s += 1
+        if (subs.length > 0) {
+          if (emitted) sb.append(' ')
+          emitted = true
+          total += subs.length
+          var s = 0
+          while (s < subs.length) {
+            if (s > 0) sb.append("@@")
+            sb.append(subs(s))
+            s += 1
+          }
         }
       }
       t += 1

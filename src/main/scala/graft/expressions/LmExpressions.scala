@@ -2,10 +2,23 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeMapData}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeMapData}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Identity key of a broadcast [[MapData]]'s backing buffer — the cache key
+  * the view-building expressions ([[BigramNllExpr]], [[NbSumLogExpr]]) share:
+  * every row of a task reads the same broadcast bytes, so equal identity ⇒
+  * same model ⇒ the per-task hash view can be reused. One definition, so the
+  * two caches can never drift on what "same model" means. */
+private[expressions] object MapViewKey {
+  def identityOf(m: MapData): (AnyRef, Long) = m match {
+    case u: UnsafeMapData => (u.getBaseObject, u.getBaseOffset)
+    case other => (other, 0L)
+  }
+}
 
 /**
  * Fused bigram-NLL scoring (round-5 verdict item 5): per document, the
@@ -37,9 +50,14 @@ import org.apache.spark.sql.types._
  */
 case class BigramNllExpr(tokens: Expression, bgMap: Expression,
                          pfxMap: Expression, vocab: Expression, k: Double)
-    extends Expression with CodegenFallback {
+    extends Expression with CodegenFallback with ExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(tokens, bgMap, pfxMap, vocab)
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(
+    ArrayType(StringType),
+    MapType(StringType, MapType(StringType, LongType)),
+    MapType(StringType, LongType),
+    org.apache.spark.sql.graftbridge.TypeBridge.oneOf(LongType, IntegerType))
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("n_bigrams", LongType, nullable = false),
@@ -51,55 +69,58 @@ case class BigramNllExpr(tokens: Expression, bgMap: Expression,
   // value for a seen (w1,w2) is the full `-ln((c12+k)/(c1+k·v))` double,
   // the per-w1 fallback is the unseen-w2 term `-ln(k/(c1+k·v))`, and
   // `globalFallback` covers unseen w1 — so the per-bigram cost is a lookup
-  // chain plus one add, zero `ln` calls on the hot path (`Math.log` moves
-  // to the vocabulary-bounded build, evaluating the IDENTICAL expression,
-  // so sums are bit-for-bit what the per-occurrence formulation produced).
+  // chain plus one add, zero `ln` calls on the hot path. `StrictMath.log`,
+  // not `Math.log` (r11 review): Spark's `log` function evaluates via
+  // StrictMath, and the bit-identity with the exploded sum(log(…))
+  // formulation that LmScoreSpec pins requires the same ulps on EVERY
+  // platform — Math.log's intrinsic is allowed to differ by 1 ulp, which
+  // would break the pin (and the oracle hash) on a JVM where it does. Same
+  // invariant [[NbSumLogExpr]] documents. Views are keyed by UTF8String —
+  // content-hashed, so probes on the hot loop below compare the scan's raw
+  // bytes with ZERO per-token String allocation; build-time keys are
+  // cloned out of the broadcast buffer (vocab-bounded copies).
   // Identity key: the UnsafeMapData's backing buffer + offset — every row
   // of a task reads the same broadcast bytes, so views build once per task,
-  // not per row.
+  // not per row ([[MapViewKey]]).
   @transient private var viewKey: (AnyRef, Long, AnyRef, Long, Long) = _
   @transient private var bgView:
-    java.util.HashMap[String, java.util.HashMap[String, java.lang.Double]] = _
-  @transient private var pfxView: java.util.HashMap[String, java.lang.Double] = _
+    java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Double]] = _
+  @transient private var pfxView: java.util.HashMap[UTF8String, java.lang.Double] = _
   @transient private var globalFallback: Double = _
-
-  private def identityOf(m: MapData): (AnyRef, Long) = m match {
-    case u: UnsafeMapData => (u.getBaseObject, u.getBaseOffset)
-    case other => (other, 0L)
-  }
 
   private def buildViews(bg: MapData, pfx: MapData, v: Long): Unit = {
     val kv = k * v
     // raw prefix counts first: the bigram NLLs need c1 per w1
-    val c1s = new java.util.HashMap[String, java.lang.Long](pfx.numElements() * 2)
+    val c1s = new java.util.HashMap[UTF8String, java.lang.Long](pfx.numElements() * 2)
     val pks = pfx.keyArray(); val pvs = pfx.valueArray()
     var i = 0
     while (i < pfx.numElements()) {
-      c1s.put(pks.getUTF8String(i).toString, pvs.getLong(i))
+      c1s.put(pks.getUTF8String(i).clone(), pvs.getLong(i))
       i += 1
     }
-    pfxView = new java.util.HashMap[String, java.lang.Double](pfx.numElements() * 2)
+    pfxView = new java.util.HashMap[UTF8String, java.lang.Double](pfx.numElements() * 2)
     val it = c1s.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      pfxView.put(e.getKey, -Math.log((0L + k) / (e.getValue.longValue() + kv)))
+      pfxView.put(e.getKey,
+        -StrictMath.log((0L + k) / (e.getValue.longValue() + kv)))
     }
-    globalFallback = -Math.log((0L + k) / (0L + kv))
-    bgView = new java.util.HashMap[String, java.util.HashMap[String, java.lang.Double]](
+    globalFallback = -StrictMath.log((0L + k) / (0L + kv))
+    bgView = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Double]](
       bg.numElements() * 2)
     val ks = bg.keyArray(); val vs = bg.valueArray()
     i = 0
     while (i < bg.numElements()) {
-      val w1 = ks.getUTF8String(i).toString
+      val w1 = ks.getUTF8String(i).clone()
       val c1o = c1s.get(w1)
       val c1 = if (c1o == null) 0L else c1o.longValue()
       val inner = vs.getMap(i)
-      val h = new java.util.HashMap[String, java.lang.Double](inner.numElements() * 2)
+      val h = new java.util.HashMap[UTF8String, java.lang.Double](inner.numElements() * 2)
       val iks = inner.keyArray(); val ivs = inner.valueArray()
       var j = 0
       while (j < inner.numElements()) {
-        h.put(iks.getUTF8String(j).toString,
-          -Math.log((ivs.getLong(j) + k) / (c1 + kv)))
+        h.put(iks.getUTF8String(j).clone(),
+          -StrictMath.log((ivs.getLong(j) + k) / (c1 + kv)))
         j += 1
       }
       bgView.put(w1, h)
@@ -107,9 +128,11 @@ case class BigramNllExpr(tokens: Expression, bgMap: Expression,
     }
   }
 
-  private def strAt(a: ArrayData, i: Int): String = {
+  // null tokens normalize to "" — the [[BigramCountsExpr]] training
+  // convention, so training and scoring can never disagree on such an input
+  private def strAt(a: ArrayData, i: Int): UTF8String = {
     val u = a.getUTF8String(i)
-    if (u == null) "" else u.toString
+    if (u == null) UTF8String.EMPTY_UTF8 else u
   }
 
   override def eval(input: InternalRow): Any = {
@@ -126,7 +149,8 @@ case class BigramNllExpr(tokens: Expression, bgMap: Expression,
       case l: java.lang.Long => l.longValue()
       case i: java.lang.Integer => i.longValue()
     }
-    val bgId = identityOf(bgData); val pfxId = identityOf(pfxData)
+    val bgId = MapViewKey.identityOf(bgData)
+    val pfxId = MapViewKey.identityOf(pfxData)
     val key = (bgId._1, bgId._2, pfxId._1, pfxId._2, v)
     if (bgView == null || viewKey != key) { buildViews(bgData, pfxData, v); viewKey = key }
 
@@ -175,11 +199,12 @@ case class BigramNllExpr(tokens: Expression, bgMap: Expression,
  * `map_from_entries`).
  */
 case class BigramCountsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
-  import org.apache.spark.unsafe.types.UTF8String
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("w1", StringType, nullable = true),
@@ -248,13 +273,16 @@ case class BigramCountsExpr(child: Expression)
  * thread (Spark's task model guarantees this).
  */
 case class NbSumLogExpr(tokens: Expression, model: Expression, nClasses: Int)
-    extends Expression with CodegenFallback {
+    extends Expression with CodegenFallback with ExpectsInputTypes {
 
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
   require(nClasses >= 1, s"nClasses must be >= 1, got $nClasses")
 
   override def children: Seq[Expression] = Seq(tokens, model)
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(
+    ArrayType(StringType),
+    MapType(StringType, ArrayType(LongType)))
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
@@ -263,12 +291,7 @@ case class NbSumLogExpr(tokens: Expression, model: Expression, nClasses: Int)
   override def prettyName: String = "nb_sum_log"
 
   @transient private var modelKey: (AnyRef, Long) = _
-  @transient private var modelView: java.util.HashMap[String, Array[Double]] = _
-
-  private def identityOf(m: MapData): (AnyRef, Long) = m match {
-    case u: UnsafeMapData => (u.getBaseObject, u.getBaseOffset)
-    case other => (other, 0L)
-  }
+  @transient private var modelView: java.util.HashMap[UTF8String, Array[Double]] = _
 
   // The view stores each token's per-class `ln(count+1)` contributions
   // PRE-COMPUTED (round 7) — StrictMath.log, not Math.log: Spark's `log`
@@ -276,9 +299,11 @@ case class NbSumLogExpr(tokens: Expression, model: Expression, nClasses: Int)
   // sum(log(…)) formulation (r6's certified output) requires the same ulps.
   // Unseen tokens contribute ln(0+1) = +0.0 per class, which never changes
   // a sum that starts at +0.0 and only ever adds non-negative terms, so the
-  // hot loop skips them entirely.
-  private def buildView(m: MapData): java.util.HashMap[String, Array[Double]] = {
-    val h = new java.util.HashMap[String, Array[Double]](m.numElements() * 2)
+  // hot loop skips them entirely. UTF8String keys (content-hashed): probes
+  // compare the scan's raw bytes, zero per-token String allocation; the
+  // vocab-bounded build clones its keys out of the broadcast buffer.
+  private def buildView(m: MapData): java.util.HashMap[UTF8String, Array[Double]] = {
+    val h = new java.util.HashMap[UTF8String, Array[Double]](m.numElements() * 2)
     val ks = m.keyArray(); val vs = m.valueArray()
     var i = 0
     while (i < m.numElements()) {
@@ -286,7 +311,7 @@ case class NbSumLogExpr(tokens: Expression, model: Expression, nClasses: Int)
       val ls = new Array[Double](cs.length)
       var c = 0
       while (c < cs.length) { ls(c) = StrictMath.log(cs(c) + 1.0); c += 1 }
-      h.put(ks.getUTF8String(i).toString, ls)
+      h.put(ks.getUTF8String(i).clone(), ls)
       i += 1
     }
     h
@@ -298,7 +323,7 @@ case class NbSumLogExpr(tokens: Expression, model: Expression, nClasses: Int)
     var n = 0
     if (toksAny != null) {
       val mData = model.eval(input).asInstanceOf[MapData]
-      val mId = identityOf(mData)
+      val mId = MapViewKey.identityOf(mData)
       if (modelView == null || modelKey != mId) {
         modelView = buildView(mData); modelKey = mId
       }
@@ -314,7 +339,7 @@ case class NbSumLogExpr(tokens: Expression, model: Expression, nClasses: Int)
         val u = toks.getUTF8String(i)
         if (u != null) {
           n += 1
-          val ls = modelView.get(u.toString)
+          val ls = modelView.get(u)
           if (ls != null) {
             var c = 0
             while (c < nClasses) { sums(c) += ls(c); c += 1 }

@@ -1,10 +1,23 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+
+/** The splitmix64 finalizer every sketch in this package derives secondary
+  * hash streams from — ONE definition (r11 review): the sketches and the
+  * oracle SQL that replays them depend on these exact constants, and a
+  * private per-expression copy is a silent fork waiting to happen. */
+private[expressions] object SplitMix {
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
 
 /**
  * Custom Catalyst expressions for the sketch hot paths.
@@ -37,8 +50,9 @@ import org.apache.spark.sql.types._
  * independent hash functions per element.
  */
 case class MinHashSignatureExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
@@ -78,8 +92,9 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
  * 64 counters, no per-bit lambda.
  */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -119,17 +134,11 @@ case class SimHash64Expr(child: Expression)
  * corpora (round-1 verdict: precision weak, buckets tripping the skew guard).
  */
 case class SimHash128Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "simhash128"
-
-  @inline private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -138,7 +147,7 @@ case class SimHash128Expr(child: Expression)
     var i = 0
     while (i < n) {
       val h0 = arr.getLong(i)
-      val h1 = mix(h0)
+      val h1 = SplitMix.mix(h0)
       var b = 0
       while (b < 64) {
         if (((h0 >>> b) & 1L) == 1L) counts(b) += 1
@@ -177,8 +186,9 @@ case class SimHash128Expr(child: Expression)
  * production-default sketch.
  */
 case class SimHashHexChunksExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "simhash_hex_chunks"
 
@@ -187,10 +197,17 @@ case class SimHashHexChunksExpr(child: Expression)
     val n = arr.numElements()
     // counts(d*4 + b) = votes for bit b of hex digit d (d = 0..31, b = 0..3)
     val counts = new Array[Int](128)
+    // majority denominator = elements that actually VOTED (r11 review):
+    // null/short elements cast no votes, so counting them in n would bias
+    // every bit toward 0 — the same 3 valid digests must produce the same
+    // sketch whether or not 2 nulls ride along. (md5 of the tokenizer's
+    // output is never null/short, so the certified rows are unaffected.)
+    var m = 0
     var i = 0
     while (i < n) {
       val hex = arr.getUTF8String(i)
       if (hex != null && hex.numBytes() >= 32) {
+        m += 1
         val bytes = hex.getBytes
         var d = 0
         while (d < 32) {
@@ -217,7 +234,7 @@ case class SimHashHexChunksExpr(child: Expression)
       var j = 0
       while (j < 16) {
         val digit = 4 * c + (3 - j / 4)
-        if (2 * counts(digit * 4 + (j % 4)) > n) value |= (1L << j)
+        if (2 * counts(digit * 4 + (j % 4)) > m) value |= (1L << j)
         j += 1
       }
       chunks(c) = value
@@ -237,22 +254,19 @@ case class SimHashHexChunksExpr(child: Expression)
  * dims × bits replaces nBits × dim interpreted `zip_with` lambda evals.
  */
 case class SignLshSketchExpr(child: Expression, table: Int, nBits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
+  // the sketch is ONE long: a 65th bit would wrap `1L << b` mod 64 and
+  // silently alias hyperplane 64's sign onto bit 0 (r11 review)
+  require(nBits >= 1 && nBits <= 64,
+    s"sign_lsh_sketch: nBits must be in [1, 64], got $nBits")
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] =
+    Seq(org.apache.spark.sql.graftbridge.TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = LongType
   override def prettyName: String = "sign_lsh_sketch"
 
-  @inline private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  private lazy val elementIsFloat: Boolean = child.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false   // array<double> (e.g. post-normalization)
-  }
+  private lazy val elementIsFloat: Boolean = VectorElem.isFloat(child.dataType)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -264,7 +278,7 @@ case class SignLshSketchExpr(child: Expression, table: Int, nBits: Int)
       var proj = 0.0
       var d = 0
       while (d < dim) {
-        val comp = mix(seed * 0x9E3779B1L + d).toDouble / Long.MaxValue
+        val comp = SplitMix.mix(seed * 0x9E3779B1L + d).toDouble / Long.MaxValue
         val x = if (elementIsFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
         proj += x * comp
         d += 1
@@ -288,10 +302,11 @@ case class SignLshSketchExpr(child: Expression, table: Int, nBits: Int)
  * evaluates interpreted (|langs| × |toks| × |markers| tree walks per row).
  */
 case class LanguageIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
   import org.apache.spark.unsafe.types.UTF8String
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = StringType
   override def prettyName: String = "language_id"
 
@@ -303,6 +318,7 @@ case class LanguageIdExpr(child: Expression, markers: Seq[(String, Seq[String])]
   @transient private lazy val und = UTF8String.fromString("und")
 
   override def nullSafeEval(input: Any): Any = {
+    if (langs.isEmpty) return und // no candidate languages ⇒ no evidence
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val scores = new Array[Int](langs.length)
@@ -340,10 +356,11 @@ case class LanguageIdExpr(child: Expression, markers: Seq[(String, Seq[String])]
  * elements are ignored (the tokenizer never produces them).
  */
 case class TermCountsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
   import org.apache.spark.unsafe.types.UTF8String
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType =
     MapType(StringType, LongType, valueContainsNull = false)
   override def prettyName: String = "term_counts"
@@ -396,10 +413,11 @@ case class TermCountsExpr(child: Expression)
  * false negatives.
  */
 case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
   import org.apache.spark.unsafe.types.UTF8String
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 
@@ -434,10 +452,11 @@ case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
  * one-task-one-thread model guarantees this).
  */
 case class CmsEstimateExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
 
   import org.apache.spark.unsafe.types.UTF8String
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(BinaryType, StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
 
@@ -575,20 +594,30 @@ private[expressions] object VectorElem {
  * (`VectorExprCodegenSpec` compiles it with codegen fallback disabled).
  */
 case class VectorDotExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(
+    org.apache.spark.sql.graftbridge.TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)),
+    org.apache.spark.sql.graftbridge.TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
 
   private lazy val lFloat = VectorElem.isFloat(left.dataType)
   private lazy val rFloat = VectorElem.isFloat(right.dataType)
 
+  // Mismatched dimensions are an ERROR, not a min-length truncation (r11
+  // review): a prefix dot product is a plausible-looking wrong similarity —
+  // the silent kind of retrieval bug — and no caller has a legitimate
+  // mixed-dimension pair (embeddings tables are single-model by schema).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vector_dot: dimension mismatch ($n vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -605,7 +634,11 @@ case class VectorDotExpr(left: Expression, right: Expression)
       val getL = if (lFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getR = if (rFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "vector_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value} += $getL * $getR;
@@ -621,10 +654,12 @@ case class VectorDotExpr(left: Expression, right: Expression)
 /** L2 norm of a numeric-array vector (one pass, double accumulator; codegen
   * like [[VectorDotExpr]] — it rides in the same hot projections). */
 case class VectorNormExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] =
+    Seq(org.apache.spark.sql.graftbridge.TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_norm"
 
@@ -670,8 +705,10 @@ case class VectorNormExpr(child: Expression)
  * through unchanged (cosine against them is defined as 0 downstream).
  */
 case class NormalizeVectorExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] =
+    Seq(org.apache.spark.sql.graftbridge.TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "normalize_vector"
 
@@ -780,7 +817,7 @@ object SketchExpressions {
    * literals default to INT, but `32L` is legal and means the same thing).
    */
   private def intLitArg(fname: String, argName: String, e: Expression,
-                        min: Int = 1): Int = {
+                        min: Int = 1, max: Int = Int.MaxValue): Int = {
     if (!e.foldable)
       throw new IllegalArgumentException(
         s"$fname: $argName must be a literal integer, got non-foldable ${e.sql}")
@@ -793,8 +830,9 @@ object SketchExpressions {
         s"$fname: $argName must be an integral literal, got $other " +
           s"of type ${e.dataType.simpleString}")
     }
-    if (k < min) throw new IllegalArgumentException(
-      s"$fname: $argName must be >= $min, got $k")
+    if (k < min || k > max) throw new IllegalArgumentException(
+      if (max == Int.MaxValue) s"$fname: $argName must be >= $min, got $k"
+      else s"$fname: $argName must be in [$min, $max], got $k")
     k
   }
 
@@ -825,7 +863,7 @@ object SketchExpressions {
       arity("sign_lsh_sketch", 3)(exprs)
       SignLshSketchExpr(exprs.head,
         intLitArg("sign_lsh_sketch", "table", exprs(1), min = 0),
-        intLitArg("sign_lsh_sketch", "nBits", exprs(2)))
+        intLitArg("sign_lsh_sketch", "nBits", exprs(2), max = 64))
     },
     "vector_dot" -> { exprs =>
       arity("vector_dot", 2)(exprs); VectorDotExpr(exprs.head, exprs(1))

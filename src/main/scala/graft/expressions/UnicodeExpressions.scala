@@ -1,9 +1,9 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -22,8 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
  * at the cost of changing visible text.
  */
 case class UnicodeNormalizeExpr(child: Expression, form: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
+  // validate the form at CONSTRUCTION (plan time, r11 review): deferring the
+  // enum lookup to the lazy val meant a typo'd form ("nfc") launched the job
+  // and then failed per-task on executors, with Spark retrying 4 times
+  require(java.text.Normalizer.Form.values.exists(_.name == form),
+    s"unicode_normalize: unknown form '$form' " +
+      s"(expected one of ${java.text.Normalizer.Form.values.mkString(", ")})")
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "unicode_normalize"
 

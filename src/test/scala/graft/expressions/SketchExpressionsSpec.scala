@@ -118,6 +118,110 @@ class SketchExpressionsSpec extends SparkSuite {
       .head().getSeq[Long](0).length == 4)
   }
 
+  // r11 review hardening: analysis-time type checks, literal caps, and the
+  // non-voting-element / separator conventions, each pinned by a test.
+
+  private def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+
+  test("analysis-time input type checking rejects wrong-typed arguments") {
+    SketchExpressions.register(spark)
+    // array<int> where array<long> element hashes are required: before the
+    // ExpectsInputTypes pass this read misaligned 8-byte words out of the
+    // int array — plausible-looking garbage sketches with no error
+    val e1 = intercept[Exception](
+      spark.sql("SELECT simhash64(array(1, 2, 3))").collect())
+    assert(causeChain(e1).toLowerCase.contains("type"), causeChain(e1))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT minhash_signature(array('a'), 4)").collect())
+    assert(causeChain(e2).toLowerCase.contains("type"), causeChain(e2))
+    val e3 = intercept[Exception](
+      spark.sql("SELECT term_counts('not an array')").collect())
+    assert(causeChain(e3).toLowerCase.contains("type"), causeChain(e3))
+    // vector args accept array<float> AND array<double>, nothing else
+    val e4 = intercept[Exception](
+      spark.sql("SELECT vector_dot(array(1L, 2L), array(3L, 4L))").collect())
+    assert(causeChain(e4).toLowerCase.contains("type"), causeChain(e4))
+  }
+
+  test("sign_lsh_sketch rejects nBits > 64 (the sketch is one long)") {
+    SketchExpressions.register(spark)
+    // 1L << 65 would silently wrap mod 64 and alias hyperplane signs
+    val e = intercept[Exception](
+      spark.sql("SELECT sign_lsh_sketch(array(1.0F, -2.0F), 0, 65)").collect())
+    assert(causeChain(e).contains("[1, 64]"), causeChain(e))
+  }
+
+  test("vector_dot: mismatched dimensions are an error, not a prefix product") {
+    SketchExpressions.register(spark)
+    val e = intercept[Throwable](
+      spark.sql("SELECT vector_dot(array(1.0D, 2.0D), array(1.0D))").collect())
+    assert(causeChain(e).contains("dimension mismatch"), causeChain(e))
+    // and through the non-foldable (codegen'd join/scan) path too
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    val e2 = intercept[Throwable](
+      df.select(SketchExpressions.vector_dot(col("a"), col("b"))).collect())
+    assert(causeChain(e2).contains("dimension mismatch"), causeChain(e2))
+  }
+
+  test("simhash_hex_chunks: non-voting elements don't bias the majority") {
+    val s = spark
+    import s.implicits._
+    val digests = Seq(
+      "0123456789abcdef0123456789abcdef",
+      "fedcba9876543210fedcba9876543210",
+      "0123456789abcdef0123456789abcdef")
+    // 2 of the same 3 valid digests must yield the same sketch whether or
+    // not a null and a short (non-voting) element ride along — the
+    // denominator counts VOTERS, not elements
+    val df = Seq((1L, digests), (2L, digests ++ Seq(null, "short")))
+      .toDF("id", "hexes")
+    val out = df.select(col("id"),
+        SketchExpressions.simhash_hex_chunks(col("hexes")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == out(2L))
+  }
+
+  test("language_id: empty marker set yields 'und' instead of failing") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq("hello"))).toDF("id", "toks")
+    val out = df.select(
+      SketchExpressions.language_id(col("toks"), Seq.empty).as("l"))
+      .head().getString(0)
+    assert(out == "und")
+  }
+
+  test("bpe_segment: null/empty tokens emit nothing — no stray separators") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("a", "b"))
+    val df = Seq(
+      (1L, Seq("ab", null, "cd")),   // null mid-array: ONE space, not two
+      (2L, Seq(null, "ab")),         // null head: no leading space
+      (3L, Seq("", "ab", ""))        // empty tokens: no separators either
+    ).toDF("id", "toks")
+    val out = df.select(col("id"),
+        BpeExpressions.bpe_segment(col("toks"), merges).as("s"))
+      .select(col("id"), col("s.text_bpe"), col("s.n_subwords"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == (("ab c@@d", 3)))
+    assert(out(2L) == (("ab", 1)))
+    assert(out(3L) == (("ab", 1)))
+    // text_bpe splits on single spaces back into n_subwords-consistent groups
+    assert(out(1L)._1.split(" ").map(_.split("@@").length).sum == out(1L)._2)
+  }
+
+  test("unicode_normalize: an unknown form fails at plan time, not per task") {
+    SketchExpressions.register(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT unicode_normalize('x', 'nfc')").collect())
+    assert(causeChain(e).contains("unknown form"), causeChain(e))
+  }
+
   test("GraftExtensions injects the same surface at session build time") {
     // a second SparkSession cannot be built in this JVM-wide suite, so
     // assert the injection wiring directly against a fresh extensions object
