@@ -44,19 +44,20 @@ object AsOfJoin {
       rightCols: Seq[String] = Seq.empty,
       strict: Boolean = false): DataFrame = {
 
-    // The two sides' time columns are unioned into one `__t`; testdata
-    // generations differ in whether a parquet timestamp arrives as TIMESTAMP
-    // or TIMESTAMP_NTZ, and a mixed union would either fail coercion or
-    // silently coerce one side. Normalize both to TIMESTAMP up front (UTC
-    // session ⇒ bit-identical wall-clock and instant).
-    def normTs(df: DataFrame, c: String): DataFrame =
-      df.schema(c).dataType match {
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          df.withColumn(c, col(c).cast("timestamp"))
-        case _ => df
-      }
-    val left = normTs(left0, leftTime)
-    val right = normTs(right0, rightTime)
+    // The two sides' time columns are unioned into one `__t` — normalize
+    // both to TIMESTAMP up front ([[TimeNorm]]: a mixed TIMESTAMP/
+    // TIMESTAMP_NTZ union would fail coercion or silently coerce one side).
+    val left = TimeNorm.toTimestamp(left0, leftTime)
+    // Join semantics for NULLs (r11 review): a right row with a NULL key or
+    // NULL time can never match any left row — SQL equi-joins don't match
+    // NULL=NULL and a NULL time compares UNKNOWN — but the window
+    // formulation below would group null keys into one partition (and sort
+    // null times first), FABRICATING matches a real ASOF join never
+    // produces. Excluding those rows up front restores join semantics;
+    // null-key/null-time LEFT rows then naturally attach nothing (their
+    // partition holds no right rows / sorts ahead of all of them).
+    val right = TimeNorm.toTimestamp(right0, rightTime)
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
 
     val carry =
       if (rightCols.nonEmpty) rightCols

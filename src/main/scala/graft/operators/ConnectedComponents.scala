@@ -63,6 +63,14 @@ object ConnectedComponents {
     while (!converged && it < maxIters) {
       val next = round(sym, labels).localCheckpoint()
       val nextSum = checkSum(next)
+      // release the SUPERSEDED round's checkpoint blocks (r11 review):
+      // localCheckpoint persists MEMORY_AND_DISK and Dataset.unpersist
+      // cannot reach it, so without this each round pins another copy of
+      // the label table in executor storage until driver GC. `next` is
+      // eagerly materialized (localCheckpoint + the checkSum job), so the
+      // old blocks are no longer reachable from any live lineage.
+      org.apache.spark.sql.graftbridge.RddBridge.checkpointRdd(labels)
+        .foreach(_.unpersist(blocking = false))
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -103,6 +111,24 @@ object ConnectedComponents {
 
   private def symmetrize(edges: DataFrame, srcCol: String,
                          dstCol: String): DataFrame = {
+    // Node ids must already be integral (r11 review): the long cast below
+    // turns a string id into NULL — every label comes out null, the caller's
+    // join-back matches nothing, and every document silently becomes its own
+    // singleton cluster (the keep-list then keeps BOTH copies of every
+    // duplicate). Fail loudly instead; callers with string ids map them to
+    // longs first (e.g. xxhash64 with a collision check, or a dense-rank
+    // assignment) — that mapping is a corpus-design decision this operator
+    // must not make silently.
+    Seq(srcCol, dstCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = edges.schema(c).dataType
+      val integral = dt == LongType || dt == IntegerType ||
+        dt == ShortType || dt == ByteType
+      require(integral,
+        s"connected components needs integral node ids; '$c' is " +
+          s"${dt.catalogString} — map ids to longs before clustering " +
+          "(a silent cast would null every label and un-cluster everything)")
+    }
     // Propagation below only follows u←v, so both directions must exist.
     // No distinct() on the edges — duplicate edges only re-send the same
     // min, and deduping would cost an extra shuffle of the whole edge list.

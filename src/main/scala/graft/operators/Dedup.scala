@@ -143,6 +143,17 @@ object Dedup {
    * the query exactly (the driver's oracle does — and a spec pins
    * hashed ≡ unhashed on the testdata corpus).
    *
+   * SHORT-DOC semantics (deliberate, r11-review-adjudicated): a document
+   * with fewer than `n` tokens contributes its WHOLE text as one truncated
+   * gram ([[shinglesOfTokens]]' fallback, which the oracle replays
+   * identically) rather than zero grams — so two copies of a short
+   * boilerplate doc still report each other (dup_frac 1.0; they ARE 100%
+   * duplicated content) instead of silently vanishing from the census.
+   * Read `n_grams` as "distinct grams at up-to-n-token resolution", not
+   * "n-token grams". [[exciseDuplicateSpans]] chooses the OTHER convention
+   * (short docs emit nothing) because excision needs exact n-token
+   * positional resolution; a report can be inclusive, a cut cannot.
+   *
    * Returns (idCol, n_grams, n_dup_grams, dup_frac).
    */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
@@ -334,13 +345,7 @@ object Dedup {
     val banded = pruneFullBuckets(bandRows(sig, numHashes, bands),
       Seq("band", "band_hash"), maxBucketSize)
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val candidates = bucketSelfPairs(banded, Seq("band", "band_hash"))
 
     val sigOnly = sig.select(col("id"), col("sig"))
     candidates
@@ -372,6 +377,22 @@ object Dedup {
       .filter(col("__bucket_n") > maxBucketSize)
       .drop("__bucket_n")
     banded.join(broadcast(overFull), keys, "left_anti")
+  }
+
+  /** Bucketed candidate self-join — the ONE construction of the LSH pair
+    * emission every sketch family shares (r11 review; the sketchFrame
+    * precedent): join the bucket stream to itself on `keys`, emit each
+    * unordered id pair once (`a.id < b.id`, distinct), with optional extra
+    * pair columns (computed from the `a`/`b` aliases, e.g. a Hamming
+    * distance) riding through the distinct. */
+  private def bucketSelfPairs(stream: DataFrame, keys: Seq[String],
+                              extra: Seq[(String, Column)] = Seq.empty): DataFrame = {
+    val cond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+      col("a.id") < col("b.id")
+    stream.as("a").join(stream.as("b"), cond)
+      .select(Seq(col("a.id").as("id_a"), col("b.id").as("id_b")) ++
+        extra.map { case (n, c) => c.as(n) }: _*)
+      .distinct()
   }
 
   /** Signature agreement fraction between two minhash signature arrays. */
@@ -469,13 +490,7 @@ object Dedup {
       bandRows(sig, numHashes, bands, portableHashing),
       Seq("band", "band_hash"), maxBucketSize)
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val candidates = bucketSelfPairs(banded, Seq("band", "band_hash"))
 
     val shOnly = sig.select(col("id"), col("sh"))
     candidates
@@ -537,6 +552,7 @@ object Dedup {
       corpus: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 256,
       corpusBands: Option[DataFrame] = None,
       precomputedSketch: Option[DataFrame] = None): DataFrame = {
     // `precomputedSketch`: a [[sketchFrame]] of `incoming` the caller already
@@ -544,8 +560,19 @@ object Dedup {
     val inc = precomputedSketch.map(requireSketchHashes(_, numHashes))
       .getOrElse(persistTracked(sketchFrame(incoming, idCol, textCol, numHashes)))
     val incBands = bandRows(inc.select("id", "sig"), numHashes, bands)
-    val corpusIdx = corpusBands
-      .getOrElse(bandIndex(corpus, idCol, textCol, numHashes, bands))
+    // Skew guard on the CORPUS side (r11 review — this entry point was the
+    // only LSH path without one): an over-full corpus bucket is a
+    // low-information band whose |bucket| candidate rows PER colliding batch
+    // document would turn every micro-batch into a straggler join. Same
+    // threshold semantics as [[nearDuplicatePairs]]; the batch side is
+    // micro-batch-sized and needs no guard. Interaction note (mirrors
+    // [[graft.streaming.StreamingDedup]]'s intra prune): an edge a pruned
+    // bucket would have carried is only found if the pair collides in some
+    // other, healthy band — true recall loss only where every shared band
+    // was degenerate.
+    val corpusIdx = pruneFullBuckets(
+      corpusBands.getOrElse(bandIndex(corpus, idCol, textCol, numHashes, bands)),
+      Seq("band", "band_hash"), maxBucketSize)
 
     val candidates = incBands.as("n")
       .join(corpusIdx.as("c"),
@@ -694,27 +721,15 @@ object Dedup {
         bit_count(element_at(col("a.skc"), i + 1)
           .bitwiseXOR(element_at(col("b.skc"), i + 1)))
       }.reduce(_ + _)
-      chunked.as("a")
-        .join(chunked.as("b"),
-          col("a.chunk") === col("b.chunk") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          ham.as("hamming"))
-        .distinct()
+      bucketSelfPairs(chunked, Seq("chunk", "chunk_val"),
+        Seq("hamming" -> ham))
         .filter(col("hamming") <= maxHamming)
     } else {
       val sk = persistTracked(
         df.select(col(idCol).as("id"), simhash128(col(textCol)).as("sk")))
       val chunked = simhashChunks(sk, maxBucketSize)
-      chunked.as("a")
-        .join(chunked.as("b"),
-          col("a.chunk") === col("b.chunk") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          hamming128(col("a.sk"), col("b.sk")).as("hamming"))
-        .distinct()
+      bucketSelfPairs(chunked, Seq("chunk", "chunk_val"),
+        Seq("hamming" -> hamming128(col("a.sk"), col("b.sk"))))
         .filter(col("hamming") <= maxHamming)
     }
   }
@@ -752,13 +767,7 @@ object Dedup {
           graft.expressions.SketchExpressions.simhash128(
             transform(col("toks"), t => xxhash64(t))).as("sk")))
     val chunked = simhashChunks(sk.select(col("id"), col("sk")), maxBucketSize)
-    val candidates = chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") &&
-        col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val candidates = bucketSelfPairs(chunked, Seq("chunk", "chunk_val"))
     val shOnly = sk.select(col("id"), col("sh"))
     candidates
       .join(shOnly.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))

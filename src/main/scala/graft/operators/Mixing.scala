@@ -48,6 +48,17 @@ object Mixing {
     require(sources.nonEmpty, "at least one source")
     require(sources.map(_._1).distinct.size == sources.size,
       "source names must be unique")
+    // ':'-free source names keep every derived composite key injective (r11
+    // review): the sampling salt here and mixShuffled's `__mix_key` are
+    // ':'-joined (source, epoch, key) strings — with a ':'-free source name
+    // and an integer epoch the first two fields parse unambiguously, so two
+    // distinct (source, epoch, key) triples can never collide even when row
+    // KEYS contain ':'. Without the guard, source "s:1" epoch 0 and source
+    // "s" epoch 1 could produce identical keys — identical shuffle hash AND
+    // tiebreaker, i.e. nondeterministic training order on a task retry.
+    sources.map(_._1).foreach(n => require(!n.contains(":"),
+      s"source name '$n' must not contain ':' — it is a field in the " +
+        "':'-joined sampling salt and shuffle key"))
     sources.flatMap { case (name, df, w) =>
       require(w > 0.0, s"source $name: weight must be positive, got $w")
       val fullEpochs = math.floor(w).toInt

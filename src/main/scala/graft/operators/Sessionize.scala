@@ -41,11 +41,7 @@ object Sessionize {
    * wall-clock and instant, so session boundaries are bit-identical.
    */
   private def normalizeTs(df: DataFrame, tsCol: String): DataFrame =
-    df.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
-      case _ => df
-    }
+    TimeNorm.toTimestamp(df, tsCol)
 
   /**
    * Adds `session_seq` (1-based per key, in time order). `idCol` breaks

@@ -44,6 +44,20 @@ object SimilaritySearch {
   /** Normalize to unit length so downstream cosine = dot. */
   def normalized(v: Column): Column = SketchExpressions.normalize_vector(v)
 
+  /** Every ANN entry point excludes a query's own corpus row by id
+    * equality; a CROSS-TYPE id comparison null-coerces (r11 review), which
+    * would silently drop EVERY result instead of the self row. Fail loudly
+    * at plan time instead. */
+  private def requireSameIdType(
+      corpus: DataFrame, idCol: String, queries: DataFrame, qIdCol: String): Unit = {
+    val ct = corpus.schema(idCol).dataType
+    val qt = queries.schema(qIdCol).dataType
+    require(ct == qt,
+      s"corpus id '$idCol' (${ct.catalogString}) and query id '$qIdCol' " +
+        s"(${qt.catalogString}) must have the same type — the self-exclusion " +
+        "comparison would null-coerce and silently return empty top-k results")
+  }
+
   /**
    * Exact brute-force cosine top-k: for each query vector, the k nearest
    * corpus vectors. `queries` should be small (it is broadcast).
@@ -52,6 +66,7 @@ object SimilaritySearch {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int = 5): DataFrame = {
+    requireSameIdType(corpus, idCol, queries, qIdCol)
     val c = corpus.select(col(idCol).as("corpus_id"),
       normalized(col(vecCol)).as("cv"))
     val q = broadcast(queries.select(col(qIdCol).as("query_id"),
@@ -92,6 +107,7 @@ object SimilaritySearch {
       k: Int = 5, nTables: Int = 16, nBits: Int = 6,
       multiProbeBits: Int = 2): DataFrame = {
     require(multiProbeBits >= 0 && multiProbeBits <= 2, "multiProbeBits in 0..2")
+    requireSameIdType(corpus, idCol, queries, qIdCol)
     val c = corpus.select(col(idCol).as("corpus_id"),
       normalized(col(vecCol)).as("cv"))
     val q = queries.select(col(qIdCol).as("query_id"),
@@ -228,6 +244,7 @@ object SimilaritySearch {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int = 5, nLists: Int = 16, nProbe: Int = 4,
       trainIters: Int = 2): DataFrame = {
+    requireSameIdType(corpus, idCol, queries, qIdCol)
     val c = corpus.select(col(idCol).as("corpus_id"),
       normalized(col(vecCol)).as("cv"))
     val q = queries.select(col(qIdCol).as("query_id"),
@@ -290,6 +307,7 @@ object SimilaritySearch {
     val centroids: Array[Seq[Double]] = spark.table(s"${table}_centroids")
       .orderBy("list_id").collect().map(_.getSeq[Double](1))
     val assigned = spark.table(s"${table}_assign")
+    requireSameIdType(assigned, "corpus_id", queries, qIdCol)
     val q = queries.select(col(qIdCol).as("query_id"),
       normalized(col(qVecCol)).as("qv"))
     val probes = q.select(col("query_id"), col("qv"),

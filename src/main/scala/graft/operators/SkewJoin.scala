@@ -100,8 +100,14 @@ object SkewJoin {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     val sampled = large.select(col(largeKey).as("__k"))
       .sample(withReplacement = false, sampleFraction, seed = 42L)
-    val total = sampled.agg(count(lit(1)).as("__n"))
-    val hot = sampled.groupBy("__k").agg(count(lit(1)).as("__c"))
+    // Detection pays ONE scan of the large side (r11 review): the sample
+    // total derives from the grouped counts (sum(__c) == count(*) of the
+    // sample), so both consumers share the identical groupBy subplan and
+    // physical planning reuses its exchange — a separate count() subquery
+    // was a second full sample scan with nothing shared.
+    val grouped = sampled.groupBy("__k").agg(count(lit(1)).as("__c"))
+    val total = grouped.agg(sum(col("__c")).as("__n"))
+    val hot = grouped
       .crossJoin(broadcast(total))
       .filter(col("__c") >= greatest(col("__n") * hotShare, lit(2.0)))
       .select(col("__k"), lit(1).as("__hot"))

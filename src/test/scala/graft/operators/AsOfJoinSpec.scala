@@ -55,6 +55,29 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out.head.getAs[String]("src") == null)
   }
 
+  test("null keys/times never fabricate matches (SQL join semantics)") {
+    val s = spark
+    import s.implicits._
+    val l = Seq[(Option[String], Option[Long], String)](
+      (Some("A"), Some(20L), "t1"),   // normal match
+      (None, Some(20L), "t2"),        // null KEY: must attach nothing
+      (Some("A"), None, "t3"))        // null TIME: must attach nothing
+      .toDF("sym", "t", "trade_id")
+    val r = Seq[(Option[String], Option[Long], Double)](
+      (Some("A"), Some(10L), 1.0),
+      (None, Some(5L), 9.0),          // null-key right row: matches NOBODY
+      (Some("A"), None, 8.0))         // null-time right row: matches NOBODY
+      .toDF("sym", "t", "px")
+    val out = AsOfJoin.asofBackward(l, "sym", "t", r, "sym", "t")
+      .orderBy("trade_id")
+      .collect().map(x => (x.getAs[String]("trade_id"),
+        Option(x.getAs[java.lang.Double]("px")).map(_.doubleValue)))
+    // before the r11 fix, the window partition grouped the null keys
+    // together and t2 got the 9.0 quote — a match no real join produces
+    assert(out.toSeq == Seq(
+      ("t1", Some(1.0)), ("t2", None), ("t3", None)))
+  }
+
   test("plans one shuffle on the key — no cartesian/nested-loop range join") {
     val p = AsOfJoin.asofBackward(trades, "sym", "t", quotes, "sym", "t")
       .queryExecution.executedPlan.toString

@@ -121,4 +121,13 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(got == exact)
     assert(got.contains((1L, 2L)) && got.contains((3L, 4L)))
   }
+
+  test("string node ids are rejected loudly (silent long-cast would null labels)") {
+    val s = spark
+    import s.implicits._
+    val e = intercept[IllegalArgumentException](
+      ConnectedComponents.components(
+        Seq(("a", "b")).toDF("src", "dst"), "src", "dst"))
+    assert(e.getMessage.contains("integral node ids"), e.getMessage)
+  }
 }

@@ -339,4 +339,22 @@ class DedupSpec extends SparkSuite {
       .collect().nonEmpty)
     Dedup.unpersistSketches()
   }
+
+  test("incremental near-dup prunes degenerate corpus buckets (skew guard)") {
+    val s = spark
+    import s.implicits._
+    val text = "the very same boilerplate text repeated across every document"
+    val corpus = (1 to 300).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val incoming = Seq((1000L, text)).toDF("doc_id", "text")
+    // all 300 corpus docs share every band bucket -> every bucket is
+    // over-full at the default 256 -> pruned (low-information bands), so
+    // the batch finds no candidates instead of a 300-wide straggler join
+    assert(Dedup.incrementalNearDupPairs(
+      corpus, incoming, "doc_id", "text").count() === 0)
+    // raising the cap restores every pair (jaccard 1.0 vs all 300)
+    assert(Dedup.incrementalNearDupPairs(
+      corpus, incoming, "doc_id", "text", maxBucketSize = 1000)
+      .count() === 300)
+    Dedup.unpersistSketches()
+  }
 }

@@ -81,4 +81,10 @@ class MixingSpec extends SparkSuite {
     assert(out.select("shard", "pos").distinct().count() === n)
     out.unpersist()
   }
+
+  test("source names with ':' are rejected (composite-key injectivity)") {
+    val e = intercept[IllegalArgumentException](
+      Mixing.mixCorpora(Seq(("s:1", src(3, "a"), 1.0)), "id"))
+    assert(e.getMessage.contains("':'"), e.getMessage)
+  }
 }

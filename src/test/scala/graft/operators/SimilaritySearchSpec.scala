@@ -228,4 +228,14 @@ class SimilaritySearchSpec extends SparkSuite {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     assert(rows.toSeq == planted.toSeq.map(i => (i, i + 1000000L)))
   }
+
+  test("cross-type corpus/query ids are rejected loudly (not silent empties)") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val queries = Seq(("q1", Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException](
+      SimilaritySearch.bruteForceTopK(corpus, "id", "vec", queries, "id", "vec"))
+    assert(e.getMessage.contains("same type"), e.getMessage)
+  }
 }
