@@ -1150,6 +1150,12 @@ object OracleSql {
          |  FROM shn n JOIN sho o ON o.batch < n.batch
          |  WHERE o.doc_id NOT IN (
          |    SELECT n2.doc_id FROM news n2 WHERE n2.batch = n.batch)
+         |  -- cross half of the orientation guard: a COMMITTED new_id is
+         |  -- re-delivered state whose edges were all recorded at first
+         |  -- arrival — re-emitting could land an intra-recorded edge in the
+         |  -- reversed orientation (r11 fix)
+         |  AND n.doc_id NOT IN (
+         |    SELECT o4.doc_id FROM olds o4 WHERE o4.batch < n.batch)
          |  UNION ALL
          |  -- intra-batch pairs, EXCLUDING pairs whose endpoints are both
          |  -- already committed (edge necessarily recorded when the newer
@@ -1385,9 +1391,12 @@ object OracleSql {
     // uses (no drift).
     "t_filter_cascade" ->
       s"""WITH tk AS (SELECT doc_id,
-         |              string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |              string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         |              CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         |                   ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+         |              END AS n_tokens
          |            FROM documents),
-         |m AS (SELECT doc_id, len(toks) AS n_tokens,
+         |m AS (SELECT doc_id, n_tokens,
          |        CASE WHEN len(toks) > 0
          |             THEN CAST(len(list_filter(toks, x -> list_contains(
          |                    ${stopwordsList}, x))) AS DOUBLE) / len(toks)
@@ -1465,7 +1474,8 @@ object OracleSql {
     "t_chunk_windows" ->
       s"""WITH tk AS (SELECT doc_id,
          |              string_split_regex(trim(lower(text)), '\\s+') AS toks
-         |            FROM documents),
+         |            FROM documents
+         |            WHERE text IS NOT NULL AND trim(text) <> ''),
          |s AS (SELECT doc_id, toks,
          |        unnest(range(1, greatest(len(toks) - 32, 0) + 24 + 1, 24)) AS st
          |      FROM tk)
@@ -1954,7 +1964,9 @@ object OracleSql {
 
     "t_quality_score" ->
       """SELECT doc_id,
-        |       len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+        |       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |            ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+        |       END AS n_tokens,
         |       len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |           x -> x IN ('the','a','an','and','or','of','to','in','is','it',
         |                      'that','for','on','with','as','at','by','this'))) AS n_stopwords,

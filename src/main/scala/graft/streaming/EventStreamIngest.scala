@@ -110,14 +110,26 @@ object EventStreamIngest {
 
   /** Streaming-native dedup (T5 alternative): event-time watermark bounds the
     * dedup state; duplicates beyond the lateness horizon fall through to the
-    * load-time anti-join safety net. */
+    * load-time anti-join safety net.
+    *
+    * NULL event_ids pass through UNDEDUPED (r11 review):
+    * `dropDuplicatesWithinWatermark` treats nulls as equal, so two DIFFERENT
+    * malformed events both lacking an id (the producer bug
+    * [[withIngestMetrics]]' `n_null_ids` counter exists to surface) would
+    * collapse to one — silently LOSING an event the batch-path safety net
+    * keeps (an anti-join never matches on NULL). A null id carries no
+    * identity to dedup on, so each such event gets a unique surrogate key
+    * (uuid — nondeterministic is fine: at-least-once semantics, and the
+    * load-time anti-join stays the exactness net). */
   def withStreamingDedup(events: DataFrame, lateness: String = "1 hour"): DataFrame =
     events
       .withColumn("event_time",
         coalesce(try_to_timestamp(col("timestamp")), current_timestamp()))
+      .withColumn("__dedup_key",
+        coalesce(col("event_id"), expr("uuid()")))
       .withWatermark("event_time", lateness)
-      .dropDuplicatesWithinWatermark("event_id")
-      .drop("event_time")
+      .dropDuplicatesWithinWatermark("__dedup_key")
+      .drop("event_time", "__dedup_key")
 
   /**
    * In-flight data-quality counters via `Dataset.observe` — per-batch

@@ -27,20 +27,43 @@ import graft.text.{FilterCascade, LmScore}
  */
 object StreamingCuration {
 
+  /** Columns the cascade/decision stages ADD to the batch. A batch that
+    * already carries one of these names would be silently OVERWRITTEN by the
+    * recipe's internal metric — and `kept.select(batch.columns)` would then
+    * persist the metric in place of the source data (r11 review). Guarded
+    * loudly in [[curateBatch]]; same reserved-name discipline as
+    * `Shuffling`'s output-column guard. */
+  private val reservedColumns = Seq(
+    "n_ngrams", "dup_ngram_frac",             // TextAnalysis.repetitionMetrics
+    "n_tokens", "stopword_ratio", "lang",     // FilterCascade.gopherRecipe
+    "kept", "drop_reason", "nll")             // decision + LM score
+
   /** One micro-batch: cascade → frozen-model LM score → split keep/drop.
     * Factored out of the closure so batch semantics are testable without a
     * streaming harness. Returns (kept, dropped-with-reason). */
   private[streaming] def curateBatch(
       batch: DataFrame, idCol: String, textCol: String,
       model: LmScore.BigramModel, maxNll: Double): (DataFrame, DataFrame) = {
-    val decided = FilterCascade.gopherRecipe(batch, textCol)
+    val clashes = batch.columns.filter(reservedColumns.contains)
+    require(clashes.isEmpty,
+      s"batch columns ${clashes.mkString(", ")} collide with curation's " +
+        "internal metric columns — the kept output would silently carry the " +
+        s"recomputed metric instead of the source data. Reserved: " +
+        s"${reservedColumns.mkString(", ")}")
+    // Both returned frames are consumed by SEPARATE sink actions, and each
+    // stage below is referenced twice — persist the shared stages so one
+    // micro-batch runs the cascade and the LM scoring once, not ~4×
+    // (r11 review; the Dedup.persistTracked pattern StreamingDedup already
+    // uses — the caller releases via Dedup.unpersistSketches in a finally).
+    val decided = graft.operators.Dedup.persistTracked(
+      FilterCascade.gopherRecipe(batch, textCol))
     val cascadeDrop = decided.filter(!col("kept"))
       .select(col(idCol), col(textCol),
         col("drop_reason"), lit(null).cast("double").as("nll"))
     val survivors = decided.filter(col("kept"))
       .select(batch.columns.map(col): _*)
-    val scored = LmScore.score(survivors, idCol, textCol, model,
-      maxNll = maxNll)
+    val scored = graft.operators.Dedup.persistTracked(
+      LmScore.score(survivors, idCol, textCol, model, maxNll = maxNll))
     val kept = survivors.join(
       scored.filter(col("kept")).select(idCol), Seq(idCol), "left_semi")
     val lmDrop = survivors
@@ -61,9 +84,17 @@ object StreamingCuration {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (kept, dropped) = curateBatch(batch, idCol, textCol, model, maxNll)
-        kept.write.mode("append").parquet(keptPath)
-        dropped.write.mode("append").parquet(droppedPath)
+        // materialize the micro-batch once — it feeds the cascade AND the
+        // two sink actions; without this each action re-reads the source
+        val b = batch.persist()
+        try {
+          val (kept, dropped) = curateBatch(b, idCol, textCol, model, maxNll)
+          kept.write.mode("append").parquet(keptPath)
+          dropped.write.mode("append").parquet(droppedPath)
+        } finally {
+          b.unpersist()
+          graft.operators.Dedup.unpersistSketches() // curateBatch's stages
+        }
       }
       .start()
 }

@@ -108,9 +108,33 @@ object StreamingDedup {
         // appends by the caller; here the corpus table is read as-is.
         val corpus = spark.read.parquet(corpusPath)
         val index = spark.read.parquet(indexPath)
+        // committed = this batch's ids already in the corpus table, i.e.
+        // re-delivered state (used by BOTH orientation exclusions below);
+        // DISTINCT because an at-least-once source can duplicate an id
+        // within one batch
+        val committed = b.select(col(idCol).as("__cid")).distinct()
+          .join(corpus.select(col(idCol).as("__cid")), Seq("__cid"),
+            "left_semi")
         val cross = Dedup.incrementalNearDupPairs(corpus, b, idCol, textCol,
           threshold, numHashes, bands, corpusBands = Some(index),
           precomputedSketch = Some(sketch))
+          // Orientation-unique sink, CROSS half (r11 review — the intra
+          // half's both-committed exclusion alone left a hole): a COMMITTED
+          // new_id is re-delivered state whose edges were ALL recorded when
+          // it first arrived (as that batch's cross pairs — the index join
+          // never prunes sub-bucket — or its intra pairs). Re-emitting them
+          // now is worse than redundant: an edge first recorded as the
+          // canonical intra pair (a, b) would land AGAIN as (b, a) when b
+          // alone is re-delivered later — two orientations of one logical
+          // edge, which no (new_id, corpus_id) dropDuplicates collapses and
+          // which makes a keep-min-id consumer delete BOTH copies. Same
+          // crash-window argument as the intra exclusion: the pairs write
+          // PRECEDES the corpus append, so an unrecorded edge implies an
+          // uncommitted endpoint, which this anti-join keeps. (An intra
+          // edge dropped by the skew prune at first arrival is not
+          // recoverable through re-delivery — documented below.)
+          .join(broadcast(committed.select(col("__cid").as("new_id"))),
+            Seq("new_id"), "left_anti")
         // INTRA-batch near-dups are the batch's own job (the incremental
         // operator's batch-id anti-join deliberately never emits a pair
         // whose corpus side is in the current batch — re-delivered state is
@@ -144,9 +168,6 @@ object StreamingDedup {
         // re-delivery of both endpoints cannot recover it (both-committed ⇒
         // excluded). The prune trades exactly this recall for bounded
         // quadratic work; raise the bound if intra completeness matters.
-        val committed = b.select(col(idCol).as("__cid")).distinct()
-          .join(corpus.select(col(idCol).as("__cid")), Seq("__cid"),
-            "left_semi")
         val intra = Dedup.nearDuplicatePairs(b, idCol, textCol,
             threshold, numHashes, bands, maxBucketSize = intraMaxBucketSize,
             precomputedSketch = Some(sketch))

@@ -35,12 +35,18 @@ object Chunking {
   }
 
   /** One row per (document, window): `(idCol, chunk_idx, chunk_text,
-    * n_tokens)`, chunk_idx 1-based in document order. */
+    * n_tokens)`, chunk_idx 1-based in document order. Null/empty/blank
+    * documents emit ZERO rows (r11 review): `tokens("")` is `[""]`, so the
+    * unguarded window arithmetic produced one phantom ("", n_tokens = 1)
+    * chunk per blank doc, silently corrupting downstream token accounting. */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     chunkSize: Int, stride: Int): DataFrame =
     df.select(col(idCol),
-        posexplode(chunksOf(TextAnalysis.tokens(col(textCol)),
-          chunkSize, stride)).as(Seq("i", "c")))
+        posexplode(when(TextAnalysis.tokenCount(col(textCol)) > 0,
+            chunksOf(TextAnalysis.tokens(col(textCol)), chunkSize, stride))
+          .otherwise(array().cast(
+            "array<struct<chunk_text:string,n_tokens:int>>")))
+          .as(Seq("i", "c")))
       .select(col(idCol), (col("i") + 1).as("chunk_idx"),
         col("c.chunk_text").as("chunk_text"),
         col("c.n_tokens").as("n_tokens"))

@@ -43,13 +43,9 @@ object FilterCascade {
                    allowedLangs: Seq[String] = Seq("en")): DataFrame = {
     val staged = TextAnalysis.repetitionMetrics(df, textCol)
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
-      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("stopword_ratio",
-        when(col("n_tokens") > 0,
-          size(filter(col("__toks"),
-            t => array_contains(array(TextAnalysis.stopwords.map(lit): _*), t)))
-            .cast("double") / col("n_tokens"))
-          .otherwise(0.0))
+        TextAnalysis.stopwordRatioOf(col("__toks"), col("n_tokens")))
       .withColumn("lang", TextAnalysis.languageId(col(textCol)))
       .drop("__toks")
     withDecision(staged, Seq(

@@ -86,7 +86,11 @@ object NaiveBayes {
     val withScores = perDoc.select(
       col(idCol) +: col("n_tokens") +: scoreCols: _*)
 
-    val best = greatest(classes.map(c => col(s"score_$c")): _*)
+    // greatest() requires ≥ 2 args (r11 review) — a one-class model is
+    // degenerate but well-defined: it always predicts that class
+    val best =
+      if (classes.size == 1) col(s"score_${classes.head}")
+      else greatest(classes.map(c => col(s"score_$c")): _*)
     val predicted = classes.foldRight(lit(null).cast("string")) { (c, acc) =>
       when(col(s"score_$c") === best, c).otherwise(acc)
     }

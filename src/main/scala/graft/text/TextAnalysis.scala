@@ -30,6 +30,17 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "this")
 
+  /** Stopword fraction of a precomputed token array (0.0 when `nToks` is 0)
+    * — the ONE definition of the metric (r11 review: [[qualityMetrics]] and
+    * [[FilterCascade.gopherRecipe]] each carried an identical private copy,
+    * which could silently drift and make the audit metric and the filter
+    * decision disagree). */
+  def stopwordRatioOf(toks: Column, nToks: Column): Column =
+    when(nToks > 0,
+      size(filter(toks, tk => array_contains(
+        array(stopwords.map(lit): _*), tk))).cast("double") / nToks)
+      .otherwise(0.0)
+
   /**
    * Quality metrics: char/token counts, mean token length, stopword ratio,
    * punctuation ratio, uppercase ratio — the length/punct/stopword heuristics
@@ -38,18 +49,18 @@ object TextAnalysis {
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
-    val nToks = size(toks)
-    val stopArr = array(stopwords.map(lit): _*)
+    // tokenCount semantics, not a bare size() (r11 review): tokens("") is
+    // [""], so the unguarded count reported n_tokens = 1 for blank docs —
+    // internally contradictory with n_chars = 0 and with tokenCount in this
+    // same file. (The derived ratios already guarded on nToks > 0.)
+    val nToks = when(t.isNull || trim(t) === "", lit(0)).otherwise(size(toks))
     df
       .withColumn("n_chars", length(t))
       .withColumn("n_tokens", nToks)
       .withColumn("mean_token_len",
         when(nToks > 0, (length(regexp_replace(trim(t), "\\s+", "")).cast("double")) / nToks)
           .otherwise(0.0))
-      .withColumn("stopword_ratio",
-        when(nToks > 0,
-          size(filter(toks, tk => array_contains(stopArr, tk))).cast("double") / nToks)
-          .otherwise(0.0))
+      .withColumn("stopword_ratio", stopwordRatioOf(toks, nToks))
       .withColumn("punct_ratio",
         when(length(t) > 0,
           coalesce(regexp_count(t, lit("[^\\w\\s]")), lit(0)).cast("double") / length(t))

@@ -35,8 +35,12 @@ object TextNormalize {
 
   /** Control characters except \t (09) and \n (0A) — RE2- and
     * Java-regex-compatible explicit ranges (no char-class intersection,
-    * which RE2 lacks). */
-  val controlPattern: String = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+    * which RE2 lacks). \r (0D) IS stripped (r11 review: the original range
+    * skipped it, so a CRLF document and its LF twin normalized to
+    * byte-different outputs — exactly the cluster-splitting difference this
+    * module exists to remove). The oracle SQL is generated from this same
+    * constant, so both engines move together. */
+  val controlPattern: String = "[\\x00-\\x08\\x0b-\\x1f\\x7f]"
 
   /** Typographic → ASCII folds, applied in order: curly single/double
     * quotes, en/em dash, no-break space. */

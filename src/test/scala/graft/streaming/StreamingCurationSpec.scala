@@ -82,4 +82,15 @@ class StreamingCurationSpec extends SparkSuite {
       keptPath, droppedPath, ckpt, maxNll = 1.5).awaitTermination(120000)
     assert(spark.read.parquet(keptPath).count() === nKept)
   }
+
+  test("a batch column colliding with an internal metric is rejected loudly") {
+    val s = spark
+    import s.implicits._
+    val clashing = Seq((1L, "some text here", 42L)).toDF("doc_id", "text", "n_tokens")
+    val e = intercept[IllegalArgumentException](
+      StreamingCuration.curateBatch(clashing, "doc_id", "text",
+        graft.text.LmScore.train(Seq((1L, "some text here")).toDF("doc_id", "text"), "text"),
+        maxNll = 6.0))
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
 }

@@ -136,8 +136,13 @@ class StreamingDedupSpec extends SparkSuite {
       threshold = 0.7, numHashes = 32, bands = 8)
     q.awaitTermination(120000)
 
-    // at-least-once really happened: every append is present twice
-    assert(spark.read.parquet(pairsPath).count() === 2)        // (101,3) ×2
+    // at-least-once really happened on corpus/index (appended twice) —
+    // but the pairs sink holds the edge ONCE: the crashed first attempt's
+    // corpus append committed 101/102, so the replay's committed-new_id
+    // exclusion suppresses the cross re-emission (the pairs write precedes
+    // the corpus append, so a committed endpoint proves the edge is
+    // already recorded — r11 orientation-unique fix, cross half)
+    assert(spark.read.parquet(pairsPath).count() === 1)        // (101,3) ×1
     assert(spark.read.parquet(corpusPath).count() === 24)      // 20 + 2×2
     assert(spark.read.parquet(indexPath).count() === (20 + 4) * 8)
     // …and the replay, which re-probed an index already holding this
@@ -496,5 +501,40 @@ class StreamingDedupSpec extends SparkSuite {
       assert(spark.read.parquet(indexPath).dropDuplicates("id", "band").count()
         === 23 * 8, s"[$label] index repair")
     }
+  }
+
+  test("re-delivering ONE endpoint of an intra-recorded edge emits no reversed pair") {
+    // batch 1 delivers near-dup docs a < b: intra records canonical (a, b)
+    // and both commit. A crash after the offset-less commit re-delivers b
+    // ALONE in batch 2 — the cross pass would then find b~a in the index
+    // and emit (new_id=b, corpus_id=a): the SAME logical edge under the
+    // OPPOSITE orientation, which no (new_id, corpus_id) dropDuplicates
+    // collapses and which makes a keep-min-id consumer delete both copies.
+    // The committed-new_id exclusion must suppress it.
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-sdedup-orient").toString
+    val corpusPath = s"$tmp/corpus"; val indexPath = s"$tmp/index"
+    val pairsPath = s"$tmp/pairs"
+    val seed = Seq(doc(0L, baseText(0L))).toDF("id", "text")
+    seed.write.parquet(corpusPath)
+    Dedup.bandIndex(seed, "id", "text", numHashes = 32, bands = 8)
+      .write.parquet(indexPath)
+
+    val a = doc(10L, baseText(5L) + " extra")
+    val b = doc(11L, baseText(5L) + " extra more")
+    StreamingDedup.processBatch(spark, Seq(a, b).toDF("id", "text"),
+      corpusPath, indexPath, pairsPath, "id", "text", 0.7, 32, 8)
+    val afterB1 = spark.read.parquet(pairsPath)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(afterB1 === Set((10L, 11L)), s"batch-1 canonical intra pair: $afterB1")
+
+    // batch 2: b re-delivered ALONE (its edge to a is already recorded)
+    StreamingDedup.processBatch(spark, Seq(b).toDF("id", "text"),
+      corpusPath, indexPath, pairsPath, "id", "text", 0.7, 32, 8)
+    val afterB2 = spark.read.parquet(pairsPath)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(afterB2 === Set((10L, 11L)),
+      s"no reversed (11,10) orientation after re-delivery: $afterB2")
   }
 }

@@ -48,4 +48,14 @@ class ChunkingSpec extends SparkSuite {
     val covered = chunks(text, size = 7, stride = 5).flatMap(_._2.split(" ")).toSet
     assert(covered === (1 to 23).map(i => s"t$i").toSet)
   }
+
+  test("null/empty/blank documents emit zero chunks, not a phantom row") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Long, Option[String])](
+      (1L, Some("one two three")), (2L, Some("")), (3L, None), (4L, Some("   ")))
+      .toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(df, "doc_id", "text", chunkSize = 2, stride = 2)
+    assert(out.select("doc_id").distinct().as[Long].collect().toSet === Set(1L))
+  }
 }

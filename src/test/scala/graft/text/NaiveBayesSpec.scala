@@ -160,4 +160,14 @@ class NaiveBayesSpec extends SparkSuite {
     }
     assert(fusedRaw.count() == docs.count())
   }
+
+  test("a single-class model is degenerate but does not crash") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta", "en"), (2L, "gamma delta", "en"))
+      .toDF("doc_id", "text", "label")
+    val out = NaiveBayes.trainScore(docs, "doc_id", "text", "label",
+      Seq("en"), trainPred = col("doc_id") === 1L)
+    assert(out.select("predicted").as[String].collect().toSet === Set("en"))
+  }
 }

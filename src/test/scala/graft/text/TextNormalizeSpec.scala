@@ -32,4 +32,15 @@ class TextNormalizeSpec extends SparkSuite {
     val dirty = "cafe" + cp(0x0301) + cp(0x200B) + " " + cp(0x201C) + "q" + cp(0x201D)
     assert(norm(norm(dirty)) === norm(dirty))
   }
+
+  test("CRLF and LF twins normalize to identical bytes (\\r is a control char)") {
+    val s = spark
+    import s.implicits._
+    val out = Seq(("a", "line one\r\nline two\r"), ("b", "line one\nline two"))
+      .toDF("id", "text")
+      .select(col("id"), TextNormalize.normalizeText(col("text")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("a") == out("b"))
+    assert(!out("a").contains("\r"))
+  }
 }
