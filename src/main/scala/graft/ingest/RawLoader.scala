@@ -68,9 +68,18 @@ object RawLoader {
    */
   def load(spark: SparkSession, bronzeGlob: String, tableDir: String): Long = {
     val incoming = withIngestionTs(readBronze(spark, bronzeGlob))
+    // ONLY path-not-found means "first run" (r11 review): a catch-all here
+    // turned any transient read failure (object-store 503, credential
+    // hiccup, one corrupt footer) into exists=false — appending the whole
+    // increment WITHOUT the anti-join and permanently duplicating events.
+    // Every other error must propagate and fail the load.
     val exists = try {
       spark.read.schema(LogisticsEvent.rawSchema).parquet(tableDir).head(1).nonEmpty
-    } catch { case _: Exception => false }
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) =>
+        false
+    }
     val toWrite =
       if (!exists) incoming
       else dedupAgainst(incoming,

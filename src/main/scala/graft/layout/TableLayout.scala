@@ -49,13 +49,34 @@ object TableLayout {
   /** Drop a managed table AND its warehouse location. `mode("overwrite")`
     * alone is not enough across JVM sessions: a table directory orphaned by
     * a previous session (catalog entry gone, files present) makes CREATE
-    * fail with LOCATION_ALREADY_EXISTS. */
+    * fail with LOCATION_ALREADY_EXISTS.
+    *
+    * The location is resolved from the CATALOG while the entry still exists
+    * (r11 review): guessing `warehouse/<name>` was wrong for db-qualified
+    * names (`db.tbl` lives at `warehouse/<db>.db/tbl`) and non-default
+    * current databases — the real directory survived the drop and the next
+    * saveAsTable failed with exactly the error this method documents itself
+    * as preventing. The default managed location is ALSO cleaned (computed
+    * per-database) to cover the orphaned-directory case, where no catalog
+    * entry exists to resolve from. */
   def dropTable(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val catalogLoc = scala.util.Try(new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(ident).location)).toOption
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val db = ident.database.getOrElse(spark.catalog.currentDatabase)
+    val defaultLoc =
+      if (db == "default")
+        new org.apache.hadoop.fs.Path(warehouse, ident.table.toLowerCase)
+      else new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(warehouse, s"$db.db"),
+        ident.table.toLowerCase)
+    (catalogLoc.toSeq :+ defaultLoc).distinct.foreach { p =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   /** Multi-column bucket key variant — e.g. the MinHash band index bucketed

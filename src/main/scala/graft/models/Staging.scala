@@ -36,7 +36,7 @@ object Staging {
       floatCols.map(c => col(c).cast("float").as(c)) :+
       ingestionTs.as("ingestion_timestamp"): _*)
     projected.filter(
-      col("event_id").isNotNull && col("order_id").isNotNull &&
-      col("event_id") =!= "" && col("order_id") =!= "")
+      graft.functions.present(col("event_id")) &&
+      graft.functions.present(col("order_id")))
   }
 }

@@ -67,7 +67,7 @@ object Warehouse {
     val dLocation = Dimensions.location(valid)
     val dCarrier = Dimensions.carrier(valid)
     val fact = Facts.factEvent(valid, dOrder, dTime, dStatus, dLocation, dCarrier)
-    val dq = DqSummary.summary(stg, Intermediate.invalid(stg))
+    val dq = DqSummary.summary(stg, invalid)
     Warehouse(raw, stg, valid, invalid, dOrder, dTime, dStatus, dLocation,
       dCarrier, fact, dq)
   }

@@ -214,15 +214,25 @@ object Multimodal {
     val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var off = 12
     var sampleRate = 0; var blockAlign = 0; var dataSize = -1
-    while (off + 8 <= b.length && (sampleRate == 0 || dataSize < 0)) {
+    var corrupt = false
+    while (!corrupt && off + 8 <= b.length && (sampleRate == 0 || dataSize < 0)) {
       val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = bb.getInt(off + 4)
-      if (id == "fmt " && off + 24 <= b.length) {
-        sampleRate = bb.getInt(off + 12)
-        blockAlign = bb.getShort(off + 20).toInt & 0xFFFF
-      } else if (id == "data") dataSize = size
-      off += 8 + size + (size & 1) // chunks are word-aligned
+      // fail-soft on corrupt chunk sizes (r11 review): a NEGATIVE size —
+      // e.g. 0xFFFFFFF8 in a truncated/fuzzed blob — made `off` advance by
+      // zero (an executor task spinning forever on one bad blob) or go
+      // negative (StringIndexOutOfBounds failing the whole job). Bad blobs
+      // are data, not exceptions: bail and report not-decodable.
+      if (size < 0) corrupt = true
+      else {
+        if (id == "fmt " && off + 24 <= b.length) {
+          sampleRate = bb.getInt(off + 12)
+          blockAlign = bb.getShort(off + 20).toInt & 0xFFFF
+        } else if (id == "data") dataSize = size
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
     }
+    if (corrupt) return (0, 0, 0, 0L)
     if (sampleRate <= 0 || blockAlign <= 0 || dataSize < 0) (0, 0, 0, 0L)
     else {
       val frames = dataSize / blockAlign
@@ -420,7 +430,6 @@ object Multimodal {
    * native context across records).
    */
   def decodeAndFeaturize(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val outEncoder = org.apache.spark.sql.Encoders.row(featureSchema)
     media.select("media_id", "media_type", "content")
       .mapPartitions { it =>
@@ -465,8 +474,11 @@ object Multimodal {
    */
   def writePartitioned(media: DataFrame, path: String,
                        targetPartitionBytes: Long = 128L << 20): Unit = {
+    // coalesce AROUND the sum too (r11 review): sum() over ZERO rows is
+    // null, and getLong on it NPE'd instead of writing an empty table
     val approxBytes = media.select(
-      sum(coalesce(length(col("content")), lit(0)))).head().getLong(0)
+      coalesce(sum(coalesce(length(col("content")), lit(0))), lit(0L)))
+      .head().getLong(0)
     val parts = math.max(1, (approxBytes / targetPartitionBytes).toInt)
     media.repartitionByRange(parts, col("media_id"))
       .write.mode("overwrite").parquet(path)

@@ -50,8 +50,6 @@ object DbtStyleTests {
    * suite output reads like `dbt test`'s.
    */
   def suite(w: graft.models.Warehouse): Seq[TestResult] = {
-    import graft.model.LogisticsEvent.validStatuses
-
     // (model, frame, not_null columns, unique columns) — schema.yml order
     val columnTests: Seq[(String, DataFrame, Seq[String], Seq[String])] = Seq(
       ("stg_logistics_events", w.stg,
@@ -79,9 +77,42 @@ object DbtStyleTests {
           "is_late_delivery"),
         Seq("event_sk", "event_id")))
 
+    // Persist every model frame for the suite's duration (r11 review): each
+    // test is its own action, and an unpersisted lazy model re-executes its
+    // full staging+join DAG per test — ~60 full plan executions for 51
+    // tests at the scale this package targets. With the frames cached, each
+    // action scans the materialized model once; additionally, ALL not_null
+    // checks of one model collapse into ONE conditional-aggregation pass
+    // (the DqChecks.runAll pattern — '7× less I/O'). unique/relationships
+    // keep their own jobs: they need groupBys/anti-joins a single aggregate
+    // cannot express, but they now run over the cached frames.
+    val frames = (columnTests.map(_._2) :+ w.factEvent :+ w.dimLocation).distinct
+    frames.foreach(_.persist())
+    try {
+      suiteChecks(columnTests, w)
+    } finally frames.foreach(_.unpersist())
+  }
+
+  private def suiteChecks(
+      columnTests: Seq[(String, DataFrame, Seq[String], Seq[String])],
+      w: graft.models.Warehouse): Seq[TestResult] = {
+    import graft.model.LogisticsEvent.validStatuses
+
+    def cnt(pred: org.apache.spark.sql.Column) =
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
+
     val keyTests = columnTests.flatMap { case (m, df, nn, uq) =>
-      nn.map(c => TestResult(m, s"not_null:$c", notNull(df, c))) ++
-        uq.map(c => TestResult(m, s"unique:$c", unique(df, c)))
+      val nnResults =
+        if (nn.isEmpty) Seq.empty[TestResult]
+        else {
+          val row = df.agg(
+            cnt(col(nn.head).isNull).as("c0"),
+            nn.tail.zipWithIndex.map { case (c, i) =>
+              cnt(col(c).isNull).as(s"c${i + 1}") }: _*).head()
+          nn.zipWithIndex.map { case (c, i) =>
+            TestResult(m, s"not_null:$c", row.getLong(i)) }
+        }
+      nnResults ++ uq.map(c => TestResult(m, s"unique:$c", unique(df, c)))
     }
 
     val enumTests = Seq(

@@ -25,32 +25,38 @@ object DqChecks {
         "DQ gate failed: " + results.filter(r => r.severity == "ERROR" && r.violations > 0)
           .map(r => s"${r.name}=${r.violations}").mkString(", "))
 
+  // Each check's predicate has ONE definition (r11 review), shared by the
+  // standalone count and runAll's single-scan aggregate — copies could
+  // silently drift, making the gate and the per-check API report different
+  // violation counts for the same data.
+  private[quality] def nullIdPred =
+    col("order_id").isNull || col("order_id") === ""
+  private[quality] def badWeightPred =
+    col("weight_kg").isNull || col("weight_kg") <= 0 || col("weight_kg") > 5000
+  private[quality] def malformedTsPred =
+    col("timestamp").isNull || try_to_timestamp(col("timestamp")).isNull
+  private[quality] def invalidStatusPred =
+    col("status").isNotNull && !col("status").isin(LogisticsEvent.validStatuses: _*)
+  private[quality] def oobCoordPred =
+    col("latitude").isNull || col("longitude").isNull ||
+      col("latitude") < -90 || col("latitude") > 90 ||
+      col("longitude") < -180 || col("longitude") > 180
+
   /** Check 1 (ERROR): NULL or empty order_id (`data_quality_check.py:76-88` — order_id only). */
-  def nullIds(raw: DataFrame): Long =
-    raw.filter(col("order_id").isNull || col("order_id") === "").count()
+  def nullIds(raw: DataFrame): Long = raw.filter(nullIdPred).count()
 
   /** Check 2 (ERROR): weight NULL, <= 0 or > 5000 (`data_quality_check.py:93-104`). */
-  def badWeights(raw: DataFrame): Long =
-    raw.filter(col("weight_kg").isNull || col("weight_kg") <= 0 ||
-      col("weight_kg") > 5000).count()
+  def badWeights(raw: DataFrame): Long = raw.filter(badWeightPred).count()
 
   /** Check 3 (ERROR): NULL or unparseable timestamp (`data_quality_check.py:106-118`). */
-  def malformedTimestamps(raw: DataFrame): Long =
-    raw.filter(col("timestamp").isNull ||
-      try_to_timestamp(col("timestamp")).isNull).count()
+  def malformedTimestamps(raw: DataFrame): Long = raw.filter(malformedTsPred).count()
 
   /** Check 4 (ERROR): status outside the 6-value enum. NOT IN semantics:
     * NULL status is NOT counted (three-valued logic, `data_quality_check.py:121-135`). */
-  def invalidStatuses(raw: DataFrame): Long =
-    raw.filter(col("status").isNotNull &&
-      !col("status").isin(LogisticsEvent.validStatuses: _*)).count()
+  def invalidStatuses(raw: DataFrame): Long = raw.filter(invalidStatusPred).count()
 
   /** Check 5 (ERROR): coordinates out of bounds (`data_quality_check.py:140-153`). */
-  def outOfBoundsCoords(raw: DataFrame): Long =
-    raw.filter(
-      col("latitude").isNull || col("longitude").isNull ||
-      col("latitude") < -90 || col("latitude") > 90 ||
-      col("longitude") < -180 || col("longitude") > 180).count()
+  def outOfBoundsCoords(raw: DataFrame): Long = raw.filter(oobCoordPred).count()
 
   /** Check 6 (WARNING): duplicate event_ids (`data_quality_check.py:157-173`). */
   def duplicateEventIds(raw: DataFrame): Long =
@@ -60,8 +66,10 @@ object DqChecks {
 
   /** Check 7 (WARNING): estimated_delivery unparseable or in the past (`data_quality_check.py:177-189`). */
   private val tryDeliveryDate = expr("try_cast(estimated_delivery AS DATE)")
+  private[quality] def badDeliveryPred =
+    tryDeliveryDate.isNull || tryDeliveryDate < current_date()
   def badDeliveryDates(raw: DataFrame): Long =
-    raw.filter(tryDeliveryDate.isNull || tryDeliveryDate < current_date()).count()
+    raw.filter(badDeliveryPred).count()
 
   /**
    * All seven checks in a single scan (conditional aggregation), plus the
@@ -70,21 +78,15 @@ object DqChecks {
    * `data_quality_check.py:197-200`.
    */
   def runAll(raw: DataFrame, failFast: Boolean = true): Seq[CheckResult] = {
-    def cnt(pred: org.apache.spark.sql.Column) =
-      sum(when(pred, 1L).otherwise(0L))
+    def cnt(pred: org.apache.spark.sql.Column) = // coalesce: sum of 0 rows is null
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
     val row = raw.agg(
-      cnt(col("order_id").isNull || col("order_id") === "").as("null_ids"),
-      cnt(col("weight_kg").isNull || col("weight_kg") <= 0 ||
-        col("weight_kg") > 5000).as("bad_weights"),
-      cnt(col("timestamp").isNull ||
-        try_to_timestamp(col("timestamp")).isNull).as("malformed_ts"),
-      cnt(col("status").isNotNull &&
-        !col("status").isin(LogisticsEvent.validStatuses: _*)).as("bad_status"),
-      cnt(col("latitude").isNull || col("longitude").isNull ||
-        col("latitude") < -90 || col("latitude") > 90 ||
-        col("longitude") < -180 || col("longitude") > 180).as("bad_coords"),
-      cnt(tryDeliveryDate.isNull ||
-        tryDeliveryDate < current_date()).as("bad_delivery")
+      cnt(nullIdPred).as("null_ids"),
+      cnt(badWeightPred).as("bad_weights"),
+      cnt(malformedTsPred).as("malformed_ts"),
+      cnt(invalidStatusPred).as("bad_status"),
+      cnt(oobCoordPred).as("bad_coords"),
+      cnt(badDeliveryPred).as("bad_delivery")
     ).head()
 
     val results = Seq(

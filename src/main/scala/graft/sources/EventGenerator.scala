@@ -64,6 +64,15 @@ object EventGenerator {
    */
   def events(spark: SparkSession, n: Long, seed: Long = 42L,
              startInstant: String = "2026-02-23T08:00:00+00:00"): DataFrame = {
+    // `date_format`/`to_date` below evaluate in the SESSION time zone, so
+    // the "same (n, seed, startInstant) ⇒ identical frame" claim only holds
+    // under one tz (r11 review). Every graft entry point pins UTC; fail
+    // loudly rather than generate a silently different corpus elsewhere.
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"EventGenerator needs spark.sql.session.timeZone=UTC (got '$tz') — " +
+        "timestamp/date formatting is session-tz-dependent and would make " +
+        "the generated corpus non-reproducible across deployments")
     val base = spark.range(n)
     val start = to_timestamp(lit(startInstant))
 

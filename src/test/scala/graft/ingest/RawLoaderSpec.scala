@@ -38,4 +38,21 @@ class RawLoaderSpec extends SparkSuite {
     assert(RawLoader.load(spark, bronze, table) == 0)
     assert(spark.read.parquet(table).count() == 2)
   }
+
+  test("a corrupt table read PROPAGATES instead of silently skipping dedup") {
+    // only PATH_NOT_FOUND means first run; any other read failure must fail
+    // the load — treating it as "no table" would append without the
+    // anti-join and permanently duplicate events
+    val tmp = java.nio.file.Files.createTempDirectory("graft-load-corrupt").toString
+    val tableDir = s"$tmp/raw"
+    new java.io.File(tableDir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tableDir/part-corrupt.parquet"),
+      "this is not parquet".getBytes)
+    val bronzeDir = s"$tmp/bronze"
+    spark.createDataFrame((1 to 3).map(i => ev(s"e$i"))).write.parquet(bronzeDir)
+    intercept[Exception] {
+      RawLoader.load(spark, s"$bronzeDir/*.parquet", tableDir)
+    }
+  }
 }

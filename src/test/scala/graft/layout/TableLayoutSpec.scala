@@ -101,4 +101,20 @@ class TableLayoutSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS dims_b")
     }
   }
+
+  test("dropTable resolves db-qualified managed locations from the catalog") {
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_r11db")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    TableLayout.writeBucketed(df, "graft_r11db.t", "k", buckets = 2)
+    // the managed dir lives at warehouse/graft_r11db.db/t — the old
+    // warehouse/<name> guess missed it and the NEXT create failed with
+    // LOCATION_ALREADY_EXISTS; create-after-drop must succeed
+    TableLayout.dropTable(spark, "graft_r11db.t")
+    TableLayout.writeBucketed(df, "graft_r11db.t", "k", buckets = 2)
+    assert(spark.table("graft_r11db.t").count() === 2)
+    TableLayout.dropTable(spark, "graft_r11db.t")
+    spark.sql("DROP DATABASE graft_r11db")
+  }
 }

@@ -144,4 +144,29 @@ class MultimodalSpec extends SparkSuite {
     assert(plan.filter(col("out_width") > greatest(col("width"), lit(512))).count() == 0)
     assert(plan.filter(col("scale") > 1.0).count() == 0)
   }
+
+  test("corrupt WAV chunk sizes fail soft, never hang or throw") {
+    // a negative RIFF chunk size (0xFFFFFFF8) used to advance the offset by
+    // ZERO — an executor spinning forever on one fuzzed blob
+    val evil = new Array[Byte](64)
+    "RIFF".getBytes.copyToArray(evil, 0)
+    "WAVE".getBytes.copyToArray(evil, 8)
+    "fmt ".getBytes.copyToArray(evil, 12)
+    evil(16) = 0xF8.toByte; evil(17) = 0xFF.toByte
+    evil(18) = 0xFF.toByte; evil(19) = 0xFF.toByte   // size = -8 (LE)
+    assert(Multimodal.decode("audio", evil) == ((0, 0, 0, 0L)))
+    // and a size driving the offset negative must not throw either
+    val evil2 = evil.clone(); evil2(16) = 0x80.toByte
+    assert(Multimodal.decode("audio", evil2) == ((0, 0, 0, 0L)))
+  }
+
+  test("writePartitioned of an EMPTY media frame writes an empty table") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mm-empty").toString
+    val empty = Seq((1L, "image", Array[Byte](1, 2, 3))).toDF("media_id", "media_type", "content")
+      .filter(col("media_id") < 0)
+    Multimodal.writePartitioned(empty, s"$tmp/out")   // used to NPE on sum()=null
+    assert(spark.read.parquet(s"$tmp/out").count() === 0)
+  }
 }

@@ -62,4 +62,12 @@ class DqChecksSpec extends SparkSuite {
     assert(all("out_of_bounds_coords") == DqChecks.outOfBoundsCoords(raw))
     assert(all("bad_delivery_dates") == DqChecks.badDeliveryDates(raw))
   }
+
+  test("runAll over an EMPTY frame reports zeros (sum-of-no-rows is null)") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.model.LogisticsEvent.rawSchema)
+    val results = DqChecks.runAll(empty)
+    assert(results.forall(_.violations === 0L))
+  }
 }

@@ -75,4 +75,14 @@ class EventGeneratorSpec extends SparkSuite {
     assert(rate > 0.04 && rate < 0.15, s"invalid rate $rate")
     assert(w.factEvent.count() == total - invalid)
   }
+
+  test("a non-UTC session time zone is rejected (corpus would not reproduce)") {
+    val key = "spark.sql.session.timeZone"
+    spark.conf.set(key, "Asia/Tokyo")
+    try {
+      val e = intercept[IllegalArgumentException](
+        EventGenerator.events(spark, 10))
+      assert(e.getMessage.contains("UTC"), e.getMessage)
+    } finally spark.conf.set(key, "UTC")
+  }
 }
