@@ -128,8 +128,14 @@ object Bench {
             }
           } catch { case _: Throwable => failed += name; false }
           val t = (System.nanoTime() - t0) / 1e9
-          // a crash-path timing is not a latency — only record successes
-          if (ok && (!times.contains(name) || t < times(name))) times(name) = t
+          // a crash-path timing is not a latency — only record successes;
+          // a later success also CLEARS the failed mark (r11 review: a
+          // transient pass-1 error left the query in BOTH failed:[…] and
+          // queries:{…} with a valid min — contradictory output)
+          if (ok) {
+            failed -= name
+            if (!times.contains(name) || t < times(name)) times(name) = t
+          }
         }
       }
     }
@@ -145,8 +151,17 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     } catch { case _: Throwable => -1.0 }
+    // escape the interpolated path like Verify does (r11 review): a quote
+    // or backslash in SPARK_GRAFT_SF_DIR would otherwise emit invalid JSON
+    // and lose the round's timings to the driver's json.load
+    val sfJson = "\"" + sfDir.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val jsonLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","loadavg1":$load1}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":$sfJson,"loadavg1":$load1}"""
     println(jsonLine)
     // The stdout line rides inside sbt's log stream, whose captured tail has
     // been observed truncated mid-JSON (BENCH_r03 lost 10 per-query timings);

@@ -37,6 +37,13 @@ object LlmOpQueries {
   private val builtIvfTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
+  // Streaming-replay scratch roots (corpus/index/pairs parquet tables under
+  // a session temp dir), recorded at creation so clearCache can delete them
+  // (r11 review: unpersisting the frames left the on-disk replay state
+  // accumulating under /tmp across every Verify/Bench run).
+  private val replayTempRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Drop every memoized frame (tables, exact top-k, query plans), release
     * persisted storage, and clear the dedup operators' sketch caches. Called
     * by the Verify/Bench mains before session stop (memoization scope = one
@@ -53,6 +60,17 @@ object LlmOpQueries {
       }
     }
     builtIvfTables.clear()
+    replayTempRoots.forEach { root =>
+      try {
+        val p = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      } catch { case _: Throwable => () }
+    }
+    replayTempRoots.clear()
     cache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     cache.clear()
     Dedup.unpersistSketches()
@@ -116,7 +134,10 @@ object LlmOpQueries {
     val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
     docs(s, dir).select(
       col("doc_id"),
-      size(toks).as("n_tokens"),
+      // tokenCount, not bare size (r11 review): tokens("") is [""], so the
+      // unguarded count reads 1 where the oracle's CASE emits 0 — a latent
+      // hash flip on any regenerated corpus containing one blank doc
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
       size(filter(toks, t => array_contains(stopArr, t))).as("n_stopwords"),
       (size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
         size(toks)).as("stopword_ratio"))
@@ -475,6 +496,7 @@ object LlmOpQueries {
       val d = docs(s, dir)
       val root = java.nio.file.Files
         .createTempDirectory("graft_stream_replay").toString
+      replayTempRoots.add(root) // deleted by clearCache
       val corpus0 = d.filter(col("doc_id") % 10 === 0 && col("doc_id") < 1000)
         .select("doc_id", "text")
       corpus0.write.mode("overwrite").parquet(s"$root/corpus")
@@ -689,8 +711,13 @@ object LlmOpQueries {
       q, "vec_id", "embedding", k = 5, nTables = nTables, nBits = nBits,
       multiProbeBits = multiProbeBits)
       .select("query_id", "corpus_id")
-    exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
-      .agg((count(lit(1)).cast("double") / 50.0).as("recall_at_5"))
+    // denominator = the ACTUAL ground-truth row count, not a hard-coded 50
+    // (r11 review): on a smaller/regenerated corpus the fixed constant
+    // silently understated recall and spuriously emptied the gated row
+    exact.join(approx.withColumn("__hit", lit(1)),
+        Seq("query_id", "corpus_id"), "left")
+      .agg((coalesce(sum(col("__hit")), lit(0)).cast("double") /
+        greatest(count(lit(1)), lit(1L))).as("recall_at_5"))
       .withColumn("meets_target", col("recall_at_5") >= minRecall)
       .filter(col("meets_target"))
   }
@@ -721,8 +748,10 @@ object LlmOpQueries {
         q, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 10,
         trainIters = 3)
         .select("query_id", "corpus_id")
-      exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
-        .agg((count(lit(1)).cast("double") / 50.0).as("recall_at_5"))
+      exact.join(approx.withColumn("__hit", lit(1)),
+          Seq("query_id", "corpus_id"), "left")
+        .agg((coalesce(sum(col("__hit")), lit(0)).cast("double") /
+          greatest(count(lit(1)), lit(1L))).as("recall_at_5"))
         // Gate at the corpus-limited floor (same collapse-visibility rationale
         // as lshRecallGated): a regression below the documented worst-case
         // band empties the row set and flips the driver check.
@@ -766,8 +795,10 @@ object LlmOpQueries {
       val approx = SimilaritySearch.ivfTopKIndexed(s, tbl,
           q, "vec_id", "embedding", k = 5, nProbe = 10)
         .select("query_id", "corpus_id")
-      exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
-        .agg((count(lit(1)).cast("double") / 50.0).as("recall_at_5"))
+      exact.join(approx.withColumn("__hit", lit(1)),
+          Seq("query_id", "corpus_id"), "left")
+        .agg((coalesce(sum(col("__hit")), lit(0)).cast("double") /
+          greatest(count(lit(1)), lit(1L))).as("recall_at_5"))
         .withColumn("meets_target", col("recall_at_5") >= 0.5)
         .filter(col("meets_target"))
     })

@@ -236,8 +236,11 @@ object OperatorQueries {
 
   /**
    * S7/J11: incremental-load anti-join dedup — `incoming NOT IN existing`.
-   * Existing keys = every third event; left_anti (NOT EXISTS) with non-null
-   * guard reproduces NOT IN on clean keys (SURVEY §2.1 S7 note).
+   * Existing keys = every third event. left_anti (NOT EXISTS) ≡ NOT IN
+   * here because the generated `event_id` is a NON-NULL long on both sides
+   * (no guard column needed — r11 review fixed this comment, which claimed
+   * one existed); the loader's exact null-hostile NOT-IN mode for dirty
+   * keys is [[graft.ingest.RawLoader]]'s (SURVEY §2.1 S7 note).
    */
   def s7AntiJoinDedup(s: SparkSession, dir: String): DataFrame = {
     val events = T(s, dir, "events")
@@ -804,7 +807,7 @@ object OperatorQueries {
     * whole key derivation; the skipping payoff itself is machine-checked in
     * `ZOrderSpec`. */
   def oZorderKey(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    T(s, dir, "events") // the persisted fan-out reader, like every sibling
       .select(col("event_id"),
         graft.layout.ZOrder.scaleTo16Bit(col("user_id"), 0.0, 2048.0)
           .as("cell_user"),

@@ -37,10 +37,20 @@ object Pipeline {
   def run(spark: SparkSession, landingDir: String, bronzeDir: String,
           checkpointDir: String, rawTableDir: String): RunResult = {
 
-    // 1. stream_to_minio: drain everything pending from the landing zone
+    // 1. stream_to_minio: drain everything pending from the landing zone.
+    // awaitTermination's Boolean is load-bearing (r11 review): false means
+    // the drain is STILL RUNNING after the timeout, and proceeding would
+    // race the loader against in-flight sink commits — incomplete data
+    // through DQ and the models with a normal-looking RunResult. The
+    // reference DAG's analogue is a task timeout failing the run.
     val q = EventStreamIngest.bronzeSink(
       EventStreamIngest.fromFiles(spark, landingDir), bronzeDir, checkpointDir)
-    q.awaitTermination(600000)
+    if (!q.awaitTermination(600000)) {
+      q.stop()
+      throw new IllegalStateException(
+        "bronze drain did not finish within 600s — aborting the run " +
+          "rather than loading a partially-written bronze directory")
+    }
 
     // 2. load_to_duckdb: incremental anti-join append into raw_logistics
     // (partition discovery on the bronze root; partition columns are pruned
