@@ -61,14 +61,24 @@ object LlmOpQueries {
     }
     builtIvfTables.clear()
     replayTempRoots.forEach { root =>
+      // Using closes the walk stream (r11 advice: iterator() without close
+      // leaked one open directory handle per replay root per clearCache);
+      // deletion failures are logged, not swallowed — a stuck root is a
+      // disk leak worth seeing, but must not abort the rest of the cleanup.
       try {
         val p = java.nio.file.Paths.get(root)
         if (java.nio.file.Files.exists(p)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+          scala.util.Using.resource(java.nio.file.Files.walk(p)) { walk =>
+            walk.iterator().asScala.toSeq.reverse
+              .foreach(f => java.nio.file.Files.deleteIfExists(f))
+          }
         }
-      } catch { case _: Throwable => () }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] clearCache: failed to delete replay root $root: $e")
+      }
     }
     replayTempRoots.clear()
     cache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
@@ -711,6 +721,12 @@ object LlmOpQueries {
       q, "vec_id", "embedding", k = 5, nTables = nTables, nBits = nBits,
       multiProbeBits = multiProbeBits)
       .select("query_id", "corpus_id")
+      // distinct (r11 advice): the left-join recall form below is only
+      // correct when the approx side is unique per (query_id, corpus_id) —
+      // a future top-k variant emitting duplicate pairs would fan out the
+      // join and bias BOTH numerator and denominator. Cheap: ~k·|queries|
+      // rows.
+      .distinct()
     // denominator = the ACTUAL ground-truth row count, not a hard-coded 50
     // (r11 review): on a smaller/regenerated corpus the fixed constant
     // silently understated recall and spuriously emptied the gated row
@@ -748,6 +764,7 @@ object LlmOpQueries {
         q, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 10,
         trainIters = 3)
         .select("query_id", "corpus_id")
+        .distinct()  // duplicate-pair guard — see lshRecallGated
       exact.join(approx.withColumn("__hit", lit(1)),
           Seq("query_id", "corpus_id"), "left")
         .agg((coalesce(sum(col("__hit")), lit(0)).cast("double") /
@@ -795,6 +812,7 @@ object LlmOpQueries {
       val approx = SimilaritySearch.ivfTopKIndexed(s, tbl,
           q, "vec_id", "embedding", k = 5, nProbe = 10)
         .select("query_id", "corpus_id")
+        .distinct()  // duplicate-pair guard — see lshRecallGated
       exact.join(approx.withColumn("__hit", lit(1)),
           Seq("query_id", "corpus_id"), "left")
         .agg((coalesce(sum(col("__hit")), lit(0)).cast("double") /

@@ -58,11 +58,20 @@ object TableLayout {
     * saveAsTable failed with exactly the error this method documents itself
     * as preventing. The default managed location is ALSO cleaned (computed
     * per-database) to cover the orphaned-directory case, where no catalog
-    * entry exists to resolve from. */
+    * entry exists to resolve from.
+    *
+    * EXTERNAL tables (r11 advice): only the catalog ENTRY is dropped — the
+    * resolved location is deleted solely for MANAGED tables, matching DROP
+    * TABLE semantics (an external location is user data the drop must
+    * preserve). The default-managed-location sweep below is safe regardless:
+    * it only ever touches paths under the session warehouse dir. */
   def dropTable(spark: SparkSession, table: String): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val catalogLoc = scala.util.Try(new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.getTableMetadata(ident).location)).toOption
+    val catalogLoc = scala.util.Try(
+      spark.sessionState.catalog.getTableMetadata(ident)).toOption
+      .filter(_.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+      .map(m => new org.apache.hadoop.fs.Path(m.location))
     spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
     val warehouse = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"))

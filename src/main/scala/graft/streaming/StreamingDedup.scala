@@ -120,19 +120,24 @@ object StreamingDedup {
           precomputedSketch = Some(sketch))
           // Orientation-unique sink, CROSS half (r11 review — the intra
           // half's both-committed exclusion alone left a hole): a COMMITTED
-          // new_id is re-delivered state whose edges were ALL recorded when
-          // it first arrived (as that batch's cross pairs — the index join
-          // never prunes sub-bucket — or its intra pairs). Re-emitting them
-          // now is worse than redundant: an edge first recorded as the
-          // canonical intra pair (a, b) would land AGAIN as (b, a) when b
-          // alone is re-delivered later — two orientations of one logical
-          // edge, which no (new_id, corpus_id) dropDuplicates collapses and
-          // which makes a keep-min-id consumer delete BOTH copies. Same
-          // crash-window argument as the intra exclusion: the pairs write
-          // PRECEDES the corpus append, so an unrecorded edge implies an
-          // uncommitted endpoint, which this anti-join keeps. (An intra
-          // edge dropped by the skew prune at first arrival is not
-          // recoverable through re-delivery — documented below.)
+          // new_id is re-delivered state whose non-pruned edges were all
+          // recorded when it first arrived (as that batch's cross pairs or
+          // its intra pairs). Re-emitting them now is worse than redundant:
+          // an edge first recorded as the canonical intra pair (a, b) would
+          // land AGAIN as (b, a) when b alone is re-delivered later — two
+          // orientations of one logical edge, which no (new_id, corpus_id)
+          // dropDuplicates collapses and which makes a keep-min-id consumer
+          // delete BOTH copies. Same crash-window argument as the intra
+          // exclusion: the pairs write PRECEDES the corpus append, so an
+          // unrecorded edge implies an uncommitted endpoint, which this
+          // anti-join keeps. (An edge dropped by EITHER skew prune at first
+          // arrival — the intra prune below or incrementalNearDupPairs'
+          // corpus-bucket prune, default maxBucketSize=256 — is not
+          // recoverable through re-delivery: this exclusion suppresses the
+          // replay. That is the prunes' documented recall trade, not a new
+          // hole — see the interaction note in Dedup.incrementalNearDupPairs;
+          // a caller wanting unbounded cross recall passes
+          // maxBucketSize=Int.MaxValue to the underlying operator.)
           .join(broadcast(committed.select(col("__cid").as("new_id"))),
             Seq("new_id"), "left_anti")
         // INTRA-batch near-dups are the batch's own job (the incremental

@@ -117,4 +117,22 @@ class TableLayoutSpec extends SparkSuite {
     TableLayout.dropTable(spark, "graft_r11db.t")
     spark.sql("DROP DATABASE graft_r11db")
   }
+
+  test("dropTable preserves an EXTERNAL table's data directory") {
+    val s = spark
+    import s.implicits._
+    val loc = Files.createTempDirectory("graft-ext").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(loc)
+    spark.sql(
+      s"CREATE TABLE graft_ext_t (k BIGINT, v STRING) USING parquet " +
+      s"LOCATION '$loc'")
+    assert(spark.table("graft_ext_t").count() === 2)
+    // DROP TABLE semantics for external tables: catalog entry goes, user
+    // data stays (r11 advice — the unconditional catalog-location delete
+    // would have erased it)
+    TableLayout.dropTable(spark, "graft_ext_t")
+    assert(spark.catalog.tableExists("graft_ext_t") === false)
+    assert(spark.read.parquet(loc).count() === 2)
+  }
 }
