@@ -85,12 +85,13 @@ object OperatorQueries {
       // cost. Persisting is the session's buffer pool — populated during the
       // untimed warmup pass, exactly the warm methodology BASELINE.md §d
       // prescribes (the DuckDB baseline likewise re-serves from OS cache +
-      // its own buffer manager). Tiny dims stay unpersisted single-partition
-      // scans — that keeps the PlanShapeSpec pushdown/pruning contract
-      // checked on real parquet scans (sf0.001 is below the gate), and a
-      // shuffle of a 5-row dim would cost more than it buys. At real scale
-      // the source arrives as many splits and hot tables are cached the same
-      // way by a serving session.
+      // its own buffer manager). Bounded dims persist UNCONDITIONALLY in
+      // the branch below (no repartition — a shuffle of a 5-row dim costs
+      // more than it buys; rationale in the boundedDims scaladoc); the
+      // PlanShapeSpec pushdown/pruning contract is checked on NON-bounded
+      // tables at sf0.001, which sit below the 256 KB cache gate and so
+      // stay real parquet scans. At real scale the source arrives as many
+      // splits and hot tables are cached the same way by a serving session.
       // Cache gate at 256 KB: big enough that every sf0.001 table stays a
       // raw parquet scan (PlanShapeSpec's pushdown/pruning contract needs
       // real scans; the largest sf0.001 file is ~190 KB), small enough that
@@ -131,8 +132,11 @@ object OperatorQueries {
 
   /** Shared hash-partition width for ALL keyed caches of one sf dir (widths
     * must MATCH across co-joined tables or the smaller side re-shuffles):
-    * largest keyed table / ~2 MB parquet per partition, clamped to
-    * [4, session shuffle width]. */
+    * largest keyed table / ~2 MB parquet per partition, floored at 4 and
+    * capped at the session shuffle width — the CAP wins (r12 review: the
+    * old max-outside-min form returned 4 when the session width was
+    * smaller, handing downstream width-2 stages a width-4 cache and
+    * forcing the exact re-Exchange the shared width exists to avoid). */
   private val keyedWidthCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
 
@@ -140,8 +144,9 @@ object OperatorQueries {
     keyedWidthCache.getOrElseUpdate((s, dir), {
       val maxBytes = layoutKey.keysIterator
         .map(t => fileSize(s, s"$dir/$t.parquet")).max
-      math.max(4L, math.min(maxBytes / (2L * 1024 * 1024),
-        s.sessionState.conf.numShufflePartitions.toLong)).toInt
+      val sessionWidth = s.sessionState.conf.numShufflePartitions.toLong
+      math.min(sessionWidth,
+        math.max(4L, maxBytes / (2L * 1024 * 1024))).toInt
     })
 
   private def fileSize(s: SparkSession, path: String): Long =
@@ -668,7 +673,9 @@ object OperatorQueries {
       cnt(!col("l_returnflag").isin("A", "N", "R")).as("bad_flag"))
   }
 
-  /** A11: duplicate detection — GROUP BY key HAVING count>1, then outer count. */
+  /** A11: duplicate detection — GROUP BY key HAVING count > 20 (the
+    * reference's HAVING-count>1 shape at a threshold that selects a stable
+    * non-trivial subset of this synthetic table), then outer count. */
   def a11HavingDuplicates(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
       .groupBy("user_id").agg(count(lit(1)).as("n"))

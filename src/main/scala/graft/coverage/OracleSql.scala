@@ -1962,18 +1962,20 @@ object OracleSql {
         |       n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // stopwords interpolated from TextAnalysis.stopwords via `stopwordsList`
+    // (r12 review: an inline copy of the 18 words only happened to match —
+    // an engine-side list edit would have flipped this hash with a
+    // confusing diff; t_filter_cascade already followed the convention)
     "t_quality_score" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        |            ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+        |            ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
         |       END AS n_tokens,
-        |       len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |           x -> x IN ('the','a','an','and','or','of','to','in','is','it',
-        |                      'that','for','on','with','as','at','by','this'))) AS n_stopwords,
-        |       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |           x -> x IN ('the','a','an','and','or','of','to','in','is','it',
-        |                      'that','for','on','with','as','at','by','this'))) AS DOUBLE)
-        |         / len(string_split_regex(trim(lower(text)), '\s+')) AS stopword_ratio
+        |       len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        |           x -> list_contains(${stopwordsList}, x))) AS n_stopwords,
+        |       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        |           x -> list_contains(${stopwordsList}, x))) AS DOUBLE)
+        |         / len(string_split_regex(trim(lower(text)), '\\s+')) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_exact_clusters" ->

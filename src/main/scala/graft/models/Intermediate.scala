@@ -15,6 +15,17 @@ import graft.functions.{missing, present}
  * same-day-estimate case (`"2026-02-23" < "2026-02-23T01:09:36…"`, shorter
  * string is a prefix) classifies as invalid. Load-bearing (SURVEY §1.4.1).
  *
+ * "Complementary" carries the reference's own three-valued-logic caveat
+ * (r12 review): a staged row with a NULL `timestamp` (staging only drops
+ * null/empty ids, never timestamps) lands on NEITHER side — rule 3
+ * evaluates NULL in [[valid]]'s conjunction, and `is_invalid_delivery`'s
+ * `false OR NULL = NULL` keeps it out of [[invalid]]'s disjunction too.
+ * The reference SQL (`int_valid…sql:19` / `int_invalid…SQL:13-14`) behaves
+ * identically under DuckDB, so reproducing the hole IS the parity contract;
+ * such a row still counts in dq_invalid_delivery_summary's total_events,
+ * exactly as it does there. The deployed generator never emits a null
+ * timestamp, which is why the hole is latent in both systems.
+ *
  * Both sides are narrow (filter / project only — no shuffle). At 100 TB the
  * split evaluates as two pushed-down predicate scans over the same staged
  * projection; if both sides are consumed in one job, cache the staged frame.

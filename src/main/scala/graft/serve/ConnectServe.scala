@@ -108,6 +108,18 @@ object ConnectServe {
           "this JVM — its gRPC server was built without the read-only wire " +
           "interceptor. Stop it (SparkConnectService.stop) and start the " +
           "endpoint through ConnectServe, or serve readOnly=false")
+      // Trusted path needs the SAME probe (r12 review): when a service
+      // already runs, the start() below is a no-op that never rebinds, so
+      // this method would record started/startedPort for an endpoint that
+      // may not exist at `port` — clients fail with connection refused
+      // while later start() calls on the REAL port are rejected with
+      // "already started". Fail fast and side-effect free instead.
+      else require(
+        !org.apache.spark.sql.connect.GraftConnectBridge.serviceRunning(),
+        "a Spark Connect service is already running in this JVM — " +
+          "SparkConnectService.start would be a no-op that never rebinds " +
+          s"to port $port. Use the existing service directly, or stop it " +
+          "(SparkConnectService.stop) and start it through ConnectServe")
       // sc.conf is private[spark]; SparkEnv.conf is the same live SparkConf
       // instance the Connect service reads its binding config from.
       val conf = org.apache.spark.SparkEnv.get.conf

@@ -116,4 +116,17 @@ class StagingIntermediateSpec extends SparkSuite {
     val raw = mkRaw(Seq(ev(eventId = "weird", ts = "not-a-date", est = "zzz")))
     assert(Intermediate.valid(Staging.stg(raw)).count() == 1)
   }
+
+  test("NULL timestamp lands on NEITHER side — the reference's own " +
+       "three-valued-logic hole, reproduced as the parity contract") {
+    // Rule 3 evaluates NULL in valid()'s conjunction; is_invalid_delivery's
+    // `false OR NULL = NULL` keeps the row out of invalid()'s disjunction.
+    // The reference SQL behaves identically under DuckDB (Intermediate
+    // scaladoc) — this test pins that we reproduce, not "fix", the hole.
+    val raw = mkRaw(Seq(ev(eventId = "nullts", ts = null)))
+    val stg = Staging.stg(raw).cache()
+    assert(stg.count() == 1)                       // staging keeps it…
+    assert(Intermediate.valid(stg).count() == 0)   // …valid excludes it…
+    assert(Intermediate.invalid(stg).count() == 0) // …and so does invalid
+  }
 }

@@ -403,6 +403,13 @@ class ConnectServeSpec extends SparkSuite {
         ConnectServe.start(spark)
       }
       assert(thrown.getMessage.contains("already running"))
+      // trusted path too (r12 review): start() would be a rebind no-op, so
+      // recording started/startedPort would advertise a dead endpoint and
+      // block a later start() on the real port
+      val thrownRw = intercept[IllegalArgumentException] {
+        ConnectServe.start(spark, readOnly = false)
+      }
+      assert(thrownRw.getMessage.contains("already running"))
     } finally {
       SparkConnectService.stop(None, None)
       // restore the suite's endpoint for afterAll symmetry
