@@ -898,7 +898,8 @@ object OracleSql {
         |      FROM t)
         |SELECT doc_id, shard, CAST(off AS BIGINT) AS offset,
         |       CAST(floor(off / 512) AS BIGINT) AS pack_first,
-        |       CAST(floor((off + n_tokens - 1) / 512) AS BIGINT) AS pack_last
+        |       CAST(floor((off + greatest(n_tokens, 1) - 1) / 512) AS BIGINT)
+        |         AS pack_last
         |FROM o ORDER BY doc_id""".stripMargin,
 
     // CMS heavy hitters: exact top-20 TOTAL term frequencies; the sketch

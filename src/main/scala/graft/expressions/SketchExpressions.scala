@@ -52,6 +52,14 @@ private[expressions] object SplitMix {
 case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
+  // Construction-time, not eval-time (r12 review — the SQL registration
+  // validates via intLitArg but the Scala API path did not): numHashes = 0
+  // would throw `h % 0` PER ROW on executors with task retries, the
+  // defer-to-executor failure mode the sibling nBits require exists to
+  // prevent.
+  require(numHashes >= 1,
+    s"minhash_signature: numHashes must be >= 1, got $numHashes")
+
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"

@@ -30,6 +30,19 @@ object SnapshotStore {
 
   private val Pointer = "_latest"
 
+  /** Per-snapshot publish marker, written after the parquet data is
+    * complete and immediately before the pointer swap. Distinguishes a
+    * crashed publish's orphan directory from a genuinely published old
+    * snapshot (r12 review): without it, `prune` counted orphans toward
+    * `keep` and could displace the most recent PREVIOUS snapshot from the
+    * retention window — deleting exactly the version a long-running reader
+    * that started before the latest publish is still on. A crash in the
+    * marker→swap window leaves a marked-but-never-pointed dir, which then
+    * harmlessly counts toward keep like any published snapshot; the much
+    * larger write-window crash (no marker) is now correctly classified as
+    * an orphan and reclaimed without consuming a keep slot. */
+  private val Published = "_PUBLISHED"
+
   /** Version of a `snapshot-<n>` directory name; None for anything else
     * (a stray `snapshot-tmp`, a hand-copied `snapshot-3.bak`, …) so foreign
     * entries can never brick publish or prune. */
@@ -66,9 +79,11 @@ object SnapshotStore {
     val version = nextVersion(spark, root)
     val dir = s"$root/snapshot-$version"
     df.write.mode("error").parquet(dir) // never in place; fails on dir reuse
+    val f = fs(spark, root)
+    // publish marker: data is complete from here on — see [[Published]]
+    f.create(new org.apache.hadoop.fs.Path(s"$dir/$Published"), true).close()
     val tmp = new org.apache.hadoop.fs.Path(s"$root/.$Pointer.tmp")
     val dst = new org.apache.hadoop.fs.Path(s"$root/$Pointer")
-    val f = fs(spark, root)
     val out = f.create(tmp, true)
     try out.write(s"snapshot-$version\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -98,18 +113,38 @@ object SnapshotStore {
     spark.read.parquet(latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root")))
 
-  /** Delete all but the newest `keep` snapshots, never the pointed-at one.
-    * Run from the writer once readers' grace period has passed. */
+  /** Delete all but the newest `keep` PUBLISHED snapshots, never the
+    * pointed-at one. Run from the writer once readers' grace period has
+    * passed.
+    *
+    * Classification (r12 review — orphans used to consume keep slots):
+    *  - versions NEWER than the current pointer are left untouched — an
+    *    unmarked one may be a concurrent publish mid-write;
+    *  - at or below the pointer, only snapshots carrying the [[Published]]
+    *    marker (or the pointed-at one itself) count toward `keep`;
+    *    unmarked ones are crashed-publish orphans — readers can never have
+    *    resolved them through the pointer — and are always reclaimed. */
   def prune(spark: SparkSession, root: String, keep: Int = 2): Seq[String] = {
     require(keep >= 1, "keep at least one snapshot")
     val f = fs(spark, root)
     val current = latest(spark, root).map(_.split('/').last)
+    val curVersion = current.flatMap(versionOf)
+    // nothing was ever published → nothing is reclaimable; any directory
+    // present may be the FIRST publish mid-write (no pointer to fence it)
+    if (curVersion.isEmpty) return Seq.empty
     val all = f.listStatus(new org.apache.hadoop.fs.Path(root))
       .map(_.getPath.getName)
       .flatMap(n => versionOf(n).map(v => (n, v)))
       .sortBy(_._2)
-      .map(_._1)
-    val victims = all.dropRight(keep).filterNot(current.contains)
+    def isPublished(name: String): Boolean =
+      current.contains(name) ||
+        f.exists(new org.apache.hadoop.fs.Path(s"$root/$name/$Published"))
+    val eligible = all.filter { case (_, v) =>
+      curVersion.forall(v <= _) // never touch a possible in-flight publish
+    }
+    val published = eligible.filter { case (n, _) => isPublished(n) }
+    val keepers = published.takeRight(keep).map(_._1).toSet ++ current
+    val victims = eligible.map(_._1).filterNot(keepers)
     victims.foreach { n =>
       f.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true)
     }

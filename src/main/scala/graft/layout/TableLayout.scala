@@ -60,31 +60,36 @@ object TableLayout {
     * per-database) to cover the orphaned-directory case, where no catalog
     * entry exists to resolve from.
     *
-    * EXTERNAL tables (r11 advice): only the catalog ENTRY is dropped — the
-    * resolved location is deleted solely for MANAGED tables, matching DROP
-    * TABLE semantics (an external location is user data the drop must
-    * preserve). The default-managed-location sweep below is safe regardless:
-    * it only ever touches paths under the session warehouse dir. */
+    * EXTERNAL tables (r11 advice): only the catalog ENTRY is dropped — no
+    * location is deleted, matching DROP TABLE semantics (an external
+    * location is user data the drop must preserve). That includes the
+    * default-managed-location sweep (r12 review): an external table may
+    * legally be registered AT the default warehouse path, so the sweep
+    * runs only when the table was MANAGED or had no catalog entry at all
+    * (the orphaned-directory case the sweep exists for). */
   def dropTable(spark: SparkSession, table: String): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val catalogLoc = scala.util.Try(
+    val meta = scala.util.Try(
       spark.sessionState.catalog.getTableMetadata(ident)).toOption
-      .filter(_.tableType ==
-        org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+    val isManaged = meta.forall(_.tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+    val catalogLoc = meta.filter(_ => isManaged)
       .map(m => new org.apache.hadoop.fs.Path(m.location))
     spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
-    val warehouse = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"))
-    val db = ident.database.getOrElse(spark.catalog.currentDatabase)
-    val defaultLoc =
-      if (db == "default")
-        new org.apache.hadoop.fs.Path(warehouse, ident.table.toLowerCase)
-      else new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(warehouse, s"$db.db"),
-        ident.table.toLowerCase)
-    (catalogLoc.toSeq :+ defaultLoc).distinct.foreach { p =>
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+    if (isManaged) {
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val db = ident.database.getOrElse(spark.catalog.currentDatabase)
+      val defaultLoc =
+        if (db == "default")
+          new org.apache.hadoop.fs.Path(warehouse, ident.table.toLowerCase)
+        else new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(warehouse, s"$db.db"),
+          ident.table.toLowerCase)
+      (catalogLoc.toSeq :+ defaultLoc).distinct.foreach { p =>
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
     }
   }
 

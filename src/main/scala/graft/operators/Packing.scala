@@ -38,17 +38,32 @@ object Packing {
                shardCol: Column, contextLen: Int,
                salt: String = ""): DataFrame = {
     require(contextLen > 0, "contextLen must be positive")
+    // Loud per-row guard (r12 review): a NULL or negative token count would
+    // silently corrupt every LATER offset in the shard (the running sum
+    // decreases), which no downstream check can localize. The guard rides
+    // the projection, so corrupt counts fail the job with the offending
+    // value instead of shipping a broken layout.
+    val toks = when(col(tokenCol) >= 0, col(tokenCol))
+      .otherwise(raise_error(concat(
+        lit(s"packPlan: $tokenCol must be a non-negative token count, got "),
+        coalesce(col(tokenCol).cast("string"), lit("NULL")))))
     val byStream = Window.partitionBy(col("shard"))
       .orderBy(Sampling.hexBucket(col(keyCol), salt), col(keyCol))
     df.withColumn("shard", shardCol)
       .withColumn("offset",
         coalesce(
-          sum(col(tokenCol)).over(
+          sum(toks).over(
             byStream.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .withColumn("pack_first", floor(col("offset") / contextLen))
+      // greatest(toks, 1): a zero-token document occupies no stream space,
+      // so it lands wholly in the example it starts in — pack_last =
+      // pack_first. The raw formula yielded floor((offset−1)/contextLen),
+      // i.e. pack_last < pack_first (−1 at offset 0), which the straddle
+      // test ("a document straddles a cut when they differ") misread as a
+      // phantom straddle (r12 review).
       .withColumn("pack_last",
-        floor((col("offset") + col(tokenCol) - 1) / contextLen))
+        floor((col("offset") + greatest(toks, lit(1)) - 1) / contextLen))
   }
 
   /** Per-(shard, pack) fill report: how many documents start inside each

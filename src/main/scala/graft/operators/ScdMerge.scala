@@ -37,10 +37,11 @@ import org.apache.spark.sql.functions._
 object ScdMerge {
 
   /** The initial SCD2 snapshot from a plain dimension: every row open as of
-    * `asOf`. `valid_to` is a null timestamp (open-ended). */
+    * `asOf`. `valid_to` is a null timestamp (open-ended). Null business
+    * keys are excluded — see the [[scd2Apply]] null-key note. */
   def scd2Init(snapshot: DataFrame, keyCol: String, attrCols: Seq[String],
                asOf: Column): DataFrame =
-    snapshot.select(
+    snapshot.filter(col(keyCol).isNotNull).select(
       (col(keyCol) +: attrCols.map(col)) ++ Seq(
         asOf.cast("timestamp").as("valid_from"),
         lit(null).cast("timestamp").as("valid_to"),
@@ -57,8 +58,18 @@ object ScdMerge {
                 attrCols: Seq[String], asOf: Column): DataFrame = {
     val k = col(keyCol)
 
+    // Null business keys are EXCLUDED from the batch (r12 review — the
+    // [[AsOfJoin]] null-guard rationale): the full-outer equi-join below
+    // can never match NULL against NULL, so a malformed null-key update
+    // would insert a fresh open null-key version EVERY batch while all
+    // prior ones pass through untouched — after N batches the dimension
+    // holds N `is_current` rows for a key that addresses no member,
+    // silently breaking the one-open-row-per-key invariant. A row whose
+    // business key is unknown cannot version anything; drop it up front
+    // ([[scd2Init]] applies the same rule to the initial snapshot).
     // one deterministic winner per key: max over the attribute-tuple order
     val upd = updates
+      .filter(k.isNotNull)
       .groupBy(k)
       .agg(max(struct(attrCols.map(col): _*)).as("__u"))
       .select(k +: attrCols.map(a => col(s"__u.$a").as(a)): _*)

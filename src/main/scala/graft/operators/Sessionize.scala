@@ -39,9 +39,22 @@ object Sessionize {
    * analysis time). Under a UTC session — every graft entry point pins
    * `spark.sql.session.timeZone=UTC` — the NTZ→TIMESTAMP cast preserves both
    * wall-clock and instant, so session boundaries are bit-identical.
+   *
+   * Null keys and null timestamps are EXCLUDED (r12 review — the
+   * [[AsOfJoin]] null-guard rationale): a null timestamp sorts first in its
+   * key's window and the next real event's gap test evaluates
+   * `micros − NULL = NULL`, which the `otherwise(0)` branch silently turns
+   * into "same session" — the phantom row inflates n_events and an all-null
+   * key emits a garbage session with null start/end. A null KEY would fuse
+   * unrelated events into one pseudo-user's sessions (groupBy treats NULL
+   * as a value). Neither row can belong to a well-defined session, so both
+   * are dropped up front, uniformly across the plain, salted, and
+   * session_window entry points.
    */
-  private def normalizeTs(df: DataFrame, tsCol: String): DataFrame =
+  private def normalizeTs(df: DataFrame, keyCol: String,
+                          tsCol: String): DataFrame =
     TimeNorm.toTimestamp(df, tsCol)
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
 
   /**
    * Adds `session_seq` (1-based per key, in time order). `idCol` breaks
@@ -51,7 +64,7 @@ object Sessionize {
    */
   def withSessionIds(df0: DataFrame, keyCol: String, tsCol: String,
                      idCol: String, gapSeconds: Long): DataFrame = {
-    val df = normalizeTs(df0, tsCol)
+    val df = normalizeTs(df0, keyCol, tsCol)
     val w = Window.partitionBy(keyCol).orderBy(sortKeys(tsCol, idCol): _*)
     val prev = lag(unix_micros(col(tsCol)), 1).over(w)
     val isNew = when(prev.isNull ||
@@ -104,7 +117,7 @@ object Sessionize {
     require(bucketSpanSeconds >= gapSeconds,
       "bucketSpanSeconds must be >= gapSeconds (an empty bucket between two " +
         "events must certify a session break)")
-    val df = normalizeTs(df0, tsCol)
+    val df = normalizeTs(df0, keyCol, tsCol)
     val bk = (unix_micros(col(tsCol)) / lit(bucketSpanSeconds * 1000000L))
       .as("__bk")
     // phase 1: local sessions per (key, bucket) — the SALTED shuffle
@@ -149,7 +162,7 @@ object Sessionize {
    */
   def sessionWindowAgg(df0: DataFrame, keyCol: String, tsCol: String,
                        gapSeconds: Long): DataFrame = {
-    val df = normalizeTs(df0, tsCol)
+    val df = normalizeTs(df0, keyCol, tsCol)
     df.groupBy(col(keyCol), session_window(col(tsCol), s"$gapSeconds seconds"))
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol), col("session_window.start").as("session_start"),

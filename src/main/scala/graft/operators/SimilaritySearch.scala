@@ -74,6 +74,15 @@ object SimilaritySearch {
     val scored = c.crossJoin(q)
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("cv"), col("qv")))
+    rankTopK(scored, k)
+  }
+
+  /** Rank scored (query_id, corpus_id, cosine) candidates and keep the
+    * top k per query — ONE definition of the output contract (desc cosine,
+    * asc(corpus_id) tie-break for engine-independent determinism), shared
+    * by every ANN entry point (r12 review: three inlined copies could
+    * drift). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cosine"), asc("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -146,11 +155,7 @@ object SimilaritySearch {
       .join(c, Seq("corpus_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", dot(col("cv"), col("qv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cosine"), asc("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /**
@@ -232,11 +237,7 @@ object SimilaritySearch {
     val scored = assigned.join(probes, Seq("list_id"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("cv"), col("qv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cosine"), asc("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   def ivfTopK(

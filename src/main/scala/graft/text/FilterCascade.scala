@@ -41,12 +41,20 @@ object FilterCascade {
                    minStopwordRatio: Double = 0.01,
                    maxDupNgramFrac: Double = 0.2,
                    allowedLangs: Seq[String] = Seq("en")): DataFrame = {
-    val staged = TextAnalysis.repetitionMetrics(df, textCol)
-      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+    // Tokenize ONCE (r12 review): every metric below consumes the same
+    // staged token array — the previous form re-split the full text four
+    // times per row (inside repetitionMetrics, as __toks, inside
+    // tokenCount, and inside languageId's child). CollapseProject keeps a
+    // non-cheap alias used this many times staged, so the split really
+    // runs once per row on the hot filter path.
+    val staged = TextAnalysis.repetitionMetricsOfTokens(
+        df.withColumn("__toks", TextAnalysis.tokens(col(textCol))),
+        col("__toks"))
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCountOf(col(textCol), col("__toks")))
       .withColumn("stopword_ratio",
         TextAnalysis.stopwordRatioOf(col("__toks"), col("n_tokens")))
-      .withColumn("lang", TextAnalysis.languageId(col(textCol)))
+      .withColumn("lang", TextAnalysis.languageIdOfTokens(col("__toks")))
       .drop("__toks")
     withDecision(staged, Seq(
       "too_short" -> (col("n_tokens") < minTokens),

@@ -14,9 +14,14 @@ object TextAnalysis {
   /** Whitespace tokens of the lower-cased text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Whitespace token count of a precomputed token array (blank/null text
+    * → 0: `tokens("")` is the single-element `[""]`, so the text-side guard
+    * is still required). */
+  def tokenCountOf(text: Column, toks: Column): Column =
+    when(trim(text) === "" || text.isNull, 0).otherwise(size(toks))
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column =
-    when(trim(text) === "" || text.isNull, 0).otherwise(size(tokens(text)))
+  def tokenCount(text: Column): Column = tokenCountOf(text, tokens(text))
 
   /**
    * BPE-ish token count: word pieces + standalone punctuation
@@ -94,9 +99,13 @@ object TextAnalysis {
     * per-language `filter(toks, array_contains(markers, tk))` formulation
     * evaluated interpreted — |langs| × |tokens| × |markers| expression-tree
     * walks per document. */
-  def languageId(text: Column): Column =
+  def languageId(text: Column): Column = languageIdOfTokens(tokens(text))
+
+  /** [[languageId]] over a precomputed token array — stage `tokens(text)`
+    * once per pipeline and pass it here (see [[FilterCascade.gopherRecipe]]). */
+  def languageIdOfTokens(toks: Column): Column =
     graft.expressions.SketchExpressions.language_id(
-      tokens(text), languageMarkers.toSeq)
+      toks, languageMarkers.toSeq)
 
   /**
    * Document fingerprint: content-defined rolling-hash flavor — the minimum
@@ -125,26 +134,36 @@ object TextAnalysis {
    * per row, replacing the O(distinct × total) interpreted
    * `transform(distinct, g => count(filter))` formulation.
    */
-  def repetitionMetrics(df: DataFrame, textCol: String, n: Int = 2): DataFrame = {
+  def repetitionMetrics(df: DataFrame, textCol: String, n: Int = 2): DataFrame =
+    repetitionMetricsOfTokens(df, tokens(col(textCol)), n)
+
+  /** [[repetitionMetrics]] over a precomputed token expression — lets a
+    * cascade that also needs the tokens elsewhere tokenize ONCE
+    * (r12 review: [[FilterCascade.gopherRecipe]] was re-splitting the full
+    * text four times per row across its metrics). */
+  def repetitionMetricsOfTokens(df: DataFrame, toks: Column,
+                                n: Int = 2): DataFrame = {
+    // internal names are __rm_-prefixed so a caller-staged token column
+    // (e.g. gopherRecipe's __toks) is never captured by the drop below
     val staged = df
-      .withColumn("__toks", tokens(col(textCol)))
-      .withColumn("__grams", transform(
-        sequence(lit(1), greatest(size(col("__toks")) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
-      .withColumn("__gcounts", map_values(
-        graft.expressions.SketchExpressions.term_counts(col("__grams"))))
+      .withColumn("__rm_toks", toks)
+      .withColumn("__rm_grams", transform(
+        sequence(lit(1), greatest(size(col("__rm_toks")) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(col("__rm_toks"), i, lit(n)))))
+      .withColumn("__rm_gcounts", map_values(
+        graft.expressions.SketchExpressions.term_counts(col("__rm_grams"))))
     staged
-      .withColumn("n_ngrams", size(col("__grams")))
+      .withColumn("n_ngrams", size(col("__rm_grams")))
       .withColumn("dup_ngram_frac",
         when(col("n_ngrams") > 0,
-          (col("n_ngrams") - size(col("__gcounts"))).cast("double")
+          (col("n_ngrams") - size(col("__rm_gcounts"))).cast("double")
             / col("n_ngrams"))
           .otherwise(0.0))
       .withColumn("top_ngram_frac",
         when(col("n_ngrams") > 0,
-          array_max(col("__gcounts")).cast("double") / col("n_ngrams"))
+          array_max(col("__rm_gcounts")).cast("double") / col("n_ngrams"))
           .otherwise(0.0))
-      .drop("__toks", "__grams", "__gcounts")
+      .drop("__rm_toks", "__rm_grams", "__rm_gcounts")
   }
 
   /**

@@ -228,4 +228,19 @@ class SketchExpressionsSpec extends SparkSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // must not throw; builders shared
   }
+
+  test("minhash_signature rejects numHashes < 1 at construction, not per-row on executors") {
+    // r12 review: the SQL path validated via intLitArg but the Scala API
+    // did not — numHashes=0 passed bandRows' `0 % bands == 0` check and
+    // threw `h % 0` per row with task retries
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(Array(1L, 2L), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    intercept[IllegalArgumentException] {
+      graft.expressions.MinHashSignatureExpr(lit, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.expressions.MinHashSignatureExpr(lit, -4)
+    }
+  }
 }

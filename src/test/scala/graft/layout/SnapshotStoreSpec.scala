@@ -46,4 +46,34 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(removed.toSet === Set("snapshot-0", "snapshot-1", "snapshot-2"))
     assert(SnapshotStore.readLatest(spark, root).count() === 4)
   }
+
+  test("an orphan never displaces a published snapshot from the keep window") {
+    // r12 review: publish 4, crash-orphan 5 (data written, pointer never
+    // swapped), publish 6. keep=2 must retain {4, 6} — the old
+    // count-orphans-toward-keep behavior kept {5, 6} and deleted 4, the
+    // exact version a reader that started before the last publish is on.
+    val root = Files.createTempDirectory("graft-snap4").toString + "/t"
+    (0 to 4).foreach(i => SnapshotStore.publish(Seq(i).toDF("x"), root))
+    (1 to 99).toDF("x").write.parquet(s"$root/snapshot-5") // no marker
+    SnapshotStore.publish(Seq(6).toDF("x"), root)
+    val removed = SnapshotStore.prune(spark, root, keep = 2)
+    assert(removed.contains("snapshot-5"))   // orphan reclaimed…
+    assert(!removed.contains("snapshot-4"))  // …without displacing v4
+    assert(spark.read.parquet(s"$root/snapshot-4").count() === 1)
+    assert(SnapshotStore.readLatest(spark, root).head().getInt(0) === 6)
+  }
+
+  test("prune leaves versions newer than the pointer alone (in-flight publish)") {
+    val root = Files.createTempDirectory("graft-snap5").toString + "/t"
+    SnapshotStore.publish(Seq(1).toDF("x"), root)
+    // a concurrent publish mid-write: data dir exists, pointer not swapped
+    Seq(2).toDF("x").write.parquet(s"$root/snapshot-9")
+    val removed = SnapshotStore.prune(spark, root, keep = 1)
+    assert(removed.isEmpty)
+    assert(spark.read.parquet(s"$root/snapshot-9").count() === 1)
+    // before ANY publish, prune is a no-op (no pointer to fence in-flights)
+    val root2 = Files.createTempDirectory("graft-snap6").toString + "/t"
+    Seq(1).toDF("x").write.parquet(s"$root2/snapshot-0")
+    assert(SnapshotStore.prune(spark, root2, keep = 1).isEmpty)
+  }
 }

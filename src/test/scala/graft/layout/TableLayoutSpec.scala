@@ -134,5 +134,22 @@ class TableLayoutSpec extends SparkSuite {
     TableLayout.dropTable(spark, "graft_ext_t")
     assert(spark.catalog.tableExists("graft_ext_t") === false)
     assert(spark.read.parquet(loc).count() === 2)
+
+    // r12 review: an external table registered AT the default warehouse
+    // path must also survive — the orphan-directory sweep may only run for
+    // managed or catalog-less names
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val defLoc = s"$warehouse/graft_ext_def"
+    Seq((3L, "c")).toDF("k", "v").write.mode("overwrite").parquet(defLoc)
+    spark.sql(
+      s"CREATE TABLE graft_ext_def (k BIGINT, v STRING) USING parquet " +
+      s"LOCATION '$defLoc'")
+    TableLayout.dropTable(spark, "graft_ext_def")
+    assert(spark.catalog.tableExists("graft_ext_def") === false)
+    assert(spark.read.parquet(defLoc).count() === 1)
+    new org.apache.hadoop.fs.Path(defLoc).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(defLoc), true)
   }
 }

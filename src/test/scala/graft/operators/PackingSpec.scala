@@ -44,4 +44,28 @@ class PackingSpec extends SparkSuite {
     val b = plan().select("doc_id", "shard", "offset")
     assert(a.exceptAll(b).isEmpty)
   }
+
+  test("zero-token docs never straddle; corrupt token counts fail loudly") {
+    import spark.implicits._
+    // r12 review: the raw pack_last formula gave floor((offset−1)/ctx) for
+    // an empty doc — pack_last < pack_first, a phantom straddle
+    val docs = Seq((1L, 50L), (2L, 0L), (3L, 70L)).toDF("doc_id", "n_tokens")
+    val p = Packing.packPlan(docs, "doc_id", "n_tokens", lit(0L), 100)
+      .collect()
+    p.foreach { r =>
+      assert(r.getAs[Long]("pack_last") >= r.getAs[Long]("pack_first"),
+        r.toString)
+    }
+    val empty = p.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(empty.getAs[Long]("pack_last") == empty.getAs[Long]("pack_first"))
+    // a negative count would silently corrupt every later offset in the
+    // shard — the guard must kill the job with the offending value
+    val bad = Seq((1L, 10L), (2L, -5L)).toDF("doc_id", "n_tokens")
+    val e = intercept[Throwable] {
+      Packing.packPlan(bad, "doc_id", "n_tokens", lit(0L), 100).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("non-negative")), e.toString)
+  }
 }

@@ -115,4 +115,23 @@ class ScdMergeSpec extends SparkSuite {
     }.contains(e))
     assert(exchangesOutsideJoin.isEmpty, plan.toString)
   }
+
+  test("null business keys are excluded: no open-row fabrication across batches") {
+    import spark.implicits._
+    // r12 review: a NULL key never equi-joins, so each batch would insert a
+    // FRESH open null-key version while all prior ones pass through — N
+    // batches → N is_current rows for a key addressing no member
+    val init = ScdMerge.scd2Init(
+      Seq((Option(1L), "paris", "gold"), (Option.empty[Long], "ghost", "x"))
+        .toDF("id", "city", "tier"), "id", attrs, t("01-01"))
+    assert(init.count() == 1) // the null-key snapshot row is dropped
+    val batch = Seq((Option.empty[Long], "ghost2", "y"),
+      (Option(1L), "lyon", "gold")).toDF("id", "city", "tier")
+    val out1 = ScdMerge.scd2Apply(init, batch, "id", attrs, t("02-01"))
+    val out2 = ScdMerge.scd2Apply(out1, batch, "id", attrs, t("03-01"))
+    assert(out2.filter(col("id").isNull).count() == 0)
+    // key 1 versioned normally: paris closed + lyon open
+    assert(out2.filter(col("is_current")).count() == 1)
+    assert(out2.count() == 2)
+  }
 }

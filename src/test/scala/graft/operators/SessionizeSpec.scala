@@ -141,4 +141,25 @@ class SessionizeSpec extends SparkSuite {
     // user 1 → sessions {0,5} and {25}; user 2 → {1}
     assert(out == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
+
+  test("null keys and null timestamps are excluded, never absorbed into sessions") {
+    import spark.implicits._
+    // r12 review: a null ts sorts first and the next event's gap test
+    // evaluates micros − NULL = NULL → otherwise(0) = "same session",
+    // inflating n_events with a phantom row; a null key would fuse
+    // unrelated events into one pseudo-user
+    val df = Seq(
+      (Option("u1"), Option(ts(0)), 1L),
+      (Option("u1"), Option.empty[Timestamp], 2L), // null ts → dropped
+      (Option.empty[String], Option(ts(1)), 3L),   // null key → dropped
+      (Option("u1"), Option(ts(1)), 4L))
+      .toDF("user", "t", "id")
+    val stats = Sessionize.sessionStats(df, "user", "t", "id", 300).collect()
+    assert(stats.length == 1)
+    assert(stats.head.getAs[Long]("n_events") == 2)
+    // same exclusion on the salted and session_window paths
+    val salted = Sessionize.sessionStatsSalted(
+      df, "user", "t", "id", 300, 600).collect()
+    assert(salted.length == 1 && salted.head.getAs[Long]("n_events") == 2)
+  }
 }
