@@ -56,8 +56,8 @@ object Multimodal {
       val w = 64 + (i * 37) % 1920
       val h = 64 + (i * 53) % 1080
       val frames = if (t == "video") 1 + (i % 240) else 1
-      val header = java.nio.ByteBuffer.allocate(16)
-        .putInt(w).putInt(h).putInt(frames).putInt(i)
+      val header = java.nio.ByteBuffer.allocate(20)
+        .put(StubMagic).putInt(w).putInt(h).putInt(frames).putInt(i)
       val payload = Array.tabulate[Byte](64)(j => ((i * 31 + j * 7) % 256).toByte)
       Row(i.toLong, t, header.array() ++ payload, s"synthetic://$t/$i")
     }
@@ -70,7 +70,9 @@ object Multimodal {
    * binary PPM (P6) / RIFF-WAV headers directly, and routes PNG / JPEG / GIF
    * through the JDK's own `javax.imageio` codecs ([[decodeImage]] — ships in
    * every standard JDK, zero external dependencies); anything else falls
-   * back to [[decodeStub]]. Returns (width, height, n_frames, duration_ms) —
+   * back to [[decodeStub]], which is gated on the synthetic-format magic —
+   * an unrecognized REAL format reports not-decodable (all-zero), never
+   * fabricated geometry. Returns (width, height, n_frames, duration_ms) —
    * audio reports (0, 0, sample_frames, ms).
    */
   def decode(mediaType: String, content: Array[Byte]): (Int, Int, Int, Long) = {
@@ -212,12 +214,19 @@ object Multimodal {
     * sample rate. */
   private def decodeWav(b: Array[Byte]): (Int, Int, Int, Long) = {
     val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var off = 12
+    // off is a LONG (r12 review): a large POSITIVE declared size (e.g.
+    // 0x7FFFFFF0) passed the negative-size guard but overflowed the Int
+    // advance `8 + size + (size & 1)` to a negative offset — the loop guard
+    // stayed true and `new String(b, off, 4)` threw, failing the whole job
+    // on one fuzzed blob. With Long arithmetic the oversized advance simply
+    // walks past b.length and the loop ends (truncated-chunk case).
+    var off = 12L
     var sampleRate = 0; var blockAlign = 0; var dataSize = -1
     var corrupt = false
     while (!corrupt && off + 8 <= b.length && (sampleRate == 0 || dataSize < 0)) {
-      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = bb.getInt(off + 4)
+      val i = off.toInt // safe: off + 8 <= b.length <= Int.MaxValue
+      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = bb.getInt(i + 4)
       // fail-soft on corrupt chunk sizes (r11 review): a NEGATIVE size —
       // e.g. 0xFFFFFFF8 in a truncated/fuzzed blob — made `off` advance by
       // zero (an executor task spinning forever on one bad blob) or go
@@ -226,10 +235,10 @@ object Multimodal {
       if (size < 0) corrupt = true
       else {
         if (id == "fmt " && off + 24 <= b.length) {
-          sampleRate = bb.getInt(off + 12)
-          blockAlign = bb.getShort(off + 20).toInt & 0xFFFF
+          sampleRate = bb.getInt(i + 12)
+          blockAlign = bb.getShort(i + 20).toInt & 0xFFFF
         } else if (id == "data") dataSize = size
-        off += 8 + size + (size & 1) // chunks are word-aligned
+        off += 8L + size.toLong + (size & 1) // chunks are word-aligned
       }
     }
     if (corrupt) return (0, 0, 0, 0L)
@@ -240,16 +249,26 @@ object Multimodal {
     }
   }
 
+  /** Magic prefix of the synthetic stub-format header ([[syntheticMedia]]). */
+  private[multimodal] val StubMagic: Array[Byte] =
+    Array('G'.toByte, 'F'.toByte, 'T'.toByte, '0'.toByte)
+
   /**
-   * STUB codec: parses the synthetic 16-byte header. A real deployment
-   * replaces this body with an actual decoder for compressed formats (e.g.
-   * TwelveMonkeys/ImageIO for JPEG, javax.sound for MP3-class audio) — the
-   * signature and everything around it stays.
+   * STUB codec: parses the synthetic magic-prefixed 20-byte header — and
+   * ONLY that format. A real format that matched no magic above (WebP,
+   * TIFF, MP4, MP3, a corrupt PNG…) reports not-decodable instead of
+   * reinterpreting its first 16 bytes as geometry (r12 review: an MP4's
+   * `ftyp` bytes decoded to n_frames ≈ 1.8e9, which sampleFrames exploded
+   * into ~73M rows for ONE media row). A real deployment replaces this body
+   * with an actual decoder for compressed formats (e.g. TwelveMonkeys/
+   * ImageIO for JPEG, javax.sound for MP3-class audio) — the signature and
+   * everything around it stays.
    */
   def decodeStub(mediaType: String, content: Array[Byte]): (Int, Int, Int, Long) = {
-    if (content == null || content.length < 16) (0, 0, 0, 0L)
+    if (content == null || content.length < 20 ||
+        !content.startsWith(StubMagic)) (0, 0, 0, 0L)
     else {
-      val bb = java.nio.ByteBuffer.wrap(content)
+      val bb = java.nio.ByteBuffer.wrap(content, 4, 16)
       val w = bb.getInt; val h = bb.getInt; val frames = bb.getInt
       val durationMs = if (mediaType == "audio" || mediaType == "video")
         frames.toLong * 40L else 0L

@@ -31,12 +31,38 @@ object Dedup {
   private val persistedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  // Thread-local PRIVATE scope (r12 review): a foreachBatch body that
+  // drained the session-GLOBAL queue in its finally (unpersistSketches)
+  // would, when two streams share one SparkSession, unpersist the OTHER
+  // query's in-flight frames mid-batch — nondeterministic recompute storms
+  // under load. A scope captures only the frames persisted on THIS thread
+  // inside it; micro-batch bodies run single-threaded per query, so the
+  // scope sees exactly its own batch's frames.
+  private val localScope =
+    new ThreadLocal[java.util.ArrayDeque[DataFrame]]()
+
+  /** Run `body` with a private tracking scope: every [[persistTracked]]
+    * frame created on this thread during `body` is unpersisted on exit
+    * (after the body's actions completed), and the session-global queue —
+    * other concurrent queries' frames — is left untouched. */
+  private[graft] def withScopedSketches[T](body: => T): T = {
+    val prev = localScope.get()
+    val mine = new java.util.ArrayDeque[DataFrame]()
+    localScope.set(mine)
+    try body
+    finally {
+      localScope.set(prev)
+      mine.forEach(df => try df.unpersist() catch { case _: Throwable => () })
+    }
+  }
+
   // package-visible: other multi-consumer derived frames (e.g. the LM-score
   // model tables) reuse the same tracking so the bench's per-pass cache
   // reset and session release cover them too
   private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    persistedFrames.add(p)
+    val scope = localScope.get()
+    if (scope != null) scope.add(p) else persistedFrames.add(p)
     p
   }
 

@@ -86,7 +86,11 @@ object DbtStyleTests {
     // (the DqChecks.runAll pattern — '7× less I/O'). unique/relationships
     // keep their own jobs: they need groupBys/anti-joins a single aggregate
     // cannot express, but they now run over the cached frames.
-    val frames = (columnTests.map(_._2) :+ w.factEvent :+ w.dimLocation).distinct
+    // columnTests already contains every model frame the relationship
+    // tests touch (fact_event and dim_location are rows of it; Warehouse is
+    // a case class of vals, so the references are identical) — appending
+    // them again only looked load-bearing (r12 review)
+    val frames = columnTests.map(_._2).distinct
     frames.foreach(_.persist())
     try {
       suiteChecks(columnTests, w)

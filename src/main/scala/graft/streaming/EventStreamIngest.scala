@@ -120,16 +120,32 @@ object EventStreamIngest {
     * keeps (an anti-join never matches on NULL). A null id carries no
     * identity to dedup on, so each such event gets a unique surrogate key
     * (uuid — nondeterministic is fine: at-least-once semantics, and the
-    * load-time anti-join stays the exactness net). */
-  def withStreamingDedup(events: DataFrame, lateness: String = "1 hour"): DataFrame =
-    events
-      .withColumn("event_time",
-        coalesce(try_to_timestamp(col("timestamp")), current_timestamp()))
+    * load-time anti-join stays the exactness net).
+    *
+    * Unparseable timestamps BYPASS the watermarked dedup (r12 review): the
+    * old `coalesce(try_to_timestamp(ts), current_timestamp())` stamped a
+    * malformed row with wall-clock NOW inside the event-time column — one
+    * corrupt row in a historical backfill catapulted the watermark to
+    * now − lateness, and every later valid day-old event was dropped as
+    * late: silent loss of GOOD data, not merely a missed dedup. A row with
+    * no parseable event time cannot participate in event-time dedup at
+    * all, so it is routed AROUND the stateful operator (still delivered —
+    * the DQ gate and the load-time anti-join own malformed rows
+    * downstream, and `n_bad_ts` surfaces them), and the watermark advances
+    * over real event times only. */
+  def withStreamingDedup(events: DataFrame, lateness: String = "1 hour"): DataFrame = {
+    val timed = events
+      .withColumn("event_time", try_to_timestamp(col("timestamp")))
+    val deduped = timed
+      .filter(col("event_time").isNotNull)
       .withColumn("__dedup_key",
         coalesce(col("event_id"), expr("uuid()")))
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark("__dedup_key")
-      .drop("event_time", "__dedup_key")
+      .drop("__dedup_key")
+    deduped.unionByName(timed.filter(col("event_time").isNull))
+      .drop("event_time")
+  }
 
   /**
    * In-flight data-quality counters via `Dataset.observe` — per-batch
@@ -190,8 +206,14 @@ object EventStreamIngest {
     * equivalence and drives this shape through a real stream). */
   def sessionCounts(events: DataFrame, gapSeconds: Long = 1800,
                     lateness: String = "10 minutes"): DataFrame = {
-    val timed = events.withColumn("event_time",
-      coalesce(try_to_timestamp(col("timestamp")), current_timestamp()))
+    // unparseable timestamps are EXCLUDED, not stamped with NOW (r12
+    // review — same watermark-contamination failure as withStreamingDedup:
+    // one corrupt row in a backfill advanced the watermark to wall-clock
+    // and closed every real historical session as late). A row with no
+    // event time belongs to no session; `n_bad_ts` counts the exclusions.
+    val timed = events
+      .withColumn("event_time", try_to_timestamp(col("timestamp")))
+      .filter(col("event_time").isNotNull)
     val marked = if (timed.isStreaming) timed.withWatermark("event_time", lateness)
                  else timed
     graft.operators.Sessionize.sessionWindowAgg(
@@ -201,8 +223,13 @@ object EventStreamIngest {
   /** Per-minute event counts as a streaming aggregation (the streaming
     * analogue of the monitoring dashboard's A12, with watermarked state). */
   def minuteCounts(events: DataFrame, lateness: String = "10 minutes"): DataFrame = {
-    val timed = events.withColumn("event_time",
-      coalesce(try_to_timestamp(col("timestamp")), current_timestamp()))
+    // unparseable timestamps excluded — see [[sessionCounts]]: a row with
+    // no event time can be assigned no window truthfully, and stamping NOW
+    // both fabricated a count in the current minute and poisoned the
+    // watermark for real historical rows
+    val timed = events
+      .withColumn("event_time", try_to_timestamp(col("timestamp")))
+      .filter(col("event_time").isNotNull)
     val marked = if (timed.isStreaming) timed.withWatermark("event_time", lateness)
                  else timed   // batch runs have no state to bound
     marked

@@ -31,6 +31,18 @@ object StreamJoins {
                    leftTs: String, rightTs: String,
                    maxSpanSeconds: Long,
                    watermarkDelay: String = "10 minutes"): DataFrame = {
+    // Loud collision guard (r12 review): the blanket `_r` suffix can mint a
+    // name either side already carries — chaining two interval joins feeds
+    // `status_r` back in as a left column, or the right side itself holds
+    // both `x` and `x_r` — and the output's duplicate columns make every
+    // later name-based reference throw AMBIGUOUS_REFERENCE far from here.
+    val minted = right.columns.filterNot(_ == key).map(c => s"${c}_r")
+    val collisions =
+      (minted.toSet & (left.columns.toSet ++ right.columns.toSet)).toSeq.sorted
+    require(collisions.isEmpty,
+      s"intervalJoin: suffixed right column(s) ${collisions.mkString(", ")} " +
+        "collide with an existing column — rename the inputs (e.g. the " +
+        "previous join's *_r outputs) before joining")
     val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
     val rRenamed = right.columns.foldLeft(right) { (df, c) =>
       if (c == key) df else df.withColumnRenamed(c, s"${c}_r")

@@ -75,26 +75,41 @@ object StreamingCuration {
   }
 
   /** Start the stream: curated docs → `keptPath`, audit rows (id, text,
-    * drop_reason, nll) → `droppedPath`. */
+    * drop_reason, nll) → `droppedPath`.
+    *
+    * The model frames are persisted here for the stream's lifetime (r12
+    * review): [[LmScore.score]] carries the model as scalar subqueries,
+    * which re-execute per action — unpersisted, every micro-batch re-ran
+    * the full training aggregation over the reference corpus, making
+    * per-batch latency proportional to TRAINING-corpus size instead of
+    * batch size. The frozen model the scaladoc promises is now frozen in
+    * cache too (small: a 1-row combined model + the vocab²-bounded
+    * tables). They stay cached after the query stops — release with
+    * `model.unpersistAll()` if the session outlives the stream. */
   def start(newDocs: DataFrame, idCol: String, textCol: String,
             model: LmScore.BigramModel, keptPath: String, droppedPath: String,
             checkpoint: String, maxNll: Double = 6.0,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    model.persistAll()
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // materialize the micro-batch once — it feeds the cascade AND the
-        // two sink actions; without this each action re-reads the source
+        // two sink actions; without this each action re-reads the source.
+        // curateBatch's persisted stages are tracked in a PRIVATE scope
+        // (r12 review): the old global unpersistSketches() drain would
+        // unpersist a concurrent StreamingDedup batch's in-flight frames
+        // when both streams share one session.
         val b = batch.persist()
-        try {
-          val (kept, dropped) = curateBatch(b, idCol, textCol, model, maxNll)
-          kept.write.mode("append").parquet(keptPath)
-          dropped.write.mode("append").parquet(droppedPath)
-        } finally {
-          b.unpersist()
-          graft.operators.Dedup.unpersistSketches() // curateBatch's stages
+        graft.operators.Dedup.withScopedSketches {
+          try {
+            val (kept, dropped) = curateBatch(b, idCol, textCol, model, maxNll)
+            kept.write.mode("append").parquet(keptPath)
+            dropped.write.mode("append").parquet(droppedPath)
+          } finally b.unpersist()
         }
       }
       .start()
+  }
 }

@@ -90,8 +90,12 @@ object StreamingDedup {
       intraMaxBucketSize: Int = 256): Unit = {
     // The batch feeds two consumers (pair join + index append) and the
     // shared sketch frame below is persisted; materialize the batch once so
-    // the source is not re-read per consumer.
+    // the source is not re-read per consumer. The sketch frames are tracked
+    // in a PRIVATE scope (r12 review): draining the session-global queue in
+    // the finally would unpersist a concurrently-running query's (e.g.
+    // StreamingCuration in the same session) in-flight frames mid-batch.
     val b = batch.persist()
+    Dedup.withScopedSketches {
     try {
       if (!b.isEmpty) {
         // ONE sketch per batch: tokenize/shingle/minhash is the hot per-row
@@ -197,7 +201,7 @@ object StreamingDedup {
       }
     } finally {
       b.unpersist()
-      Dedup.unpersistSketches() // the shared per-batch sketch frame
     }
+    } // scope exit releases this batch's sketch frames, and only those
   }
 }

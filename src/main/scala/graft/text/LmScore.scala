@@ -90,7 +90,30 @@ object LmScore {
     * three relational fields stay authoritative for [[scoreExploded]] and
     * hand-built models. */
   final case class BigramModel(bg: DataFrame, pfx: DataFrame, v: DataFrame,
-                               combined: Option[DataFrame] = None)
+                               combined: Option[DataFrame] = None) {
+    // only the frames the score path actually executes: `combined` when
+    // present (the [[nllStruct]] default), else the three relational
+    // frames ([[scoreExploded]] / hand-built models) — persisting frames
+    // that never materialize would only register dead cache entries
+    // (the r7 rationale for train() itself persisting nothing)
+    private def scoreFrames: Seq[DataFrame] =
+      combined.map(Seq(_)).getOrElse(Seq(bg, pfx, v))
+
+    /** Cache the model so repeated scoring (a stream applying a frozen
+      * model per micro-batch, a service scoring many corpora) pays the
+      * training aggregation ONCE — the scalar subqueries [[nllStruct]]
+      * carries re-execute per action and, unpersisted, re-run the full
+      * training scan each time (r12 review). Idempotent. */
+    def persistAll(): this.type = {
+      scoreFrames.foreach(f =>
+        if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      this
+    }
+
+    /** Release [[persistAll]]'s cache entries. */
+    def unpersistAll(): this.type = { scoreFrames.foreach(_.unpersist()); this }
+  }
 
   /** Train on a corpus. The score path ([[nllStruct]]) consumes ONLY the
     * `combined` single-subquery model, built in one corpus pass; the three

@@ -158,6 +158,29 @@ class MultimodalSpec extends SparkSuite {
     // and a size driving the offset negative must not throw either
     val evil2 = evil.clone(); evil2(16) = 0x80.toByte
     assert(Multimodal.decode("audio", evil2) == ((0, 0, 0, 0L)))
+    // r12: a LARGE POSITIVE size (0x7FFFFFF0) passed the negative guard but
+    // overflowed the Int advance to a negative offset → uncaught
+    // StringIndexOutOfBounds; Long arithmetic walks off the end instead
+    val evil3 = evil.clone()
+    evil3(16) = 0xF0.toByte; evil3(17) = 0xFF.toByte
+    evil3(18) = 0xFF.toByte; evil3(19) = 0x7F.toByte  // size = 0x7FFFFFF0 (LE)
+    assert(Multimodal.decode("audio", evil3) == ((0, 0, 0, 0L)))
+  }
+
+  test("unknown real formats report not-decodable, never stub-fabricated geometry") {
+    // r12 review: an MP4's 'ftyp' bytes used to reach decodeStub and decode
+    // as n_frames ≈ 1.8e9 — which sampleFrames would explode into ~73M rows
+    val mp4ish = new Array[Byte](64)
+    mp4ish(0) = 0; mp4ish(1) = 0; mp4ish(2) = 0; mp4ish(3) = 0x20
+    "ftypisom".getBytes.copyToArray(mp4ish, 4)
+    assert(Multimodal.decode("video", mp4ish) == ((0, 0, 0, 0L)))
+    // while the magic-prefixed synthetic format still decodes
+    val synth = Multimodal.syntheticMedia(spark, 3).collect()
+      .map(r => (r.getString(1),
+        Multimodal.decode(r.getString(1), r.getAs[Array[Byte]]("content"))))
+    synth.foreach { case (_, (w, h, f, _)) =>
+      assert(w >= 64 && h >= 64 && f >= 1, synth.mkString(","))
+    }
   }
 
   test("writePartitioned of an EMPTY media frame writes an empty table") {

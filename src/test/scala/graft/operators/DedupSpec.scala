@@ -357,4 +357,26 @@ class DedupSpec extends SparkSuite {
       .count() === 300)
     Dedup.unpersistSketches()
   }
+
+  test("withScopedSketches releases only its own frames; the global queue is untouched") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // r12 review: a foreachBatch that drained the session-global queue
+    // unpersisted a CONCURRENT query's in-flight frames mid-batch
+    val outer = Dedup.persistTracked(Seq(1, 2).toDF("x"))
+    outer.count()
+    var inner: org.apache.spark.sql.DataFrame = null
+    Dedup.withScopedSketches {
+      inner = Dedup.persistTracked(Seq(3, 4).toDF("y"))
+      inner.count()
+      assert(inner.storageLevel != StorageLevel.NONE)
+      assert(outer.storageLevel != StorageLevel.NONE)
+    }
+    // scope exit released the inner frame, not the global one
+    assert(inner.storageLevel == StorageLevel.NONE)
+    assert(outer.storageLevel != StorageLevel.NONE)
+    Dedup.unpersistSketches()
+    assert(outer.storageLevel == StorageLevel.NONE)
+  }
 }

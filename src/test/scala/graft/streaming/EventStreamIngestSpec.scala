@@ -100,6 +100,49 @@ class EventStreamIngestSpec extends SparkSuite {
     assert(counts.agg(sum("event_count")).head().getLong(0) == 120L)
   }
 
+  test("minute counts exclude unparseable timestamps instead of counting them at NOW") {
+    val s = spark
+    import s.implicits._
+    val corrupt = Seq(
+      ev(991).copy(timestamp = Some("not-a-timestamp")),
+      ev(992).copy(timestamp = None))
+    val df = spark.createDataFrame((1 to 120).map(ev) ++ corrupt)
+    val counts = EventStreamIngest.minuteCounts(df)
+    // r12 review: the old coalesce(…, current_timestamp()) fabricated a
+    // count in the current wall-clock minute for each corrupt row
+    assert(counts.agg(sum("event_count")).head().getLong(0) == 120L)
+  }
+
+  test("a corrupt timestamp does not poison the dedup watermark: backfill survives") {
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-wm-poison").toString
+    val srcDir = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
+    // batch 1 carries ONE corrupt-ts row among day-old events; batch 2 is
+    // more of the same backfill plus a cross-batch duplicate. Under the old
+    // coalesce(…, current_timestamp()) the corrupt row advanced the
+    // watermark to now − 1h after batch 1, and EVERY batch-2 event (months
+    // old) was silently dropped as late.
+    val bad = ev(999).copy(timestamp = Some("not-a-timestamp"))
+    writeBatchFile(bad +: (1 to 5).map(ev), s"$srcDir/a_first.parquet")
+    writeBatchFile((6 to 10).map(ev) :+ ev(3), s"$srcDir/b_second.parquet")
+    // deterministic batch order: file-source batches follow mod time
+    new java.io.File(s"$srcDir/a_first.parquet").setLastModified(1000000L)
+    new java.io.File(s"$srcDir/b_second.parquet").setLastModified(2000000L)
+    val deduped = EventStreamIngest.withStreamingDedup(
+      EventStreamIngest.fromFiles(spark, srcDir, maxFilesPerTrigger = 1))
+    val q = deduped.writeStream.format("memory").queryName("wm_poison")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("wm_poison")
+    // 10 unique historical events + the corrupt row (delivered, undeduped);
+    // the cross-batch duplicate of e3 is dropped by the watermarked state
+    assert(out.count() == 11, out.collect().mkString("\n"))
+    assert(out.filter(col("timestamp") === "not-a-timestamp").count() == 1)
+    assert(out.filter(col("event_id") === "e3").count() == 1)
+  }
+
   test("append-mode window finalization: a no-data batch flushes closed windows") {
     // The battery disables no-data micro-batches JVM-wide (see SparkSuite:
     // pending stateful-timeout timers make a bounded AvailableNow drain spin

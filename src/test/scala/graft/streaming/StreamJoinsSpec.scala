@@ -80,4 +80,25 @@ class StreamJoinsSpec extends SparkSuite {
     assert(toPairs(spark.table("ssjoin")
       .select("user_id", "ts", "kind", "ts_r").collect()) === expected)
   }
+
+  test("suffix collisions are rejected loudly, not emitted as duplicate columns") {
+    val s = spark
+    import s.implicits._
+    // chaining shape: the left already carries kind_r from a previous join
+    val chained = leftRows.toDF("user_id", "ts", "kind")
+      .withColumn("kind_r", org.apache.spark.sql.functions.lit("prev"))
+    val e = intercept[IllegalArgumentException] {
+      StreamJoins.intervalJoin(chained, rightRows.toDF("user_id", "ts", "kind"),
+        "user_id", "ts", "ts", maxSpanSeconds = 300)
+    }
+    assert(e.getMessage.contains("kind_r"))
+    // right side holding both x and x_r collides with itself
+    val e2 = intercept[IllegalArgumentException] {
+      StreamJoins.intervalJoin(leftRows.toDF("user_id", "ts", "kind"),
+        rightRows.toDF("user_id", "ts", "kind")
+          .withColumn("ts_r", org.apache.spark.sql.functions.lit(0)),
+        "user_id", "ts", "ts", maxSpanSeconds = 300)
+    }
+    assert(e2.getMessage.contains("ts_r"))
+  }
 }
