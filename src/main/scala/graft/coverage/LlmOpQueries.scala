@@ -1120,6 +1120,54 @@ object LlmOpQueries {
       .withColumn("n_chars_clean", length(col("clean_text")))
       .orderBy("doc_id")
 
+  /** Deterministic dirty-URL fixture: every document gets a provenance URL
+    * carrying the canonicalizer's full dirt repertoire — scheme/host case
+    * noise, `www.`, default (:443) and non-default (:8080) ports, trailing
+    * slash, tracking params, an unsorted extra param, fragments — with
+    * small moduli so ~(corpus/70) docs share each canonical form and the
+    * URL-dedup query has real groups to collapse. The oracle replays this
+    * construction literally (OracleSql.urlFixtureSql). */
+  private def dirtyUrls(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    docs(s, dir).select(d,
+      concat(
+        when(pmod(d, lit(2)) === 0, lit("HtTpS")).otherwise(lit("hTtP")),
+        lit("://"),
+        when(pmod(d, lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), pmod(d, lit(7)).cast("string"), lit(".ExAmPle.COM"),
+        when(pmod(d, lit(2)) === 0, lit(":443"))
+          .when(pmod(d, lit(5)) === 3, lit(":8080")).otherwise(lit("")),
+        lit("/Articles/Item"), pmod(d, lit(5)).cast("string"),
+        when(pmod(d, lit(4)) === 0, lit("/")).otherwise(lit("")),
+        lit("?id="), pmod(d, lit(5)).cast("string"),
+        lit("&utm_source=feed&b=2"),
+        when(pmod(d, lit(3)) === 0, lit("&ref=tw")).otherwise(lit("")),
+        when(pmod(d, lit(6)) === 0, lit("#section-2")).otherwise(lit("")))
+        .as("url"))
+  }
+
+  /** URL canonicalization (oracle-checked row-for-row): the full chain —
+    * fragment strip, scheme/host case fold, `www.` strip, default-port
+    * drop, trailing-slash strip, tracking-param removal + param sort —
+    * replayed by DuckDB over the identical fixture construction, so every
+    * step AND the tracking list are hash-certified
+    * ([[graft.text.UrlNormalize]]). Narrow codegen'd string chain: scan
+    * speed at 100 TB, no shuffle. */
+  def tUrlCanonicalize(s: SparkSession, dir: String): DataFrame =
+    dirtyUrls(s, dir)
+      .withColumn("canonical_url",
+        graft.text.UrlNormalize.canonicalizeUrl(col("url")))
+      .orderBy("doc_id")
+
+  /** URL-level dedup (oracle-checked row-for-row): group by the canonical
+    * form, keep the minimum doc_id — the provenance-key dedup pass a crawl
+    * pipeline runs before any content hashing. One exact hash-aggregation;
+    * the min(struct) partial agg collapses hot URLs map-side. */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame =
+    graft.text.UrlNormalize.dedupByUrl(dirtyUrls(s, dir), "url", "doc_id")
+      .withColumnRenamed("doc_id", "keeper_id")
+      .orderBy("canonical_url")
+
   /** JSONL interchange losslessness (oracle-checked row-for-row): the
     * serialize→parse identity over the full documents schema. The oracle is
     * simply the projected base table — a hash-match PROVES the JSONL

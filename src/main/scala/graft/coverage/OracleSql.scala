@@ -29,6 +29,66 @@ object OracleSql {
   /** SQL single-quoted string literal (embedded quotes doubled). */
   private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** Tracking-param list as a DuckDB array literal, sourced from the same
+    * Seq the Spark canonicalizer uses — no drift between engine and oracle. */
+  private val trackingList: String =
+    graft.text.UrlNormalize.trackingParams
+      .map(p => s"'$p'").mkString("[", ", ", "]")
+
+  /** The dirty-URL fixture construction (LlmOpQueries.dirtyUrls) as a CTE
+    * body: (doc_id, url) — the SAME case/port/param/fragment arithmetic. */
+  private val urlFixtureSql: String =
+    """SELECT doc_id,
+      |       concat(
+      |         CASE WHEN doc_id % 2 = 0 THEN 'HtTpS' ELSE 'hTtP' END, '://',
+      |         CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+      |         'Site', CAST(doc_id % 7 AS VARCHAR), '.ExAmPle.COM',
+      |         CASE WHEN doc_id % 2 = 0 THEN ':443'
+      |              WHEN doc_id % 5 = 3 THEN ':8080' ELSE '' END,
+      |         '/Articles/Item', CAST(doc_id % 5 AS VARCHAR),
+      |         CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+      |         '?id=', CAST(doc_id % 5 AS VARCHAR),
+      |         '&utm_source=feed&b=2',
+      |         CASE WHEN doc_id % 3 = 0 THEN '&ref=tw' ELSE '' END,
+      |         CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS url
+      |FROM documents""".stripMargin
+
+  /** UrlNormalize.canonicalizeUrl as a WITH-chain over a `urls(doc_id, url)`
+    * CTE: emits `canon(doc_id, url, canonical_url)`. Every step mirrors the
+    * Spark column chain (fragment strip, scheme/host fold, www strip,
+    * default-port drop, trailing-slash strip, tracking filter + sort). */
+  private val urlCanonicalChainSql: String =
+    s"""c0 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '') AS nf,
+       |              trim(url) AS u0 FROM urls),
+       |c1 AS (SELECT doc_id, url, u0,
+       |         lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |         regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       |       FROM c0),
+       |c2 AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport FROM c1),
+       |c3 AS (SELECT *,
+       |         substr(rest, length(hostport) + 1) AS pathq,
+       |         regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+       |                        '^www\\.', '') AS host,
+       |         regexp_extract(hostport, ':([0-9]+)$$', 1) AS port
+       |       FROM c2),
+       |c4 AS (SELECT *,
+       |         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$$', '') AS path,
+       |         array_to_string(list_sort(list_filter(
+       |           string_split(regexp_extract(pathq, '\\?(.*)$$', 1), '&'),
+       |           p -> p <> '' AND NOT list_contains($trackingList,
+       |                  lower(regexp_extract(p, '^([^=]*)', 1))))), '&') AS q,
+       |         (port <> '' AND NOT ((scheme = 'http' AND port = '80')
+       |            OR (scheme = 'https' AND port = '443'))) AS keep_port
+       |       FROM c3),
+       |canon AS (SELECT doc_id, url,
+       |            CASE WHEN scheme = '' THEN u0 ELSE
+       |              concat(scheme, '://', host,
+       |                CASE WHEN keep_port THEN concat(':', port) ELSE '' END,
+       |                path,
+       |                CASE WHEN q <> '' THEN concat('?', q) ELSE '' END)
+       |            END AS canonical_url
+       |          FROM c4)""".stripMargin
+
   /** ZOrder.scaleTo16Bit as DuckDB SQL: clamp + floor onto the 16-bit grid
     * with the identical double-arithmetic sequence. */
   private def scale16Sql(c: String, min: Double, max: Double): String =
@@ -1978,6 +2038,19 @@ object OracleSql {
         |           x -> list_contains(${stopwordsList}, x))) AS DOUBLE)
         |         / len(string_split_regex(trim(lower(text)), '\\s+')) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_url_canonicalize" ->
+      s"""WITH urls AS ($urlFixtureSql),
+         |$urlCanonicalChainSql
+         |SELECT doc_id, url, canonical_url
+         |FROM canon ORDER BY doc_id""".stripMargin,
+
+    "dedup_url" ->
+      s"""WITH urls AS ($urlFixtureSql),
+         |$urlCanonicalChainSql
+         |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_copies,
+         |       min(doc_id) AS keeper_id
+         |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
     "dedup_exact_clusters" ->
       """SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keeper_id

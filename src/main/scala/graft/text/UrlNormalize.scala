@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL canonicalization + URL-level dedup — the provenance-key step of a
+ * crawl-corpus pipeline (C4/CommonCrawl practice: the same page is fetched
+ * many times under syntactically different URLs; collapsing by a canonical
+ * form is the cheapest, highest-precision dedup pass and runs BEFORE any
+ * content hashing).
+ *
+ * Canonical form (each step deterministic string algebra, so any engine
+ * replays it — the driver oracle hash-certifies the whole chain):
+ *   1. trim; strip the `#fragment` (never sent to the server);
+ *   2. scheme and host fold to lower case (case-insensitive per RFC 3986);
+ *      the path/query case is PRESERVED (case-sensitive);
+ *   3. a leading `www.` is dropped from the host;
+ *   4. default ports are dropped (`:80` for http, `:443` for https);
+ *      non-default ports stay;
+ *   5. trailing `/` runs are stripped from the path;
+ *   6. query parameters: tracking params ([[trackingParams]]) are removed
+ *      by name, the rest are SORTED (param order is not semantic for the
+ *      overwhelming majority of pages — the standard crawl-dedup trade),
+ *      empty fragments dropped, and the `?` disappears with the last param.
+ * A string that does not start with `scheme://` is not a URL; it passes
+ * through trimmed and otherwise untouched (fail-soft: garbage provenance
+ * is data, not an exception).
+ *
+ * Scale shape: [[canonicalizeUrl]] is a narrow codegen'd string-function
+ * chain — scan speed, no shuffle, no UDF. [[dedupByUrl]] is one exact
+ * hash-aggregation on the canonical key (`min(struct(...))` partial+final,
+ * the skew-proof [[graft.operators.Dedup.exactDedup]] shape — a hot URL
+ * collapses map-side).
+ */
+object UrlNormalize {
+
+  /** Tracking/attribution parameters stripped by name (lower-cased
+    * comparison). The usual analytics suspects; extend per corpus. */
+  val trackingParams: Seq[String] = Seq(
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "ref")
+
+  /** The canonical form of a URL column — see the object scaladoc for the
+    * exact step list. Null in, null out. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val noFrag = regexp_replace(u, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = regexp_extract(rest, "^([^/?]*)", 1)
+    val pathq = rest.substr(length(hostport) + lit(1), length(rest))
+    val host = regexp_replace(
+      lower(regexp_extract(hostport, "^([^:]*)", 1)), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val tracking = array(trackingParams.map(lit): _*)
+    val params = array_sort(filter(split(
+        regexp_extract(pathq, "\\?(.*)$", 1), "&"),
+      p => p =!= "" &&
+        !array_contains(tracking, lower(regexp_extract(p, "^([^=]*)", 1)))))
+    val query = array_join(params, "&")
+    val canonical = concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+    when(scheme === "", u).otherwise(canonical)
+  }
+
+  /**
+   * URL-level exact dedup: one row per canonical URL, keeping the MINIMUM
+   * (id) row — deterministic, engine-portable. Emits
+   * (canonical_url, n_copies, keeper id + carried columns). One exact
+   * hash-aggregation; the `min(struct(idCol, carried…))` partial aggregate
+   * collapses a hot URL's copies map-side (no Window, no skew cliff).
+   */
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String,
+                 carryCols: Seq[String] = Seq.empty): DataFrame = {
+    val canon = df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+    canon
+      .groupBy("canonical_url")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(struct((idCol +: carryCols).map(col): _*)).as("__keep"))
+      .select(col("canonical_url") +: col("n_copies") +:
+        (idCol +: carryCols).map(c => col(s"__keep.$c").as(c)): _*)
+  }
+}

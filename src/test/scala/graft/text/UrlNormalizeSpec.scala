@@ -1,0 +1,95 @@
+package graft.text
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class UrlNormalizeSpec extends SparkSuite {
+
+  private def canon(urls: String*): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    urls.toDF("url")
+      .select(UrlNormalize.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("the full dirt repertoire folds to one canonical form") {
+    assert(canon(
+      "HtTpS://WWW.Example.COM:443/Articles/Item3/?utm_source=x&b=2&id=3#frag",
+      "https://example.com/Articles/Item3?id=3&b=2",
+      "  https://www.example.com/Articles/Item3/?b=2&fbclid=abc&id=3  ")
+      .toSet === Set("https://example.com/Articles/Item3?b=2&id=3"))
+  }
+
+  test("non-default ports are preserved; scheme-matched defaults dropped") {
+    assert(canon("http://a.com:8080/x") == Seq("http://a.com:8080/x"))
+    assert(canon("http://a.com:80/x") == Seq("http://a.com/x"))
+    assert(canon("https://a.com:443/x") == Seq("https://a.com/x"))
+    // :443 on http is NOT the default — kept
+    assert(canon("http://a.com:443/x") == Seq("http://a.com:443/x"))
+  }
+
+  test("path case is preserved; host/scheme case folds; www strips") {
+    assert(canon("HTTP://WwW.HoSt.IO/CaseSensitive/Path")
+      == Seq("http://host.io/CaseSensitive/Path"))
+  }
+
+  test("query handling: all-tracking queries lose the '?', params sort") {
+    assert(canon("https://a.com/p?utm_source=x&gclid=1") == Seq("https://a.com/p"))
+    assert(canon("https://a.com/p?z=1&a=2") == Seq("https://a.com/p?a=2&z=1"))
+    assert(canon("https://a.com/p?") == Seq("https://a.com/p"))
+  }
+
+  test("bare-host and trailing-slash-run edges") {
+    assert(canon("https://a.com") == Seq("https://a.com"))
+    assert(canon("https://a.com///") == Seq("https://a.com"))
+    assert(canon("https://a.com/#only-frag") == Seq("https://a.com"))
+  }
+
+  test("non-URLs pass through trimmed (fail-soft); null in, null out") {
+    assert(canon("  not a url  ") == Seq("not a url"))
+    val s = spark
+    import s.implicits._
+    val out = Seq(Option.empty[String]).toDF("url")
+      .select(UrlNormalize.canonicalizeUrl(col("url")).as("c"))
+      .collect().head
+    assert(out.isNullAt(0))
+  }
+
+  test("canonicalization is idempotent") {
+    val dirty = Seq(
+      "HtTpS://WWW.Example.COM:443/A/B/?utm_source=x&b=2#f",
+      "http://h.io:8080/x?z=1&a=2", "https://a.com///", "garbage")
+    val once = canon(dirty: _*)
+    assert(canon(once: _*) == once)
+  }
+
+  test("dedupByUrl keeps the minimum id per canonical group, exact counts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (10L, "https://a.com/p?b=2"),
+      (3L, "HTTPS://WWW.A.COM:443/p/?b=2&utm_source=x"),
+      (7L, "https://a.com/p?b=2#frag"),
+      (5L, "https://other.com/q"))
+      .toDF("id", "url")
+    val out = UrlNormalize.dedupByUrl(df, "url", "id")
+      .orderBy("canonical_url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("https://a.com/p?b=2", 3L, 3L),
+      ("https://other.com/q", 1L, 5L)))
+  }
+
+  test("plan shape: canonicalizeUrl is a narrow projection — no shuffle, no UDF") {
+    val s = spark
+    import s.implicits._
+    val plan = Seq("https://a.com/p").toDF("url")
+      .select(UrlNormalize.canonicalizeUrl(col("url")))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, plan.toString)
+    assert(!plan.toString.contains("BatchEvalPython"))
+  }
+}
