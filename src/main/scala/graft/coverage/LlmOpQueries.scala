@@ -1133,6 +1133,7 @@ object LlmOpQueries {
       concat(
         when(pmod(d, lit(2)) === 0, lit("HtTpS")).otherwise(lit("hTtP")),
         lit("://"),
+        when(pmod(d, lit(8)) === 1, lit("User:Pw@")).otherwise(lit("")),
         when(pmod(d, lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
         lit("Site"), pmod(d, lit(7)).cast("string"), lit(".ExAmPle.COM"),
         when(pmod(d, lit(2)) === 0, lit(":443"))
@@ -1140,8 +1141,8 @@ object LlmOpQueries {
         lit("/Articles/Item"), pmod(d, lit(5)).cast("string"),
         when(pmod(d, lit(4)) === 0, lit("/")).otherwise(lit("")),
         lit("?id="), pmod(d, lit(5)).cast("string"),
-        lit("&utm_source=feed&b=2"),
-        when(pmod(d, lit(3)) === 0, lit("&ref=tw")).otherwise(lit("")),
+        lit("&utm_source=feed&z=9&b=2"),
+        when(pmod(d, lit(3)) === 0, lit("&fbclid=x")).otherwise(lit("")),
         when(pmod(d, lit(6)) === 0, lit("#section-2")).otherwise(lit("")))
         .as("url"))
   }

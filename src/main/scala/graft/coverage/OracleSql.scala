@@ -30,10 +30,11 @@ object OracleSql {
   private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** Tracking-param list as a DuckDB array literal, sourced from the same
-    * Seq the Spark canonicalizer uses — no drift between engine and oracle. */
+    * Seq the Spark canonicalizer uses — no drift between engine and oracle
+    * (quoted via [[sq]] so a future param containing a quote cannot break
+    * the generated SQL). */
   private val trackingList: String =
-    graft.text.UrlNormalize.trackingParams
-      .map(p => s"'$p'").mkString("[", ", ", "]")
+    graft.text.UrlNormalize.trackingParams.map(sq).mkString("[", ", ", "]")
 
   /** The dirty-URL fixture construction (LlmOpQueries.dirtyUrls) as a CTE
     * body: (doc_id, url) — the SAME case/port/param/fragment arithmetic. */
@@ -41,6 +42,7 @@ object OracleSql {
     """SELECT doc_id,
       |       concat(
       |         CASE WHEN doc_id % 2 = 0 THEN 'HtTpS' ELSE 'hTtP' END, '://',
+      |         CASE WHEN doc_id % 8 = 1 THEN 'User:Pw@' ELSE '' END,
       |         CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
       |         'Site', CAST(doc_id % 7 AS VARCHAR), '.ExAmPle.COM',
       |         CASE WHEN doc_id % 2 = 0 THEN ':443'
@@ -48,8 +50,8 @@ object OracleSql {
       |         '/Articles/Item', CAST(doc_id % 5 AS VARCHAR),
       |         CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
       |         '?id=', CAST(doc_id % 5 AS VARCHAR),
-      |         '&utm_source=feed&b=2',
-      |         CASE WHEN doc_id % 3 = 0 THEN '&ref=tw' ELSE '' END,
+      |         '&utm_source=feed&z=9&b=2',
+      |         CASE WHEN doc_id % 3 = 0 THEN '&fbclid=x' ELSE '' END,
       |         CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS url
       |FROM documents""".stripMargin
 
@@ -58,23 +60,31 @@ object OracleSql {
     * Spark column chain (fragment strip, scheme/host fold, www strip,
     * default-port drop, trailing-slash strip, tracking filter + sort). */
   private val urlCanonicalChainSql: String =
-    s"""c0 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '') AS nf,
-       |              trim(url) AS u0 FROM urls),
+    s"""c0 AS (SELECT doc_id, url,
+       |         -- 'g': Spark's regexp_replace is global; DuckDB's default
+       |         -- replaces only the FIRST match, which would keep trailing
+       |         -- whitespace whenever leading whitespace also matched
+       |         regexp_replace(url, '^[ \\t\\r\\n]+|[ \\t\\r\\n]+\\z', '', 'g') AS u0
+       |       FROM urls),
+       |c0f AS (SELECT doc_id, url, u0,
+       |          regexp_replace(u0, '#[\\s\\S]*', '') AS nf FROM c0),
        |c1 AS (SELECT doc_id, url, u0,
        |         lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
        |         regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-       |       FROM c0),
-       |c2 AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport FROM c1),
+       |       FROM c0f),
+       |c2 AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS authority FROM c1),
+       |c2h AS (SELECT *,
+       |          regexp_replace(authority, '^[\\s\\S]*@', '') AS hostport FROM c2),
        |c3 AS (SELECT *,
-       |         substr(rest, length(hostport) + 1) AS pathq,
+       |         substr(rest, length(authority) + 1) AS pathq,
        |         regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
        |                        '^www\\.', '') AS host,
-       |         regexp_extract(hostport, ':([0-9]+)$$', 1) AS port
-       |       FROM c2),
+       |         regexp_extract(hostport, ':([0-9]+)\\z', 1) AS port
+       |       FROM c2h),
        |c4 AS (SELECT *,
-       |         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$$', '') AS path,
+       |         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+\\z', '') AS path,
        |         array_to_string(list_sort(list_filter(
-       |           string_split(regexp_extract(pathq, '\\?(.*)$$', 1), '&'),
+       |           string_split(regexp_extract(pathq, '\\?([\\s\\S]*)', 1), '&'),
        |           p -> p <> '' AND NOT list_contains($trackingList,
        |                  lower(regexp_extract(p, '^([^=]*)', 1))))), '&') AS q,
        |         (port <> '' AND NOT ((scheme = 'http' AND port = '80')

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
  * replays it — the driver oracle hash-certifies the whole chain):
  *   1. trim; strip the `#fragment` (never sent to the server);
  *   2. scheme and host fold to lower case (case-insensitive per RFC 3986);
- *      the path/query case is PRESERVED (case-sensitive);
+ *      the path/query case is PRESERVED (case-sensitive); userinfo
+ *      (`user:pass@`) is stripped from the authority;
  *   3. a leading `www.` is dropped from the host;
  *   4. default ports are dropped (`:80` for http, `:443` for https);
  *      non-default ports stay;
@@ -36,30 +37,44 @@ import org.apache.spark.sql.functions._
 object UrlNormalize {
 
   /** Tracking/attribution parameters stripped by name (lower-cased
-    * comparison). The usual analytics suspects; extend per corpus. */
+    * comparison). The usual analytics suspects; extend per corpus. `ref` is
+    * deliberately NOT here (r12 review): unlike utm_* or gclid it is widely
+    * semantic — a git host's `?ref=branch` selects different content — so
+    * stripping it would merge genuinely different pages. */
   val trackingParams: Seq[String] = Seq(
     "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
-    "gclid", "fbclid", "msclkid", "ref")
+    "gclid", "fbclid", "msclkid")
 
   /** The canonical form of a URL column — see the object scaladoc for the
-    * exact step list. Null in, null out. */
+    * exact step list. Null in, null out.
+    *
+    * Regex portability (r12 review): end anchors are `\z` (true
+    * end-of-string in BOTH Java regex and RE2 — Java's `$` also matches
+    * before a final line terminator, RE2's does not, so a trailing newline
+    * split the engines); whitespace trimming is an explicit `[ \t\r\n]`
+    * class (both engines' built-in trim strips spaces only); the fragment
+    * strip uses `[\s\S]*` so a fragment containing a newline is removed
+    * whole. Userinfo (`user:pass@`) is stripped from the authority — the
+    * crawl-canonicalization convention — rather than being misparsed as the
+    * host. */
   def canonicalizeUrl(url: Column): Column = {
-    val u = trim(url)
-    val noFrag = regexp_replace(u, "#.*", "")
+    val u = regexp_replace(url, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+\\z", "")
+    val noFrag = regexp_replace(u, "#[\\s\\S]*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostport = regexp_extract(rest, "^([^/?]*)", 1)
-    val pathq = rest.substr(length(hostport) + lit(1), length(rest))
+    val authority = regexp_extract(rest, "^([^/?]*)", 1)
+    val pathq = rest.substr(length(authority) + lit(1), length(rest))
+    val hostport = regexp_replace(authority, "^[\\s\\S]*@", "")
     val host = regexp_replace(
       lower(regexp_extract(hostport, "^([^:]*)", 1)), "^www\\.", "")
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val port = regexp_extract(hostport, ":([0-9]+)\\z", 1)
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
-    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+\\z", "")
     val tracking = array(trackingParams.map(lit): _*)
     val params = array_sort(filter(split(
-        regexp_extract(pathq, "\\?(.*)$", 1), "&"),
+        regexp_extract(pathq, "\\?([\\s\\S]*)", 1), "&"),
       p => p =!= "" &&
         !array_contains(tracking, lower(regexp_extract(p, "^([^=]*)", 1)))))
     val query = array_join(params, "&")
@@ -80,6 +95,14 @@ object UrlNormalize {
    */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String,
                  carryCols: Seq[String] = Seq.empty): DataFrame = {
+    // loud reserved-name guard (r12 review): an input already carrying
+    // canonical_url would be silently overwritten; n_copies in carryCols
+    // would emit duplicate output columns that throw far downstream
+    val reserved = Seq("canonical_url", "n_copies", "__keep")
+    val clashes = (df.columns.toSeq ++ carryCols).filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"dedupByUrl: column(s) ${clashes.distinct.mkString(", ")} collide " +
+        s"with the output schema (${reserved.mkString(", ")}) — rename them")
     val canon = df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
     canon
       .groupBy("canonical_url")
