@@ -226,11 +226,34 @@ object LlmOpQueries {
           sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
             .as("n_planted_found")))
 
+  /** Exact-boundary fixture docs (r12 review): before these, no pair in
+    * the committed corpus landed anywhere near the 0.7 threshold (measured
+    * Jaccards were ≤ 0.024 or ≥ 0.9), so the gate could never certify the
+    * COMPARATOR itself — a `>=`→`>` drift in either engine's verify stage
+    * would have shipped silently. The qa pair sits at EXACTLY 7/10 = 0.7
+    * (B = the 9-token prefix of 12-token A: 7 of A's 10 distinct 3-shingles
+    * shared, union 10) — an exact small-ratio division both engines round
+    * to the identical double, so `>= 0.7` includes it everywhere and a `>`
+    * drift flips the hash. The qb pair sits at 7/11 ≈ 0.636, just below —
+    * pinning the reject side. Vocabularies are disjoint from the corpus
+    * (qa-/qb-prefixed tokens), so no cross pairs appear. */
+  private[coverage] val BoundaryPairDocs: Seq[(Long, String)] = Seq(
+    (2000001L, (1 to 12).map(i => s"qa$i").mkString(" ")),
+    (2000002L, (1 to 9).map(i => s"qa$i").mkString(" ")),
+    (2000003L, (1 to 13).map(i => s"qb$i").mkString(" ")),
+    (2000004L, (1 to 9).map(i => s"qb$i").mkString(" ")))
+
+  private def boundaryPairDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    BoundaryPairDocs.toDF("doc_id", "text")
+  }
+
   /** MinHash-LSH near-dup pairs, exact-Jaccard verified — the full pair
     * list (oracle-checked). The DuckDB oracle is the exact all-pairs n-gram
     * Jaccard join over the same sub-corpus, so the hash-match certifies the
     * banded candidate generation reached full recall on every ≥-threshold
-    * pair (50 planted pairs at sf0.01; planted + a few natural at sf0.1) —
+    * pair (50 planted pairs at sf0.01; planted + a few natural at sf0.1),
+    * AND — via [[BoundaryPairDocs]] — the threshold comparator itself —
     * not merely that aggregate counts look right. The margin making this
     * deterministic: every true pair sits at Jaccard ≥ 0.9 (band-collision
     * miss ≈ 2e-4 per pair, and xxhash64 is fixed) and none fall in
@@ -243,7 +266,8 @@ object LlmOpQueries {
     cache.getOrElseUpdate((s, dir, "__q_minhash_verified"), {
       val base = pmod(col("doc_id"), lit(1000000L))
       Dedup.nearDuplicatePairs(
-          nearDupCorpus(s, dir).filter(base % 10 === 0 && base < 1000),
+          nearDupCorpus(s, dir).filter(base % 10 === 0 && base < 1000)
+            .unionByName(boundaryPairDocs(s)),
           "doc_id", "text", threshold = 0.7, numHashes = 32, bands = 8)
         .orderedSmallBarrier(col("id_a"), col("id_b"))
     })
@@ -344,15 +368,24 @@ object LlmOpQueries {
             .as("n_planted_found")))
 
   /** Exact-substring duplicate spans (oracle-checked): per-doc counts of
-    * 8-token grams shared with at least one other document — catches the
-    * planted exact copies plus any natural boilerplate. The driver query
-    * runs `hashGrams = false` so DuckDB can replay it on raw grams;
-    * DedupSpec pins the hashed (shuffle-longs, 100 TB) mode to identical
-    * output. */
-  def dedupSpanReport(s: SparkSession, dir: String): DataFrame =
+    * 8-token grams shared with at least one other document, over the corpus
+    * PLUS planted exact copies of every 10th doc (the dedup_exact fixture
+    * idiom — r12 review: the old input was the raw table, whose duplicate
+    * coverage rode on ACCIDENTAL natural 8-gram repeats of the synthetic
+    * corpus; a regenerated corpus without them would have degraded this row
+    * to an all-zeros check that never exercises the duplicate path). The
+    * driver query runs `hashGrams = false` so DuckDB can replay it on raw
+    * grams; DedupSpec pins the hashed (shuffle-longs, 100 TB) mode to
+    * identical output. */
+  def dedupSpanReport(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select("doc_id", "text")
+    val planted = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
     graft.operators.Dedup
-      .duplicateSpans(docs(s, dir), "doc_id", "text", n = 8, hashGrams = false)
+      .duplicateSpans(base.unionByName(planted), "doc_id", "text",
+        n = 8, hashGrams = false)
       .orderBy("doc_id")
+  }
 
   /** Exact-substring duplicate spans at 10× (scaling evidence, memoized;
     * ORACLE-CHECKED since r11 — DuckDB replays the replication and the full
@@ -911,10 +944,14 @@ object LlmOpQueries {
   /** Class space for [[tNbClassify]], shared with [[OracleSql]]. */
   val NbClasses: Seq[String] = Seq("de", "en", "es", "fr", "zh")
 
-  /** Gopher-style per-document bigram repetition metrics (oracle-checked). */
+  /** Gopher-style per-document bigram repetition metrics (oracle-checked):
+    * the gram-COUNT fractions plus the character-mass twins (r12 — the
+    * published Gopher thresholds are char-based; see the operator scaladoc
+    * for the documented occurrence-mass denominator). */
   def tRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionMetrics(docs(s, dir), "text", n = 2)
-      .select("doc_id", "n_ngrams", "dup_ngram_frac", "top_ngram_frac")
+      .select("doc_id", "n_ngrams", "dup_ngram_frac", "top_ngram_frac",
+        "dup_ngram_char_frac", "top_ngram_char_frac")
       .orderBy("doc_id")
 
   /** Train/eval 3-gram contamination report over the hash split — the
@@ -1129,21 +1166,38 @@ object LlmOpQueries {
     * construction literally (OracleSql.urlFixtureSql). */
   private def dirtyUrls(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
+    // r12 review: every canonicalizer branch must have live fixture rows —
+    // the first cut left http+:80, scheme-less pass-through, all-tracking
+    // queries, and the fail-soft authorities (non-numeric port, bracketed
+    // IPv6) structurally unreachable, so a regression in those branches
+    // could never flip the hash.
+    val dirty = concat(
+      when(pmod(d, lit(2)) === 0, lit("HtTpS")).otherwise(lit("hTtP")),
+      lit("://"),
+      when(pmod(d, lit(8)) === 1, lit("User:Pw@")).otherwise(lit("")),
+      when(pmod(d, lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Site"), pmod(d, lit(7)).cast("string"), lit(".ExAmPle.COM"),
+      when(pmod(d, lit(16)) === 1, lit(":80"))        // odd → http:80 drop
+        .when(pmod(d, lit(16)) === 2, lit(":8080"))   // even → https:8080 keep
+        .when(pmod(d, lit(2)) === 0, lit(":443"))     // https default drop
+        .when(pmod(d, lit(5)) === 3, lit(":8080"))    // http non-default keep
+        .otherwise(lit("")),
+      lit("/Articles/Item"), pmod(d, lit(5)).cast("string"),
+      when(pmod(d, lit(4)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(d, lit(9)) === 4, lit("?utm_source=feed&fbclid=x")) // all-tracking → '?' disappears
+        .otherwise(concat(
+          lit("?id="), pmod(d, lit(5)).cast("string"),
+          lit("&utm_source=feed&z=9&b=2"),
+          when(pmod(d, lit(3)) === 0, lit("&fbclid=x")).otherwise(lit("")))),
+      when(pmod(d, lit(6)) === 0, lit("#section-2")).otherwise(lit("")))
     docs(s, dir).select(d,
-      concat(
-        when(pmod(d, lit(2)) === 0, lit("HtTpS")).otherwise(lit("hTtP")),
-        lit("://"),
-        when(pmod(d, lit(8)) === 1, lit("User:Pw@")).otherwise(lit("")),
-        when(pmod(d, lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
-        lit("Site"), pmod(d, lit(7)).cast("string"), lit(".ExAmPle.COM"),
-        when(pmod(d, lit(2)) === 0, lit(":443"))
-          .when(pmod(d, lit(5)) === 3, lit(":8080")).otherwise(lit("")),
-        lit("/Articles/Item"), pmod(d, lit(5)).cast("string"),
-        when(pmod(d, lit(4)) === 0, lit("/")).otherwise(lit("")),
-        lit("?id="), pmod(d, lit(5)).cast("string"),
-        lit("&utm_source=feed&z=9&b=2"),
-        when(pmod(d, lit(3)) === 0, lit("&fbclid=x")).otherwise(lit("")),
-        when(pmod(d, lit(6)) === 0, lit("#section-2")).otherwise(lit("")))
+      when(pmod(d, lit(19)) === 7,
+          concat(lit("not a url "), d.cast("string")))           // scheme-less
+        .when(pmod(d, lit(19)) === 8,
+          concat(lit("http://host"), pmod(d, lit(7)).cast("string"),
+            lit(":8x80/p")))                                     // invalid port
+        .when(pmod(d, lit(19)) === 9, lit("http://[::1]:8080/x")) // IPv6
+        .otherwise(dirty)
         .as("url"))
   }
 

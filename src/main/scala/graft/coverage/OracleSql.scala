@@ -40,19 +40,26 @@ object OracleSql {
     * body: (doc_id, url) — the SAME case/port/param/fragment arithmetic. */
   private val urlFixtureSql: String =
     """SELECT doc_id,
-      |       concat(
+      |  CASE WHEN doc_id % 19 = 7 THEN concat('not a url ', CAST(doc_id AS VARCHAR))
+      |       WHEN doc_id % 19 = 8 THEN concat('http://host',
+      |                                 CAST(doc_id % 7 AS VARCHAR), ':8x80/p')
+      |       WHEN doc_id % 19 = 9 THEN 'http://[::1]:8080/x'
+      |  ELSE concat(
       |         CASE WHEN doc_id % 2 = 0 THEN 'HtTpS' ELSE 'hTtP' END, '://',
       |         CASE WHEN doc_id % 8 = 1 THEN 'User:Pw@' ELSE '' END,
       |         CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
       |         'Site', CAST(doc_id % 7 AS VARCHAR), '.ExAmPle.COM',
-      |         CASE WHEN doc_id % 2 = 0 THEN ':443'
+      |         CASE WHEN doc_id % 16 = 1 THEN ':80'
+      |              WHEN doc_id % 16 = 2 THEN ':8080'
+      |              WHEN doc_id % 2 = 0 THEN ':443'
       |              WHEN doc_id % 5 = 3 THEN ':8080' ELSE '' END,
       |         '/Articles/Item', CAST(doc_id % 5 AS VARCHAR),
       |         CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
-      |         '?id=', CAST(doc_id % 5 AS VARCHAR),
-      |         '&utm_source=feed&z=9&b=2',
-      |         CASE WHEN doc_id % 3 = 0 THEN '&fbclid=x' ELSE '' END,
-      |         CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS url
+      |         CASE WHEN doc_id % 9 = 4 THEN '?utm_source=feed&fbclid=x'
+      |              ELSE concat('?id=', CAST(doc_id % 5 AS VARCHAR),
+      |                '&utm_source=feed&z=9&b=2',
+      |                CASE WHEN doc_id % 3 = 0 THEN '&fbclid=x' ELSE '' END) END,
+      |         CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) END AS url
       |FROM documents""".stripMargin
 
   /** UrlNormalize.canonicalizeUrl as a WITH-chain over a `urls(doc_id, url)`
@@ -79,7 +86,10 @@ object OracleSql {
        |         substr(rest, length(authority) + 1) AS pathq,
        |         regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
        |                        '^www\\.', '') AS host,
-       |         regexp_extract(hostport, ':([0-9]+)\\z', 1) AS port
+       |         regexp_extract(hostport, ':([0-9]+)\\z', 1) AS port,
+       |         -- authority sanity gate: non-numeric ports / bracketed
+       |         -- IPv6 pass through verbatim (mirrors UrlNormalize)
+       |         regexp_matches(hostport, '^[^:\\[\\]]*(:[0-9]+)?\\z') AS hp_ok
        |       FROM c2h),
        |c4 AS (SELECT *,
        |         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+\\z', '') AS path,
@@ -91,7 +101,7 @@ object OracleSql {
        |            OR (scheme = 'https' AND port = '443'))) AS keep_port
        |       FROM c3),
        |canon AS (SELECT doc_id, url,
-       |            CASE WHEN scheme = '' THEN u0 ELSE
+       |            CASE WHEN scheme = '' OR NOT hp_ok THEN u0 ELSE
        |              concat(scheme, '://', host,
        |                CASE WHEN keep_port THEN concat(':', port) ELSE '' END,
        |                path,
@@ -303,21 +313,30 @@ object OracleSql {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** The split/tokenize/shingle/overlap CTE chain of the decontamination
+    * replay, parameterized by the corpus relation (r12 review: the 10×
+    * entry used to restate this chain verbatim — two hand-maintained
+    * copies of the same shingle arithmetic could drift independently, the
+    * exact class the file header warns about). Emits `tr(doc_id, shingle)`
+    * and `ev(shingle)`. */
+  private def decontaminationChainSql(corpusSql: String): String =
+    s"""sp AS (SELECT doc_id, text,
+       |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.8)} THEN 'train'
+       |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.9)} THEN 'valid'
+       |            ELSE 'test' END AS split
+       |       FROM $corpusSql),
+       |tk AS (SELECT doc_id, split,
+       |              string_split_regex(trim(lower(text)), '\\s+') AS toks FROM sp),
+       |sh AS (SELECT doc_id, split, ${shingleSql("toks")} AS shs FROM tk),
+       |ev AS (SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE split = 'test'),
+       |tr AS (SELECT doc_id, unnest(shs) AS shingle FROM sh WHERE split = 'train')""".stripMargin
+
   /** Exact shingle-overlap contamination report — shared by
     * `t_decontaminate` (exact broadcast operator) and
     * `t_decontaminate_bloom` (Bloom-pre-filtered variant with identical
     * output contract). */
   private def decontaminationSql: String =
-    s"""WITH sp AS (SELECT doc_id, text,
-       |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.8)} THEN 'train'
-       |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.9)} THEN 'valid'
-       |            ELSE 'test' END AS split
-       |       FROM documents),
-       |tk AS (SELECT doc_id, split,
-       |              string_split_regex(trim(lower(text)), '\\s+') AS toks FROM sp),
-       |sh AS (SELECT doc_id, split, ${shingleSql("toks")} AS shs FROM tk),
-       |ev AS (SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE split = 'test'),
-       |tr AS (SELECT doc_id, unnest(shs) AS shingle FROM sh WHERE split = 'train')
+    s"""WITH ${decontaminationChainSql("documents")}
        |SELECT tr.doc_id, count(*) AS n_shingles,
        |       CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
        |         AS n_overlap,
@@ -475,13 +494,21 @@ object OracleSql {
     * `minTokens` restricts the corpus to documents of at least that many
     * whitespace tokens (0 = no gate) — the SimHash certificate applies the
     * operator's own length precondition; MinHash runs ungated. */
-  private def boundedVerifiedPairsSql(minTokens: Int): String =
+  private def boundedVerifiedPairsSql(minTokens: Int): String = {
+    // exact-boundary fixture rows, sourced from the SAME constant the
+    // Spark query unions in (LlmOpQueries.BoundaryPairDocs) — r12: pins
+    // the >= comparator at exactly 7/10 = 0.7. The simhash variant's
+    // minTokens = 20 gate excludes them on BOTH sides (9-13 tokens).
+    val boundaryRows = LlmOpQueries.BoundaryPairDocs
+      .map { case (id, text) => s"($id, ${sq(text)})" }.mkString(", ")
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  WHERE doc_id % 10 = 0 AND doc_id < 1000
        |  UNION ALL
        |  SELECT doc_id + 1000000 AS doc_id, text || ' extraword' AS text
-       |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 1000),
+       |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 1000
+       |  UNION ALL
+       |  SELECT * FROM (VALUES $boundaryRows) AS b(doc_id, text)),
        |tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
        |       FROM corpus),
        |sh AS (SELECT doc_id, ${shingleSql("toks")} AS sh FROM tk
@@ -494,6 +521,7 @@ object OracleSql {
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.7
        |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** The bigram-LM chain (`LmScore.perplexityFilter`) over `corpusSql`
     * (must provide doc_id, lang, text), up to the per-doc `agg` CTE —
@@ -630,22 +658,34 @@ object OracleSql {
   // Shared by `w_sessionize` and `w_sessionize_salted`: the salted Spark
   // form is exactly the plain operator's semantics under a different
   // physical plan, so both hash-compare against one SQL.
+  // The gap/lag/running-sum chain of the sessionize replay, parameterized
+  // by an (user_id, event_id, ts) relation (r12 review: the 10× entry used
+  // to restate this window chain verbatim). Emits `sess(user_id,
+  // session_seq, n_events, duration_us)`. The null guard mirrors
+  // Sessionize.normalizeTs (r12): the operator EXCLUDES null-key/null-ts
+  // rows, so the oracle must too — today's events table has none (latent),
+  // but a regenerated corpus with one such row would otherwise flip every
+  // sessionize hash with a confusing count diff.
+  private def sessionizeChainSql(eventsSql: String): String =
+    s"""e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM $eventsSql
+       |      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |x AS (SELECT user_id, event_id, t,
+       |             lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+       |      FROM e),
+       |n AS (SELECT user_id, event_id, t,
+       |             CASE WHEN prev IS NULL OR t - prev >= 14400000000 THEN 1
+       |                  ELSE 0 END AS is_new
+       |      FROM x),
+       |sid AS (SELECT user_id, t,
+       |               SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+       |        FROM n),
+       |sess AS (SELECT user_id, session_seq, count(*) AS n_events,
+       |                max(t) - min(t) AS duration_us
+       |         FROM sid GROUP BY 1, 2)""".stripMargin
+
   private val sessionizeSql: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
-      |x AS (SELECT user_id, event_id, t,
-      |             lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
-      |      FROM e),
-      |n AS (SELECT user_id, event_id, t,
-      |             CASE WHEN prev IS NULL OR t - prev >= 14400000000 THEN 1
-      |                  ELSE 0 END AS is_new
-      |      FROM x),
-      |sid AS (SELECT user_id, t,
-      |               SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
-      |                                 ROWS UNBOUNDED PRECEDING) AS session_seq
-      |        FROM n),
-      |sess AS (SELECT user_id, session_seq, count(*) AS n_events,
-      |                max(t) - min(t) AS duration_us
-      |         FROM sid GROUP BY 1, 2)
+    s"""WITH ${sessionizeChainSql("events")}
       |SELECT user_id, count(*) AS n_sessions,
       |       CAST(sum(n_events) AS BIGINT) AS n_events,
       |       CAST(max(n_events) AS BIGINT) AS max_session_events,
@@ -831,13 +871,32 @@ object OracleSql {
 
     "t_nb_classify" -> nbClassifySql,
 
+    // count fractions + the r12 character-mass twins: mass of gram g =
+    // count(g) × length(g) over the occurrence stream — the exact formula
+    // TextAnalysis.repetitionMetricsOfTokens documents (integer masses,
+    // one double division at the end, so the engines agree bit-for-bit)
     "t_repetition" ->
       s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
          |            FROM documents),
          |g AS (SELECT doc_id,
          |             [array_to_string(toks[i:i+1], ' ')
          |              FOR i IN range(1, greatest(len(toks)-1, 1) + 1)] AS grams
-         |      FROM tk)
+         |      FROM tk),
+         |m AS (SELECT doc_id, grams,
+         |             [CAST(len(list_filter(grams, y -> y = x)) AS BIGINT) *
+         |              CAST(length(x) AS BIGINT)
+         |              FOR x IN list_distinct(grams)] AS masses,
+         |             [CASE WHEN len(list_filter(grams, y -> y = x)) > 1
+         |                   THEN CAST(len(list_filter(grams, y -> y = x)) AS BIGINT) *
+         |                        CAST(length(x) AS BIGINT)
+         |                   ELSE CAST(0 AS BIGINT) END
+         |              FOR x IN list_distinct(grams)] AS dup_masses
+         |      FROM g),
+         |t AS (SELECT doc_id, grams,
+         |             COALESCE(list_sum(masses), 0) AS total_mass,
+         |             COALESCE(list_sum(dup_masses), 0) AS dup_mass,
+         |             COALESCE(list_max(masses), 0) AS top_mass
+         |      FROM m)
          |SELECT doc_id, len(grams) AS n_ngrams,
          |       CASE WHEN len(grams) > 0
          |            THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
@@ -845,8 +904,14 @@ object OracleSql {
          |       CASE WHEN len(grams) > 0
          |            THEN CAST(list_max([len(list_filter(grams, y -> y = x))
          |                                FOR x IN list_distinct(grams)]) AS DOUBLE) / len(grams)
-         |            ELSE 0.0 END AS top_ngram_frac
-         |FROM g ORDER BY doc_id""".stripMargin,
+         |            ELSE 0.0 END AS top_ngram_frac,
+         |       CASE WHEN total_mass > 0
+         |            THEN CAST(dup_mass AS DOUBLE) / total_mass
+         |            ELSE 0.0 END AS dup_ngram_char_frac,
+         |       CASE WHEN total_mass > 0
+         |            THEN CAST(top_mass AS DOUBLE) / total_mass
+         |            ELSE 0.0 END AS top_ngram_char_frac
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     "t_decontaminate" -> decontaminationSql,
     // the Bloom stage is a pre-filter whose false positives die in the
@@ -868,15 +933,17 @@ object OracleSql {
         "'.org/a?b=1 from 10.0.'",
         "CAST(doc_id % 256 AS VARCHAR)", "'.'",
         "CAST((doc_id * 7) % 256 AS VARCHAR)").mkString(" || ")
+      // sq() quoting (r12 review): a future pattern containing a quote must
+      // embed safely, not break the generated SQL at parse time
       val redacted = pats.foldLeft("text") { case (c, (pat, tag)) =>
-        s"regexp_replace($c, '$pat', '$tag', 'g')"
+        s"regexp_replace($c, ${sq(pat)}, ${sq(tag)}, 'g')"
       }
       s"""WITH planted AS (SELECT doc_id, $planted AS text FROM documents)
          |SELECT doc_id,
-         |       len(regexp_extract_all(text, '${pats(0)._1}')) AS n_email,
-         |       len(regexp_extract_all(text, '${pats(1)._1}')) AS n_url,
-         |       len(regexp_extract_all(text, '${pats(2)._1}')) AS n_phone,
-         |       len(regexp_extract_all(text, '${pats(3)._1}')) AS n_ip,
+         |       len(regexp_extract_all(text, ${sq(pats(0)._1)})) AS n_email,
+         |       len(regexp_extract_all(text, ${sq(pats(1)._1)})) AS n_url,
+         |       len(regexp_extract_all(text, ${sq(pats(2)._1)})) AS n_phone,
+         |       len(regexp_extract_all(text, ${sq(pats(3)._1)})) AS n_ip,
          |       $redacted AS redacted
          |FROM planted ORDER BY doc_id""".stripMargin
     },
@@ -913,16 +980,7 @@ object OracleSql {
 
     "t_decontaminate_10x" ->
       s"""WITH rep AS ($docs10xSql),
-         |sp AS (SELECT doc_id, text,
-         |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.8)} THEN 'train'
-         |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ${thr(0.9)} THEN 'valid'
-         |            ELSE 'test' END AS split
-         |       FROM rep),
-         |tk AS (SELECT doc_id, split,
-         |              string_split_regex(trim(lower(text)), '\\s+') AS toks FROM sp),
-         |sh AS (SELECT doc_id, split, ${shingleSql("toks")} AS shs FROM tk),
-         |ev AS (SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE split = 'test'),
-         |tr AS (SELECT doc_id, unnest(shs) AS shingle FROM sh WHERE split = 'train'),
+         |${decontaminationChainSql("rep")},
          |rep_ AS (SELECT tr.doc_id,
          |                sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
          |         FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
@@ -933,22 +991,11 @@ object OracleSql {
          |FROM rep_""".stripMargin,
 
     "w_sessionize_10x" ->
-      """WITH e AS (SELECT user_id + k.k * 1000000 AS user_id, epoch_us(ts) AS t,
-        |                  event_id + k.k * 100000000 AS event_id
-        |           FROM events CROSS JOIN (SELECT unnest(range(10)) AS k) k),
-        |x AS (SELECT user_id, event_id, t,
-        |             lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
-        |      FROM e),
-        |n AS (SELECT user_id, event_id, t,
-        |             CASE WHEN prev IS NULL OR t - prev >= 14400000000 THEN 1
-        |                  ELSE 0 END AS is_new
-        |      FROM x),
-        |sid AS (SELECT user_id, t,
-        |               SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |                                 ROWS UNBOUNDED PRECEDING) AS session_seq
-        |        FROM n),
-        |sess AS (SELECT user_id, session_seq, count(*) AS n_events
-        |         FROM sid GROUP BY 1, 2)
+      s"""WITH ${sessionizeChainSql(
+           """(SELECT user_id + k.k * 1000000 AS user_id,
+             |        event_id + k.k * 100000000 AS event_id, ts
+             | FROM events CROSS JOIN (SELECT unnest(range(10)) AS k) k)"""
+             .stripMargin)}
         |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       CAST(sum(n_events) AS BIGINT) AS n_events
@@ -1071,9 +1118,15 @@ object OracleSql {
     // exact-substring duplicate spans: distinct 8-token grams per doc, a
     // gram is a duplicate iff it appears under >= 2 doc ids (grams are
     // per-doc distinct, so plain count == distinct-doc count)
+    // input = corpus + planted exact copies of every 10th doc (r12: the
+    // duplicate path must be exercised by CONSTRUCTION, not corpus luck)
     "dedup_span_report" ->
-      """WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-        |            FROM documents),
+      """WITH src AS (SELECT doc_id, text FROM documents
+        |             UNION ALL
+        |             SELECT doc_id + 1000000, text FROM documents
+        |             WHERE doc_id % 10 = 0),
+        |tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |            FROM src),
         |g AS (SELECT doc_id,
         |             unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
         |               FOR i IN range(1, greatest(len(toks)-7, 1) + 1)])) AS gram

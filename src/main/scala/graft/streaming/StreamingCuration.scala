@@ -34,7 +34,8 @@ object StreamingCuration {
     * loudly in [[curateBatch]]; same reserved-name discipline as
     * `Shuffling`'s output-column guard. */
   private val reservedColumns = Seq(
-    "n_ngrams", "dup_ngram_frac",             // TextAnalysis.repetitionMetrics
+    "n_ngrams", "dup_ngram_frac", "top_ngram_frac",       // repetitionMetrics
+    "dup_ngram_char_frac", "top_ngram_char_frac",         // (r12 char twins)
     "n_tokens", "stopword_ratio", "lang",     // FilterCascade.gopherRecipe
     "kept", "drop_reason", "nll")             // decision + LM score
 

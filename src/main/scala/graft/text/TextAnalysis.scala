@@ -150,8 +150,26 @@ object TextAnalysis {
       .withColumn("__rm_grams", transform(
         sequence(lit(1), greatest(size(col("__rm_toks")) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(col("__rm_toks"), i, lit(n)))))
-      .withColumn("__rm_gcounts", map_values(
-        graft.expressions.SketchExpressions.term_counts(col("__rm_grams"))))
+      .withColumn("__rm_gmap",
+        graft.expressions.SketchExpressions.term_counts(col("__rm_grams")))
+      .withColumn("__rm_gcounts", map_values(col("__rm_gmap")))
+      .withColumn("__rm_gentries", map_entries(col("__rm_gmap")))
+    // Character-mass twins (r12 review): the published Gopher thresholds
+    // (Rae et al. Table A1) are defined over CHARACTERS, not gram slots —
+    // a document whose duplicated grams are long words carries more
+    // character mass than gram-count mass. Mass of gram g = count(g) ×
+    // length(g) over the occurrence stream (the paper's doc-char
+    // denominator is ill-defined for overlapping grams; the occurrence
+    // mass is the self-consistent reproduction — deviation documented).
+    // The count fractions stay primary (the cascade thresholds were tuned
+    // to them); both families ride the same one term_counts pass.
+    def mass(e: Column): Column =
+      e.getField("value").cast("long") * length(e.getField("key")).cast("long")
+    val totalMass = aggregate(col("__rm_gentries"), lit(0L), (acc, e) => acc + mass(e))
+    val dupMass = aggregate(col("__rm_gentries"), lit(0L),
+      (acc, e) => acc + when(e.getField("value") > 1, mass(e)).otherwise(lit(0L)))
+    val topMass = coalesce(
+      array_max(transform(col("__rm_gentries"), e => mass(e))), lit(0L))
     staged
       .withColumn("n_ngrams", size(col("__rm_grams")))
       .withColumn("dup_ngram_frac",
@@ -163,7 +181,17 @@ object TextAnalysis {
         when(col("n_ngrams") > 0,
           array_max(col("__rm_gcounts")).cast("double") / col("n_ngrams"))
           .otherwise(0.0))
-      .drop("__rm_toks", "__rm_grams", "__rm_gcounts")
+      .withColumn("__rm_total_mass", totalMass)
+      .withColumn("dup_ngram_char_frac",
+        when(col("__rm_total_mass") > 0,
+          dupMass.cast("double") / col("__rm_total_mass"))
+          .otherwise(0.0))
+      .withColumn("top_ngram_char_frac",
+        when(col("__rm_total_mass") > 0,
+          topMass.cast("double") / col("__rm_total_mass"))
+          .otherwise(0.0))
+      .drop("__rm_toks", "__rm_grams", "__rm_gmap", "__rm_gcounts",
+        "__rm_gentries", "__rm_total_mass")
   }
 
   /**

@@ -67,6 +67,14 @@ object UrlNormalize {
     val hostport = regexp_replace(authority, "^[\\s\\S]*@", "")
     val host = regexp_replace(
       lower(regexp_extract(hostport, "^([^:]*)", 1)), "^www\\.", "")
+    // Authority sanity gate (r12 review): a NON-numeric "port"
+    // (`host:8x80`) used to vanish silently — the port regex matched
+    // nothing while the host regex truncated at the colon, merging the URL
+    // with the portless one and stealing its provenance; a bracketed IPv6
+    // authority (`[::1]:8080`) was mangled the same way. Neither shape can
+    // be canonicalized by this string algebra, so both pass through
+    // verbatim (garbage provenance is data, not an exception).
+    val hostportOk = hostport.rlike("^[^:\\[\\]]*(:[0-9]+)?\\z")
     val port = regexp_extract(hostport, ":([0-9]+)\\z", 1)
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") ||
@@ -83,7 +91,7 @@ object UrlNormalize {
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       path,
       when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
-    when(scheme === "", u).otherwise(canonical)
+    when(scheme === "" || !hostportOk, u).otherwise(canonical)
   }
 
   /**

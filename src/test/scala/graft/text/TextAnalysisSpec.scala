@@ -126,4 +126,25 @@ class TextAnalysisSpec extends SparkSuite {
     // all bigrams unique → the top one is 1 of 3
     assert(math.abs(r.getAs[Double]("top_ngram_frac") - 1.0 / 3) < 1e-15)
   }
+
+  test("repetition metrics: character-mass fractions (r12 Gopher twins)") {
+    val s = spark
+    import s.implicits._
+    // tokens [aa bb aa bb cc] → bigrams: "aa bb"×2, "bb aa", "bb cc"
+    // masses (count × chars): "aa bb" 2×5=10, others 1×5 each → total 20
+    // dup mass = 10 (only "aa bb" repeats) → dup_char = 0.5; top = 10/20
+    val r = TextAnalysis.repetitionMetrics(
+      Seq((1L, "aa bb aa bb cc")).toDF("doc_id", "text"), "text", n = 2)
+      .head()
+    assert(r.getAs[Int]("n_ngrams") == 4)
+    assert(r.getAs[Double]("dup_ngram_frac") == 0.25)   // (4 − 3) / 4
+    assert(r.getAs[Double]("top_ngram_frac") == 0.5)    // 2 / 4
+    assert(r.getAs[Double]("dup_ngram_char_frac") == 0.5)
+    assert(r.getAs[Double]("top_ngram_char_frac") == 0.5)
+    // blank doc: zero masses, fractions 0.0 (no division by zero)
+    val b = TextAnalysis.repetitionMetrics(
+      Seq((2L, "")).toDF("doc_id", "text"), "text", n = 2).head()
+    assert(b.getAs[Double]("dup_ngram_char_frac") == 0.0)
+    assert(b.getAs[Double]("top_ngram_char_frac") == 0.0)
+  }
 }
