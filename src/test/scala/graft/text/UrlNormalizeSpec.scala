@@ -119,6 +119,21 @@ class UrlNormalizeSpec extends SparkSuite {
       ("https://other.com/q", 1L, 5L)))
   }
 
+  test("plan shape: dedupByUrl is ONE exchange with a map-side partial min") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(i => (i, s"https://a$i.com/p")).toDF("id", "url")
+    // text assertions: AQE wraps the plan, hiding nodes from collect()
+    val plan = UrlNormalize.dedupByUrl(df, "url", "id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    // partial+final aggregate pair: a hot URL's copies collapse map-side
+    // (no Window, no skew cliff — the exactDedup shape; min(struct) plans
+    // as SortAggregate — struct-typed buffers aren't hash-aggregable)
+    assert(plan.contains("partial_min(struct(id"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("plan shape: canonicalizeUrl is a narrow projection — no shuffle, no UDF") {
     val s = spark
     import s.implicits._
