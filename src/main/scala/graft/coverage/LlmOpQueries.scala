@@ -237,7 +237,7 @@ object LlmOpQueries {
     * drift flips the hash. The qb pair sits at 7/11 ≈ 0.636, just below —
     * pinning the reject side. Vocabularies are disjoint from the corpus
     * (qa-/qb-prefixed tokens), so no cross pairs appear. */
-  private[coverage] val BoundaryPairDocs: Seq[(Long, String)] = Seq(
+  private[graft] val BoundaryPairDocs: Seq[(Long, String)] = Seq(
     (2000001L, (1 to 12).map(i => s"qa$i").mkString(" ")),
     (2000002L, (1 to 9).map(i => s"qa$i").mkString(" ")),
     (2000003L, (1 to 13).map(i => s"qb$i").mkString(" ")),
@@ -255,9 +255,16 @@ object LlmOpQueries {
     * pair (50 planted pairs at sf0.01; planted + a few natural at sf0.1),
     * AND — via [[BoundaryPairDocs]] — the threshold comparator itself —
     * not merely that aggregate counts look right. The margin making this
-    * deterministic: every true pair sits at Jaccard ≥ 0.9 (band-collision
-    * miss ≈ 2e-4 per pair, and xxhash64 is fixed) and none fall in
-    * [0.5, 0.7). The corpus is BOUNDED (`doc_id % 10 = 0 AND doc_id <
+    * deterministic: every natural true pair sits at Jaccard ≥ 0.9
+    * (band-collision miss ≈ 2e-4 per pair, and xxhash64 is fixed) and none
+    * fall in [0.5, 0.7); the ONE exception is the planted 0.7-exact
+    * boundary pair, whose band collision is a deterministic fact of the
+    * committed qa tokens under THIS (numHashes=32, bands=8) config but is
+    * NOT probabilistically guaranteed (J=0.7 collides with p ≈ 0.89 per
+    * config) — DedupSpec pins the collision, so a retuning that breaks it
+    * fails a targeted test instead of flipping this oracle row with a
+    * misleading recall-bug diff. The corpus is BOUNDED (`doc_id % 10 = 0
+    * AND doc_id <
     * 1000`, ≤ 200 docs at any sf) because the oracle's all-pairs join is
     * O(N²) — unbounded it costs minutes at sf0.1, which would swamp the
     * DuckDB baseline the bench compares against; full-corpus recall is
@@ -395,8 +402,12 @@ object LlmOpQueries {
     * raw grams, identical barring an xxhash64 collision). Replica
     * vocabularies are disjoint, so cross-replica grams never collide and
     * every within-replica duplicate span survives suffixing:
-    * `n_dup_grams_total` is exactly 10× the 1× corpus's total, and
-    * near-linear wall-clock vs [[dedupSpanReport]] in the same bench JSON
+    * `n_dup_grams_total` is exactly 10× the RAW corpus's natural total.
+    * (r12 note: [[dedupSpanReport]] now runs over corpus + PLANTED copies,
+    * so the two rows' totals are no longer in a 10:1 ratio — that
+    * structural self-check is superseded by this row's own full DuckDB
+    * replay, which has hash-certified the replication + census since r11.)
+    * Near-linear wall-clock vs [[dedupSpanReport]] in the same bench JSON
     * is the scaling claim. */
   def dedupSpanReport10x(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "__q_span_10x"),

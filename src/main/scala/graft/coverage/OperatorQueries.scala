@@ -112,9 +112,11 @@ object OperatorQueries {
             // pays in lost parallelism (round-5 verdict item 4: the sub-MB
             // dashboard queries were floor-bound on stage width). The
             // shared value comes from the LARGEST keyed table at ~2 MB of
-            // parquet per partition, clamped to [4, session width] — at
-            // production bytes the formula saturates at the session width,
-            // so this is purely a small-scale floor trim.
+            // parquet per partition, floored at 4 with the session-width
+            // CAP winning (keyedWidth scaladoc — r12: the width is NEVER
+            // above the session shuffle width, so do not assume a >= 4
+            // floor here) — at production bytes the formula saturates at
+            // the session width, so this is purely a small-scale trim.
             df.repartition(keyedWidth(s, dir), col(key))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           case None =>

@@ -43,6 +43,37 @@ object SnapshotStore {
     * an orphan and reclaimed without consuming a keep slot. */
   private val Published = "_PUBLISHED"
 
+  /** Store-level flag: this root's snapshots carry [[Published]] markers.
+    * Its ABSENCE means the store predates the marker scheme (r12 second
+    * pass): every unmarked pre-upgrade snapshot would otherwise classify as
+    * a crashed-publish orphan, and the FIRST prune after upgrading would
+    * delete all but the pointed-at one — ignoring `keep` and destroying
+    * exactly the reader-grace window the markers exist to protect. On the
+    * first marker-aware operation over a legacy store, every version at or
+    * below the pointer is back-filled with a marker (conservative: a
+    * legacy crash orphan then merely consumes a keep slot, the pre-r12
+    * behavior — retention errs toward keeping) and the flag is written, so
+    * only post-upgrade unmarked directories ever classify as orphans. */
+  private val SchemeFlag = "_MARKER_SCHEME_V1"
+
+  private def migrateLegacyMarkers(f: org.apache.hadoop.fs.FileSystem,
+                                   root: String,
+                                   curVersion: Option[Long]): Unit = {
+    val flag = new org.apache.hadoop.fs.Path(s"$root/$SchemeFlag")
+    if (f.exists(flag)) return
+    curVersion.foreach { cur =>
+      f.listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName)
+        .flatMap(n => versionOf(n).map(v => (n, v)))
+        .filter(_._2 <= cur)
+        .foreach { case (n, _) =>
+          f.create(new org.apache.hadoop.fs.Path(s"$root/$n/$Published"), true)
+            .close()
+        }
+    }
+    f.create(flag, true).close()
+  }
+
   /** Version of a `snapshot-<n>` directory name; None for anything else
     * (a stray `snapshot-tmp`, a hand-copied `snapshot-3.bak`, …) so foreign
     * entries can never brick publish or prune. */
@@ -80,6 +111,12 @@ object SnapshotStore {
     val dir = s"$root/snapshot-$version"
     df.write.mode("error").parquet(dir) // never in place; fails on dir reuse
     val f = fs(spark, root)
+    // legacy stores first get their pre-upgrade snapshots back-filled with
+    // markers (BEFORE this publish's own marker — otherwise the new marker
+    // would make the store look scheme-aware while older published
+    // versions still classify as orphans)
+    migrateLegacyMarkers(f, root, latest(spark, root).map(_.split('/').last)
+      .flatMap(versionOf))
     // publish marker: data is complete from here on — see [[Published]]
     f.create(new org.apache.hadoop.fs.Path(s"$dir/$Published"), true).close()
     val tmp = new org.apache.hadoop.fs.Path(s"$root/.$Pointer.tmp")
@@ -132,6 +169,8 @@ object SnapshotStore {
     // nothing was ever published → nothing is reclaimable; any directory
     // present may be the FIRST publish mid-write (no pointer to fence it)
     if (curVersion.isEmpty) return Seq.empty
+    // pre-upgrade stores: back-fill markers before classifying anything
+    migrateLegacyMarkers(f, root, curVersion)
     val all = f.listStatus(new org.apache.hadoop.fs.Path(root))
       .map(_.getPath.getName)
       .flatMap(n => versionOf(n).map(v => (n, v)))

@@ -65,18 +65,29 @@ object TableLayout {
     * location is user data the drop must preserve). That includes the
     * default-managed-location sweep (r12 review): an external table may
     * legally be registered AT the default warehouse path, so the sweep
-    * runs only when the table was MANAGED or had no catalog entry at all
-    * (the orphaned-directory case the sweep exists for). */
-  def dropTable(spark: SparkSession, table: String): Unit = {
+    * runs only when the table was MANAGED.
+    *
+    * `sweepOrphanDir` (r12 review, second pass): with NO catalog entry the
+    * default-path directory is AMBIGUOUS — it may be a crashed session's
+    * orphaned managed dir (the case the sweep exists for) or the preserved
+    * data of an external table a PREVIOUS dropTable call deliberately kept
+    * (an idempotent cleanup script calling dropTable twice would otherwise
+    * delete on the second call what the first call promised to preserve).
+    * Default FALSE: a bare drop never destroys ambiguous data. Callers
+    * about to CREATE a managed table at that location pass true — there
+    * the directory must go either way, or the create itself fails with
+    * LOCATION_ALREADY_EXISTS. */
+  def dropTable(spark: SparkSession, table: String,
+                sweepOrphanDir: Boolean = false): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = scala.util.Try(
       spark.sessionState.catalog.getTableMetadata(ident)).toOption
-    val isManaged = meta.forall(_.tableType ==
+    val isManaged = meta.exists(_.tableType ==
       org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
     val catalogLoc = meta.filter(_ => isManaged)
       .map(m => new org.apache.hadoop.fs.Path(m.location))
     spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
-    if (isManaged) {
+    if (isManaged || (meta.isEmpty && sweepOrphanDir)) {
       val warehouse = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"))
       val db = ident.database.getOrElse(spark.catalog.currentDatabase)
@@ -100,7 +111,10 @@ object TableLayout {
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     buckets: Int): Unit = {
     require(keys.nonEmpty, "at least one bucket key")
-    dropTable(df.sparkSession, table)
+    // sweepOrphanDir = true: about to create a managed table at the default
+    // location — an ambiguous leftover directory must go or the create
+    // fails with LOCATION_ALREADY_EXISTS (see dropTable scaladoc)
+    dropTable(df.sparkSession, table, sweepOrphanDir = true)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)

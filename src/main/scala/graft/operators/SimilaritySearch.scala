@@ -283,7 +283,8 @@ object SimilaritySearch {
       normalized(col(vecCol)).as("cv"))
     val centroids = trainIvfCentroids(c, nLists, trainIters)
     import spark.implicits._
-    graft.layout.TableLayout.dropTable(spark, s"${table}_centroids")
+    graft.layout.TableLayout.dropTable(spark, s"${table}_centroids",
+      sweepOrphanDir = true) // a managed saveAsTable follows
     centroids.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("list_id", "centroid")
       .write.mode("overwrite").format("parquet")

@@ -63,6 +63,27 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(SnapshotStore.readLatest(spark, root).head().getInt(0) === 6)
   }
 
+  test("upgrading a legacy (marker-less) store never mass-deletes published snapshots") {
+    // r12 second pass: snapshots written by the pre-marker code have no
+    // _PUBLISHED files — without migration, the first prune would classify
+    // ALL of them as crash orphans and delete everything but the pointed-at
+    // one, ignoring keep. Simulate a legacy store by stripping the markers.
+    val root = Files.createTempDirectory("graft-snap7").toString + "/t"
+    (0 until 3).foreach(i => SnapshotStore.publish(Seq(i).toDF("x"), root))
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    (0 until 3).foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/snapshot-$v/_PUBLISHED"), false)
+    }
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/_MARKER_SCHEME_V1"), false)
+    val removed = SnapshotStore.prune(spark, root, keep = 2)
+    assert(removed.toSet === Set("snapshot-0"))          // keep=2 honored
+    assert(spark.read.parquet(s"$root/snapshot-1").count() === 1)
+    // migration is one-time: markers are back-filled, so a later prune
+    // still treats the old versions as published
+    assert(SnapshotStore.prune(spark, root, keep = 2).isEmpty)
+  }
+
   test("prune leaves versions newer than the pointer alone (in-flight publish)") {
     val root = Files.createTempDirectory("graft-snap5").toString + "/t"
     SnapshotStore.publish(Seq(1).toDF("x"), root)

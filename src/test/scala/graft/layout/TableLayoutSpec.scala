@@ -148,8 +148,15 @@ class TableLayoutSpec extends SparkSuite {
     TableLayout.dropTable(spark, "graft_ext_def")
     assert(spark.catalog.tableExists("graft_ext_def") === false)
     assert(spark.read.parquet(defLoc).count() === 1)
-    new org.apache.hadoop.fs.Path(defLoc).getFileSystem(
+    // r12 second pass: a REPEATED drop (idempotent cleanup script) finds no
+    // catalog entry — without the sweepOrphanDir opt-in it must NOT treat
+    // the preserved external data as an orphaned managed dir and delete it
+    TableLayout.dropTable(spark, "graft_ext_def")
+    assert(spark.read.parquet(defLoc).count() === 1)
+    // the explicit opt-in (the about-to-create path) does sweep it
+    TableLayout.dropTable(spark, "graft_ext_def", sweepOrphanDir = true)
+    assert(!new org.apache.hadoop.fs.Path(defLoc).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(defLoc), true)
+      .exists(new org.apache.hadoop.fs.Path(defLoc)))
   }
 }

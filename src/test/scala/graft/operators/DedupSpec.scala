@@ -358,6 +358,32 @@ class DedupSpec extends SparkSuite {
     Dedup.unpersistSketches()
   }
 
+  test("boundary-pair fixture: the exact-0.7 pair COLLIDES and is kept; 7/11 is rejected") {
+    val s = spark
+    import s.implicits._
+    // The dedup_minhash_verified oracle includes the qa pair unconditionally
+    // (exact all-pairs join); the Spark side only emits it if the banded
+    // candidate generation collides — deterministic for the committed
+    // tokens under (32, 8), but p ≈ 0.89 under a RETUNED config. This test
+    // makes a collision-breaking retune fail HERE with a targeted message
+    // instead of flipping the oracle row with a misleading recall diff.
+    val docs = graft.coverage.LlmOpQueries.BoundaryPairDocs.toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.7, numHashes = 32, bands = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((2000001L, 2000002L)),
+      "the exact-0.7 qa pair no longer collides in any LSH band under the " +
+        "current (numHashes, bands) config — tweak the BoundaryPairDocs " +
+        s"tokens until it does (emitted pairs: ${pairs.mkString(", ")})")
+    assert(!pairs.exists(p => p == ((2000003L, 2000004L))),
+      "the 7/11 qb pair (below threshold) must never be emitted")
+    // and the comparator includes exactly-at-threshold: jaccard == 0.7
+    val j = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.7, numHashes = 32, bands = 8)
+      .filter(col("id_a") === 2000001L).select("jaccard").head().getDouble(0)
+    assert(j == 0.7, s"expected the exact small-ratio double 7/10, got $j")
+  }
+
   test("withScopedSketches releases only its own frames; the global queue is untouched") {
     val s = spark
     import s.implicits._
