@@ -1188,12 +1188,19 @@ object LlmOpQueries {
       when(pmod(d, lit(8)) === 1, lit("User:Pw@")).otherwise(lit("")),
       when(pmod(d, lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
       lit("Site"), pmod(d, lit(7)).cast("string"), lit(".ExAmPle.COM"),
+      when(pmod(d, lit(11)) === 5, lit(".")).otherwise(lit("")), // FQDN root dot
       when(pmod(d, lit(16)) === 1, lit(":80"))        // odd → http:80 drop
         .when(pmod(d, lit(16)) === 2, lit(":8080"))   // even → https:8080 keep
         .when(pmod(d, lit(2)) === 0, lit(":443"))     // https default drop
         .when(pmod(d, lit(5)) === 3, lit(":8080"))    // http non-default keep
         .otherwise(lit("")),
       lit("/Articles/Item"), pmod(d, lit(5)).cast("string"),
+      // percent-case noise: scheme parity already partitions the canonical
+      // groups (mod 2 picks http/https), so folding %2f/%2F to %2F changes
+      // no group membership — it certifies the fold itself; %zq pins the
+      // not-an-escape guard (left verbatim)
+      when(pmod(d, lit(2)) === 0, lit("/p%2fq")).otherwise(lit("/p%2Fq")),
+      when(pmod(d, lit(13)) === 3, lit("/e%zq")).otherwise(lit("")),
       when(pmod(d, lit(4)) === 0, lit("/")).otherwise(lit("")),
       when(pmod(d, lit(9)) === 4, lit("?utm_source=feed&fbclid=x")) // all-tracking → '?' disappears
         .otherwise(concat(

@@ -49,11 +49,14 @@ object OracleSql {
       |         CASE WHEN doc_id % 8 = 1 THEN 'User:Pw@' ELSE '' END,
       |         CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
       |         'Site', CAST(doc_id % 7 AS VARCHAR), '.ExAmPle.COM',
+      |         CASE WHEN doc_id % 11 = 5 THEN '.' ELSE '' END,
       |         CASE WHEN doc_id % 16 = 1 THEN ':80'
       |              WHEN doc_id % 16 = 2 THEN ':8080'
       |              WHEN doc_id % 2 = 0 THEN ':443'
       |              WHEN doc_id % 5 = 3 THEN ':8080' ELSE '' END,
       |         '/Articles/Item', CAST(doc_id % 5 AS VARCHAR),
+      |         CASE WHEN doc_id % 2 = 0 THEN '/p%2fq' ELSE '/p%2Fq' END,
+      |         CASE WHEN doc_id % 13 = 3 THEN '/e%zq' ELSE '' END,
       |         CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
       |         CASE WHEN doc_id % 9 = 4 THEN '?utm_source=feed&fbclid=x'
       |              ELSE concat('?id=', CAST(doc_id % 5 AS VARCHAR),
@@ -84,22 +87,35 @@ object OracleSql {
        |          regexp_replace(authority, '^[\\s\\S]*@', '') AS hostport FROM c2),
        |c3 AS (SELECT *,
        |         substr(rest, length(authority) + 1) AS pathq,
-       |         regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
-       |                        '^www\\.', '') AS host,
+       |         -- case fold, FQDN root-dot strip, then www. strip
+       |         regexp_replace(regexp_replace(
+       |           lower(regexp_extract(hostport, '^([^:]*)', 1)),
+       |           '\\.\\z', ''), '^www\\.', '') AS host,
        |         regexp_extract(hostport, ':([0-9]+)\\z', 1) AS port,
        |         -- authority sanity gate: non-numeric ports / bracketed
        |         -- IPv6 pass through verbatim (mirrors UrlNormalize)
        |         regexp_matches(hostport, '^[^:\\[\\]]*(:[0-9]+)?\\z') AS hp_ok
        |       FROM c2h),
+       |c3p AS (SELECT *,
+       |          -- percent-case fold (UrlNormalize.pctUpper): DuckDB's
+       |          -- lambda index is 1-based where Spark's transform is
+       |          -- 0-based, hence i = 1 for the pre-first-% piece
+       |          array_to_string(list_transform(string_split(pathq, '%'),
+       |            (p, i) -> CASE WHEN i = 1
+       |                        OR NOT regexp_matches(p, '^[0-9a-fA-F]{2}')
+       |                      THEN p
+       |                      ELSE concat(upper(substr(p, 1, 2)), substr(p, 3))
+       |                      END), '%') AS pathq_n
+       |        FROM c3),
        |c4 AS (SELECT *,
-       |         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+\\z', '') AS path,
+       |         regexp_replace(regexp_extract(pathq_n, '^([^?]*)', 1), '/+\\z', '') AS path,
        |         array_to_string(list_sort(list_filter(
-       |           string_split(regexp_extract(pathq, '\\?([\\s\\S]*)', 1), '&'),
+       |           string_split(regexp_extract(pathq_n, '\\?([\\s\\S]*)', 1), '&'),
        |           p -> p <> '' AND NOT list_contains($trackingList,
        |                  lower(regexp_extract(p, '^([^=]*)', 1))))), '&') AS q,
        |         (port <> '' AND NOT ((scheme = 'http' AND port = '80')
        |            OR (scheme = 'https' AND port = '443'))) AS keep_port
-       |       FROM c3),
+       |       FROM c3p),
        |canon AS (SELECT doc_id, url,
        |            CASE WHEN scheme = '' OR NOT hp_ok THEN u0 ELSE
        |              concat(scheme, '://', host,

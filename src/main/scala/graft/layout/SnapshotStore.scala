@@ -37,10 +37,16 @@ object SnapshotStore {
     * `keep` and could displace the most recent PREVIOUS snapshot from the
     * retention window — deleting exactly the version a long-running reader
     * that started before the latest publish is still on. A crash in the
-    * marker→swap window leaves a marked-but-never-pointed dir, which then
-    * harmlessly counts toward keep like any published snapshot; the much
-    * larger write-window crash (no marker) is now correctly classified as
-    * an orphan and reclaimed without consuming a keep slot. */
+    * marker→swap window leaves a marked-but-never-pointed dir; the NEXT
+    * successful publish reclassifies it (r13 review): when the pointer
+    * swings O→N, any marked version strictly between O and N is a KNOWN
+    * crashed publish — pointer versions are monotonic (next = max+1), so
+    * nothing above O was ever reader-visible — and its marker is removed
+    * so it stops consuming a keep slot at prune time. Until that next
+    * publish lands it harmlessly counts toward keep (retention errs toward
+    * keeping); the much larger write-window crash (no marker) is
+    * classified as an orphan immediately. Single-writer publish is assumed
+    * throughout (as `nextVersion`'s read-modify-write already requires). */
   private val Published = "_PUBLISHED"
 
   /** Store-level flag: this root's snapshots carry [[Published]] markers.
@@ -111,12 +117,12 @@ object SnapshotStore {
     val dir = s"$root/snapshot-$version"
     df.write.mode("error").parquet(dir) // never in place; fails on dir reuse
     val f = fs(spark, root)
+    val prevVersion = latest(spark, root).map(_.split('/').last).flatMap(versionOf)
     // legacy stores first get their pre-upgrade snapshots back-filled with
     // markers (BEFORE this publish's own marker — otherwise the new marker
     // would make the store look scheme-aware while older published
     // versions still classify as orphans)
-    migrateLegacyMarkers(f, root, latest(spark, root).map(_.split('/').last)
-      .flatMap(versionOf))
+    migrateLegacyMarkers(f, root, prevVersion)
     // publish marker: data is complete from here on — see [[Published]]
     f.create(new org.apache.hadoop.fs.Path(s"$dir/$Published"), true).close()
     val tmp = new org.apache.hadoop.fs.Path(s"$root/.$Pointer.tmp")
@@ -126,6 +132,22 @@ object SnapshotStore {
     finally out.close()
     fc(spark, root).rename(tmp, dst,
       org.apache.hadoop.fs.Options.Rename.OVERWRITE) // the atomic swap
+    // The pointer went prevVersion→version directly, so a MARKED dir
+    // strictly between them is a crashed marker→swap-window publish that
+    // was never reader-visible: unmark it so it classifies as an orphan at
+    // the next prune instead of consuming a keep slot and displacing the
+    // newest genuinely reader-visible previous snapshot (see [[Published]]).
+    // Runs only AFTER the swap succeeded, and only unmarks (never deletes
+    // data here) — a crash mid-loop leaves the pre-r13 behavior.
+    val floor = prevVersion.getOrElse(-1L)
+    f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName)
+      .flatMap(n => versionOf(n).map(v => (n, v)))
+      .filter { case (_, v) => v > floor && v < version }
+      .foreach { case (n, _) =>
+        try f.delete(new org.apache.hadoop.fs.Path(s"$root/$n/$Published"), false)
+        catch { case _: java.io.IOException => () } // next publish retries
+      }
     dir
   }
 

@@ -35,24 +35,42 @@ object Dedup {
   // drained the session-GLOBAL queue in its finally (unpersistSketches)
   // would, when two streams share one SparkSession, unpersist the OTHER
   // query's in-flight frames mid-batch — nondeterministic recompute storms
-  // under load. A scope captures only the frames persisted on THIS thread
-  // inside it; micro-batch bodies run single-threaded per query, so the
-  // scope sees exactly its own batch's frames.
-  private val localScope =
-    new ThreadLocal[java.util.ArrayDeque[DataFrame]]()
+  // under load. A scope captures the frames persisted inside it on the
+  // scope's thread AND (r13 review — the ThreadLocal version silently
+  // dropped these to the global queue) on any thread SPAWNED inside the
+  // scope, via InheritableThreadLocal: a future or parallel collection
+  // forked within the body follows its scope. The one residual fallback —
+  // registrations from a thread created BEFORE the scope opened (a
+  // pre-existing pool) — goes to the session-global queue, released by
+  // [[unpersistSketches]]: never a cross-scope unpersist, at worst a
+  // deferred release.
+  private final class SketchScope {
+    val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    @volatile var closed = false
+  }
+
+  private val localScope = new InheritableThreadLocal[SketchScope]()
 
   /** Run `body` with a private tracking scope: every [[persistTracked]]
-    * frame created on this thread during `body` is unpersisted on exit
-    * (after the body's actions completed), and the session-global queue —
-    * other concurrent queries' frames — is left untouched. */
+    * frame created during `body` on this thread or a thread it spawns is
+    * unpersisted on exit (after the body's actions completed), and the
+    * session-global queue — other concurrent queries' frames — is left
+    * untouched. A straggler thread outliving the scope falls back to the
+    * global queue (the scope is closed before draining), so its frame is
+    * still released by [[unpersistSketches]] rather than leaking. */
   private[graft] def withScopedSketches[T](body: => T): T = {
     val prev = localScope.get()
-    val mine = new java.util.ArrayDeque[DataFrame]()
+    val mine = new SketchScope
     localScope.set(mine)
     try body
     finally {
       localScope.set(prev)
-      mine.forEach(df => try df.unpersist() catch { case _: Throwable => () })
+      mine.closed = true // late registrations divert to the global queue
+      var df = mine.frames.poll()
+      while (df != null) {
+        try df.unpersist() catch { case _: Throwable => () }
+        df = mine.frames.poll()
+      }
     }
   }
 
@@ -62,7 +80,13 @@ object Dedup {
   private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     val scope = localScope.get()
-    if (scope != null) scope.add(p) else persistedFrames.add(p)
+    if (scope != null && !scope.closed) {
+      scope.frames.add(p)
+      // close() may have raced between the check and the add; if the drain
+      // already polled the frame it is released, otherwise reclaim it for
+      // the global queue (poll/remove hand off each element exactly once)
+      if (scope.closed && scope.frames.remove(p)) persistedFrames.add(p)
+    } else persistedFrames.add(p)
     p
   }
 

@@ -122,17 +122,29 @@ object EventStreamIngest {
     * (uuid — nondeterministic is fine: at-least-once semantics, and the
     * load-time anti-join stays the exactness net).
     *
-    * Unparseable timestamps BYPASS the watermarked dedup (r12 review): the
+    * Unparseable timestamps BYPASS the event-time dedup (r12 review): the
     * old `coalesce(try_to_timestamp(ts), current_timestamp())` stamped a
     * malformed row with wall-clock NOW inside the event-time column — one
     * corrupt row in a historical backfill catapulted the watermark to
     * now − lateness, and every later valid day-old event was dropped as
     * late: silent loss of GOOD data, not merely a missed dedup. A row with
-    * no parseable event time cannot participate in event-time dedup at
-    * all, so it is routed AROUND the stateful operator (still delivered —
-    * the DQ gate and the load-time anti-join own malformed rows
-    * downstream, and `n_bad_ts` surfaces them), and the watermark advances
-    * over real event times only. */
+    * no parseable event time cannot participate in event-time dedup, so it
+    * is routed around that operator and the watermark advances over real
+    * event times only.
+    *
+    * The bypass branch still DEDUPS, on its own PROCESSING-time watermark
+    * (r13 review — r12 delivered a duplicated corrupt row once per batch it
+    * appeared in, silently regressing consumers that relied on in-stream
+    * dedup of such rows): the batch timestamp is a real, monotonic time for
+    * these rows, so keying their state on it gives them the same
+    * bounded-state dedup as the main branch without touching the event-time
+    * column. Under the default `multipleWatermarkPolicy=min` the global
+    * watermark is the LAGGING one, so the corrupt-row branch can never push
+    * the event-time watermark forward (the r12 bug cannot re-enter through
+    * this door); the cost is that during a deep backfill — event-time
+    * watermark far behind wall-clock — bypass state expires late, bounded
+    * by the number of distinct corrupt rows (surfaced by `n_bad_ts`). The
+    * load-time anti-join remains the exactness net for both branches. */
   def withStreamingDedup(events: DataFrame, lateness: String = "1 hour"): DataFrame = {
     val timed = events
       .withColumn("event_time", try_to_timestamp(col("timestamp")))
@@ -143,8 +155,15 @@ object EventStreamIngest {
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark("__dedup_key")
       .drop("__dedup_key")
-    deduped.unionByName(timed.filter(col("event_time").isNull))
-      .drop("event_time")
+    val bypass = timed
+      .filter(col("event_time").isNull)
+      .withColumn("__proc_time", current_timestamp()) // = the batch timestamp
+      .withColumn("__dedup_key",
+        coalesce(col("event_id"), expr("uuid()")))    // null ids: no identity
+      .withWatermark("__proc_time", lateness)
+      .dropDuplicatesWithinWatermark("__dedup_key")
+      .drop("__dedup_key", "__proc_time")
+    deduped.unionByName(bypass).drop("event_time")
   }
 
   /**

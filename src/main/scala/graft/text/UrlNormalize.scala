@@ -16,14 +16,24 @@ import org.apache.spark.sql.functions._
  *   2. scheme and host fold to lower case (case-insensitive per RFC 3986);
  *      the path/query case is PRESERVED (case-sensitive); userinfo
  *      (`user:pass@`) is stripped from the authority;
- *   3. a leading `www.` is dropped from the host;
+ *   3. a leading `www.` is dropped from the host, and a trailing `.` (the
+ *      FQDN root dot — `example.com.` resolves identically to
+ *      `example.com`) is stripped;
  *   4. default ports are dropped (`:80` for http, `:443` for https);
  *      non-default ports stay;
  *   5. trailing `/` runs are stripped from the path;
- *   6. query parameters: tracking params ([[trackingParams]]) are removed
+ *   6. percent-encoded triplets in the path and query fold their hex
+ *      digits to UPPER case (`%2f` → `%2F`, RFC 3986 §6.2.2.1 — the two
+ *      spellings address the same octet); a `%` not followed by two hex
+ *      digits is left verbatim (it is not an escape). `+` is NOT folded
+ *      to `%20`: that equivalence is form-encoding-specific and only
+ *      holds in queries, so folding it would merge distinct paths — a
+ *      deliberate recall trade, like preserving path/query case;
+ *   7. query parameters: tracking params ([[trackingParams]]) are removed
  *      by name, the rest are SORTED (param order is not semantic for the
- *      overwhelming majority of pages — the standard crawl-dedup trade),
- *      empty fragments dropped, and the `?` disappears with the last param.
+ *      overwhelming majority of pages — the standard crawl-dedup trade;
+ *      sorting happens AFTER the percent-case fold), empty fragments
+ *      dropped, and the `?` disappears with the last param.
  * A string that does not start with `scheme://` is not a URL; it passes
  * through trimmed and otherwise untouched (fail-soft: garbage provenance
  * is data, not an exception).
@@ -57,6 +67,21 @@ object UrlNormalize {
     * whole. Userinfo (`user:pass@`) is stripped from the authority — the
     * crawl-canonicalization convention — rather than being misparsed as the
     * host. */
+  /** Fold the hex digits of every valid percent-triplet to upper case,
+    * leaving a bare `%` (not followed by two hex digits) verbatim. Neither
+    * Java regex nor RE2 supports case-conversion in a replacement, so the
+    * fold is split-on-`%` + per-piece `upper(substr(…,1,2))` + rejoin —
+    * still a codegen'd array expression, no UDF, and the identical algebra
+    * replays in the oracle (`list_transform` with a 1-based index there,
+    * 0-based here). */
+  private def pctUpper(s: Column): Column =
+    array_join(
+      transform(split(s, "%", -1), (p, i) =>
+        when(i === 0 || !p.rlike("^[0-9a-fA-F]{2}"), p)
+          .otherwise(concat(upper(p.substr(lit(1), lit(2))),
+            p.substr(lit(3), length(p))))),
+      "%")
+
   def canonicalizeUrl(url: Column): Column = {
     val u = regexp_replace(url, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+\\z", "")
     val noFrag = regexp_replace(u, "#[\\s\\S]*", "")
@@ -65,8 +90,10 @@ object UrlNormalize {
     val authority = regexp_extract(rest, "^([^/?]*)", 1)
     val pathq = rest.substr(length(authority) + lit(1), length(rest))
     val hostport = regexp_replace(authority, "^[\\s\\S]*@", "")
-    val host = regexp_replace(
-      lower(regexp_extract(hostport, "^([^:]*)", 1)), "^www\\.", "")
+    // fold case, strip the FQDN root dot, then the leading www.
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(hostport, "^([^:]*)", 1)), "\\.\\z", ""),
+      "^www\\.", "")
     // Authority sanity gate (r12 review): a NON-numeric "port"
     // (`host:8x80`) used to vanish silently — the port regex matched
     // nothing while the host regex truncated at the colon, merging the URL
@@ -79,10 +106,13 @@ object UrlNormalize {
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
-    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+\\z", "")
+    // percent-case fold BEFORE path/query extraction ('%3F' never splits as
+    // a literal '?', so folding first is safe) and before the param sort
+    val pathqN = pctUpper(pathq)
+    val path = regexp_replace(regexp_extract(pathqN, "^([^?]*)", 1), "/+\\z", "")
     val tracking = array(trackingParams.map(lit): _*)
     val params = array_sort(filter(split(
-        regexp_extract(pathq, "\\?([\\s\\S]*)", 1), "&"),
+        regexp_extract(pathqN, "\\?([\\s\\S]*)", 1), "&"),
       p => p =!= "" &&
         !array_contains(tracking, lower(regexp_extract(p, "^([^=]*)", 1)))))
     val query = array_join(params, "&")

@@ -84,6 +84,28 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(SnapshotStore.prune(spark, root, keep = 2).isEmpty)
   }
 
+  test("a marked-but-never-pointed crash is unmarked by the next publish") {
+    // r13 review: a crash BETWEEN the _PUBLISHED marker write and the
+    // pointer swap leaves a marked dir that counts toward keep, transiently
+    // displacing the newest reader-visible previous snapshot. The next
+    // successful swap (pointer O→N) proves every marked version in (O, N)
+    // was never reader-visible and unmarks it.
+    val root = Files.createTempDirectory("graft-snap8").toString + "/t"
+    (0 to 1).foreach(i => SnapshotStore.publish(Seq(i).toDF("x"), root)) // pointer → 1
+    // crash in the marker→swap window: data AND marker written, no swap
+    Seq(99).toDF("x").write.parquet(s"$root/snapshot-2")
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(s"$root/snapshot-2/_PUBLISHED"), true).close()
+    SnapshotStore.publish(Seq(3).toDF("x"), root) // pointer 1→3 unmarks 2
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/snapshot-2/_PUBLISHED")))
+    // keep=2 retains the reader-visible {1, 3}; the crashed 2 is reclaimed
+    val removed = SnapshotStore.prune(spark, root, keep = 2)
+    assert(removed.toSet === Set("snapshot-0", "snapshot-2"))
+    assert(spark.read.parquet(s"$root/snapshot-1").count() === 1)
+    assert(SnapshotStore.readLatest(spark, root).head().getInt(0) === 3)
+  }
+
   test("prune leaves versions newer than the pointer alone (in-flight publish)") {
     val root = Files.createTempDirectory("graft-snap5").toString + "/t"
     SnapshotStore.publish(Seq(1).toDF("x"), root)

@@ -405,4 +405,52 @@ class DedupSpec extends SparkSuite {
     Dedup.unpersistSketches()
     assert(outer.storageLevel == StorageLevel.NONE)
   }
+
+  test("a thread spawned inside withScopedSketches follows the scope") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // r13 review: the plain-ThreadLocal scope silently dropped off-thread
+    // registrations to the session-global queue, reintroducing the
+    // cross-query unpersist hazard for any future/parallel-collection work
+    // forked inside a micro-batch body
+    var child: org.apache.spark.sql.DataFrame = null
+    Dedup.withScopedSketches {
+      val t = new Thread(() => {
+        child = Dedup.persistTracked(Seq(5, 6).toDF("z"))
+        child.count()
+      })
+      t.start(); t.join()
+      assert(child.storageLevel != StorageLevel.NONE)
+    }
+    // the child-thread frame was drained by ITS scope, not leaked to the
+    // global queue (which must stay empty: unpersistSketches has nothing)
+    assert(child.storageLevel == StorageLevel.NONE)
+  }
+
+  test("a straggler registration after scope exit diverts to the global queue") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // a thread that INHERITED the scope but registers only after the scope
+    // drained: the frame must not leak into the dead scope's queue — it
+    // diverts to the global queue and unpersistSketches releases it
+    val scopeExited = new java.util.concurrent.CountDownLatch(1)
+    @volatile var late: org.apache.spark.sql.DataFrame = null
+    var straggler: Thread = null
+    Dedup.withScopedSketches {
+      straggler = new Thread(() => {       // inherits the (still open) scope
+        scopeExited.await()
+        late = Dedup.persistTracked(Seq(9).toDF("w"))
+        late.count()
+      })
+      straggler.start()
+    }
+    scopeExited.countDown()
+    straggler.join(60000)
+    assert(late != null && late.storageLevel != StorageLevel.NONE,
+      "straggler frame must stay tracked (not drained by the dead scope)")
+    Dedup.unpersistSketches()
+    assert(late.storageLevel == StorageLevel.NONE)
+  }
 }

@@ -124,8 +124,11 @@ class EventStreamIngestSpec extends SparkSuite {
     // watermark to now − 1h after batch 1, and EVERY batch-2 event (months
     // old) was silently dropped as late.
     val bad = ev(999).copy(timestamp = Some("not-a-timestamp"))
+    // the corrupt row repeats across batches (r13): the bypass branch has
+    // its own processing-time dedup, so the duplicate must be dropped, not
+    // delivered once per batch it appears in
     writeBatchFile(bad +: (1 to 5).map(ev), s"$srcDir/a_first.parquet")
-    writeBatchFile((6 to 10).map(ev) :+ ev(3), s"$srcDir/b_second.parquet")
+    writeBatchFile(bad +: ((6 to 10).map(ev) :+ ev(3)), s"$srcDir/b_second.parquet")
     // deterministic batch order: file-source batches follow mod time
     new java.io.File(s"$srcDir/a_first.parquet").setLastModified(1000000L)
     new java.io.File(s"$srcDir/b_second.parquet").setLastModified(2000000L)
@@ -136,7 +139,8 @@ class EventStreamIngestSpec extends SparkSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     val out = spark.table("wm_poison")
-    // 10 unique historical events + the corrupt row (delivered, undeduped);
+    // 10 unique historical events + the corrupt row ONCE (its cross-batch
+    // duplicate is dropped by the bypass branch's processing-time state);
     // the cross-batch duplicate of e3 is dropped by the watermarked state
     assert(out.count() == 11, out.collect().mkString("\n"))
     assert(out.filter(col("timestamp") === "not-a-timestamp").count() == 1)

@@ -65,6 +65,28 @@ class UrlNormalizeSpec extends SparkSuite {
       == Seq("https://g.com/o/r/f?ref=main"))
   }
 
+  test("percent-encoding case folds to upper; invalid escapes stay verbatim (r13)") {
+    // RFC 3986 §6.2.2.1: %2f and %2F address the same octet — the same
+    // page fetched under either spelling must merge
+    assert(canon("https://a.com/p%2fq?x=%3d", "https://a.com/p%2Fq?x=%3D").toSet
+      === Set("https://a.com/p%2Fq?x=%3D"))
+    // a % not followed by two hex digits is not an escape — verbatim,
+    // including a bare trailing %
+    assert(canon("https://a.com/e%zq%") == Seq("https://a.com/e%zq%"))
+    // '+' is NOT folded to %20: form-encoding-specific, wrong in paths —
+    // the documented recall trade
+    assert(canon("https://a.com/p?q=a+b", "https://a.com/p?q=a%20b")
+      .toSet.size == 2)
+  }
+
+  test("a host FQDN root dot is stripped (r13)") {
+    // 'example.com.' resolves identically to 'example.com'
+    assert(canon("https://example.com./x", "https://EXAMPLE.COM/x").toSet
+      === Set("https://example.com/x"))
+    assert(canon("https://www.example.com.:8080/x")
+      == Seq("https://example.com:8080/x"))
+  }
+
   test("trailing newline: engines agree via \\z anchors and explicit trim class") {
     // Java's $ matches before a final line terminator, RE2's does not —
     // the \z anchors + [ \t\r\n] trim keep Spark and the DuckDB oracle
