@@ -1241,6 +1241,38 @@ object LlmOpQueries {
       .withColumnRenamed("doc_id", "keeper_id")
       .orderBy("canonical_url")
 
+  /** Two deterministic corpus "versions" derived from `documents` — the
+    * snapshot-diff fixture: %10==3 docs exist only in NEW (added), %10==7
+    * only in OLD (removed), %10==1 docs carry a " [v2]" text edit in NEW
+    * (changed by content), and %97==5 docs appear TWICE in OLD but once in
+    * NEW (changed by MULTIPLICITY — two identical rows xor to 0, so this
+    * leg proves the count term catches what the fingerprint alone cannot).
+    * The oracle replays the construction literally. */
+  private def corpusVersions(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = docs(s, dir).select("doc_id", "text")
+    val d = col("doc_id")
+    val oldV = base.filter(pmod(d, lit(10)) =!= 3)
+      .unionByName(base.filter(pmod(d, lit(97)) === 5 && pmod(d, lit(10)) =!= 3))
+    val newV = base.filter(pmod(d, lit(10)) =!= 7)
+      .select(d, when(pmod(d, lit(10)) === 1, concat(col("text"), lit(" [v2]")))
+        .otherwise(col("text")).as("text"))
+    (oldV, newV)
+  }
+
+  /** Corpus version diff (oracle-checked row-for-row): added / removed /
+    * changed keys between two versions of the documents table, DuckDB
+    * replaying the count + bit_xor(md5-60) fingerprint algebra end-to-end
+    * ([[graft.layout.CorpusDiff]]). Scale shape: per-key collapse BEFORE
+    * the full-outer join — the shuffle carries ~24 bytes per key, never
+    * document bodies; over key-bucketed snapshots the plan is
+    * zero-Exchange (CorpusDiffSpec pins it). */
+  def oCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val (oldV, newV) = corpusVersions(s, dir)
+    graft.layout.CorpusDiff.diff(oldV, newV, "doc_id", Seq("text"),
+      portableHashing = true)
+      .orderBy("doc_id")
+  }
+
   /** JSONL interchange losslessness (oracle-checked row-for-row): the
     * serialize→parse identity over the full documents schema. The oracle is
     * simply the projected base table — a hash-match PROVES the JSONL

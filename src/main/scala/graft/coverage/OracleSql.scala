@@ -2131,6 +2131,41 @@ object OracleSql {
          |       min(doc_id) AS keeper_id
          |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
+    // Replays oCorpusDiff end-to-end: the identical two-version fixture
+    // construction (add/remove/edit/duplicate legs), then CorpusDiff's
+    // count + bit_xor(md5-60) per-key collapse and full-outer classify.
+    "o_corpus_diff" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |old_v AS (
+         |  SELECT doc_id, text FROM base WHERE doc_id % 10 <> 3
+         |  UNION ALL
+         |  SELECT doc_id, text FROM base
+         |  WHERE doc_id % 97 = 5 AND doc_id % 10 <> 3
+         |),
+         |new_v AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 1 THEN text || ' [v2]' ELSE text END AS text
+         |  FROM base WHERE doc_id % 10 <> 7
+         |),
+         |o AS (SELECT doc_id, count(*) AS n,
+         |        bit_xor(${hex60Sql("md5(text)")}) AS x,
+         |        sum(${hex60Sql("md5(text)")}) AS sm
+         |      FROM old_v GROUP BY doc_id),
+         |n AS (SELECT doc_id, count(*) AS n,
+         |        bit_xor(${hex60Sql("md5(text)")}) AS x,
+         |        sum(${hex60Sql("md5(text)")}) AS sm
+         |      FROM new_v GROUP BY doc_id)
+         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |       CASE WHEN o.doc_id IS NULL THEN 'added'
+         |            WHEN n.doc_id IS NULL THEN 'removed'
+         |            ELSE 'changed' END AS change,
+         |       coalesce(o.n, 0) AS n_old,
+         |       coalesce(n.n, 0) AS n_new
+         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+         |   OR o.n <> n.n OR o.x <> n.x OR o.sm <> n.sm
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_exact_clusters" ->
       """SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM (SELECT doc_id, text FROM documents
