@@ -1436,6 +1436,29 @@ object LlmOpQueries {
       .dedupLines(linePages(s, dir), "page_id", "text", hashedKeys = true)
       .orderBy("page_id")
 
+  /** WITHIN-document line dedup (oracle-checked row-for-row): every doc is
+    * suffixed with PLANTED repetition — a boilerplate footer three times
+    * (two copies must drop), a short `***` divider twice (bypassed by
+    * minChars, both kept), and a blank line — so the excision path is
+    * exercised by construction, not corpus luck; natural repeats inside
+    * `text` dedup identically in both engines. Pure per-row array algebra:
+    * no shuffle, no explode — DuckDB replays the identical
+    * split → list_filter(first-index == i) → rejoin formulation
+    * ([[graft.operators.LineDedup.dedupLinesWithinDoc]]). */
+  /** The planted boilerplate line for [[dedupLinesWithin]] — a constant the
+    * oracle interpolates (sq()) so engine and oracle cannot drift. */
+  private[coverage] val LineDedupFooter =
+    "Follow us on social media for more updates"
+
+  def dedupLinesWithin(s: SparkSession, dir: String): DataFrame = {
+    val f = LineDedupFooter
+    val input = docs(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(s"\n$f\n***\n\n$f\n***\n$f")).as("text"))
+    graft.operators.LineDedup
+      .dedupLinesWithinDoc(input, "text", minChars = 5)
+      .orderBy("doc_id")
+  }
+
   /** Multimodal: decode+featurize synthetic blobs UNIONED with genuine
     * BMP/PPM/WAV payloads — the real pure-JVM header parsers run in the same
     * mapPartitions pass as the stub fallback. The input is fully

@@ -2131,6 +2131,27 @@ object OracleSql {
          |       min(doc_id) AS keeper_id
          |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
+    // Replays dedupLinesWithin: the identical planted-footer fixture, then
+    // LineDedup.dedupLinesWithinDoc's split → filter(first-index == i) →
+    // rejoin array algebra (DuckDB list lambdas are 1-based where Spark's
+    // are 0-based, hence `= i` here vs `=== i + 1` there).
+    "dedup_lines_within" -> {
+      val f = sq(graft.coverage.LlmOpQueries.LineDedupFooter)
+      val footerSuffix =
+        s"chr(10) || $f || chr(10) || '***' || chr(10) || chr(10) || " +
+          s"$f || chr(10) || '***' || chr(10) || $f"
+      s"""WITH input AS (
+         |  SELECT doc_id, text || $footerSuffix AS text FROM documents),
+         |f AS (SELECT doc_id, string_split(text, chr(10)) AS ls,
+         |        list_filter(string_split(text, chr(10)),
+         |          (x, i) -> length(trim(x)) < 5
+         |            OR list_position(string_split(text, chr(10)), x) = i) AS ks
+         |      FROM input)
+         |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+         |       len(ls) AS n_lines, len(ks) AS n_lines_kept
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
     // Replays oCorpusDiff end-to-end: the identical two-version fixture
     // construction (add/remove/edit/duplicate legs), then CorpusDiff's
     // count + bit_xor(md5-60) per-key collapse and full-outer classify.

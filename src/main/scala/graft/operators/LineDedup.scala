@@ -87,4 +87,54 @@ object LineDedup {
       .select(col("__doc").as(idCol), col("__text").as(textCol),
         col("n_lines"), col("n_lines_kept"))
   }
+
+  /**
+   * WITHIN-document line dedup — the Gopher/MassiveText intra-document
+   * repetition excision (Rae et al. 2021 §A.1.2 flag `dup_line_frac`; this
+   * is the REWRITE the flag motivates): inside each document, keep only the
+   * first occurrence of every distinct line, preserving order. Cross-doc
+   * boilerplate is [[dedupLines]]' job; this one kills the within-page
+   * repetition (infinite-scroll stutter, templated list spam) that
+   * document-level and corpus-level passes both leave behind.
+   *
+   * Lines shorter than `minChars` after trimming bypass the dedup and are
+   * always kept (blank lines are structure; "minChars = 5" also spares
+   * list bullets and headings that legitimately repeat).
+   *
+   * Scale shape: a pure PROJECTION — split → `filter((x, i) =>
+   * first-index(x) == i)` → rejoin, all per-row array algebra: NO shuffle,
+   * no explode, no state, and the identical formulation replays in any
+   * engine with list lambdas (the DuckDB oracle does, 1-based indexes
+   * there). The first-occurrence test is `array_position`, making the
+   * filter O(lines²) per document — right for web pages (tens to hundreds
+   * of lines, evaluated at scan speed with zero movement); for
+   * pathological million-line documents prefer the explode + min(struct)
+   * aggregate shape of [[dedupLines]] scoped per doc, which trades two
+   * exchanges for linear work. Higher-order array functions evaluate
+   * outside whole-stage codegen, but there is no UDF and no serialization
+   * boundary — the expression tree stays in Tungsten rows.
+   */
+  def dedupLinesWithinDoc(docs: DataFrame, textCol: String,
+                          minChars: Int = 1): DataFrame = {
+    require(Seq("n_lines", "n_lines_kept", "__ldw_text")
+        .forall(!docs.columns.contains(_)),
+      "dedupLinesWithinDoc: input already carries n_lines / n_lines_kept / __ldw_text")
+    val arr = split(col(textCol), "\n")
+    val keptArr = filter(arr, (x, i) =>
+      length(trim(x)) < lit(minChars) || array_position(arr, x) === i + lit(1))
+    // One select resolving everything against the INPUT text, with the
+    // rewrite under a TEMP name. Aliasing it straight to textCol would put
+    // an alias named `textCol` in the same projection that still references
+    // `textCol` — and lateral-column-alias resolution then binds the later
+    // size()/filter() references inconsistently (the outer filter input to
+    // the rewritten alias, the lambda's array_position to the input column:
+    // observed as n_lines_kept counting a mixed-semantics array). The
+    // rename afterwards is metadata-only and keeps the column position.
+    docs.select(docs.columns.map {
+      case c if c == textCol => array_join(keptArr, "\n").as("__ldw_text")
+      case c => col(c)
+    } :+ size(arr).cast("bigint").as("n_lines")
+      :+ size(keptArr).cast("bigint").as("n_lines_kept"): _*)
+      .withColumnRenamed("__ldw_text", textCol)
+  }
 }

@@ -83,4 +83,42 @@ class LineDedupSpec extends SparkSuite {
     val exact = LineDedup.dedupLines(corpus, "id", "text", hashedKeys = false)
     assert(hashed.exceptAll(exact).isEmpty && exact.exceptAll(hashed).isEmpty)
   }
+
+  test("within-doc dedup: first copy wins per DOC, cross-doc repeats untouched") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha line\nbeta line\nalpha line\ngamma line\nbeta line"),
+      (2L, "alpha line\nalpha line")) // same line as doc 1 — must stay here
+      .toDF("id", "text")
+    val out = LineDedup.dedupLinesWithinDoc(docs, "text")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "alpha line\nbeta line\ngamma line", 5L, 3L),
+      (2L, "alpha line", 2L, 1L))) // within ITS doc only — not vs doc 1
+  }
+
+  test("within-doc dedup: minChars bypass keeps short/blank repeats; columns carried") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((7L, "a longer heading\n***\n\n***\na longer heading", "en"))
+      .toDF("id", "text", "lang")
+    val out = LineDedup.dedupLinesWithinDoc(docs, "text", minChars = 5).head()
+    assert(out.getString(1) === "a longer heading\n***\n\n***")
+    assert(out.getString(2) === "en")          // non-text columns pass through
+    assert(out.getLong(3) === 5L && out.getLong(4) === 4L)
+    // reserved-name guard
+    val bad = Seq((1L, "x", 2L)).toDF("id", "text", "n_lines")
+    intercept[IllegalArgumentException](LineDedup.dedupLinesWithinDoc(bad, "text"))
+  }
+
+  test("within-doc dedup is a pure projection: no shuffle in the plan") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 100L).map(i => (i, s"l$i\nl$i")).toDF("id", "text")
+    val plan = LineDedup.dedupLinesWithinDoc(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
