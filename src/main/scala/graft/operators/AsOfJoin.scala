@@ -64,6 +64,21 @@ object AsOfJoin {
       else right.columns.toSeq.filterNot(c => c == rightKey || c == rightTime)
     val leftCols = left.columns.toSeq
 
+    // Loud name guards (r13 review): the tag columns would otherwise
+    // produce duplicate names inside the tagged selects (ambiguity errors
+    // deep in the window plan, far from the cause), and a carry column
+    // sharing a left column's name would emit DUPLICATE output columns
+    // that throw only when something downstream references them.
+    val tags = Seq("__k", "__t", "__side", "__r")
+    val tagClash = (leftCols ++ carry).filter(tags.contains)
+    require(tagClash.isEmpty,
+      s"asofBackward: column(s) ${tagClash.distinct.mkString(", ")} collide " +
+        s"with the operator's tag columns (${tags.mkString(", ")}) — rename them")
+    val outClash = carry.filter(leftCols.contains)
+    require(outClash.isEmpty,
+      s"asofBackward: right column(s) ${outClash.mkString(", ")} would " +
+        "duplicate left output columns — rename them or narrow rightCols")
+
     // One unioned stream of (key, time, side, left payload…, right struct).
     // At equal time, side orders right rows BEFORE left rows (side 0) so
     // `<=` matching falls out of the sort; strict mode orders them AFTER

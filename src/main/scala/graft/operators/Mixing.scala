@@ -59,6 +59,16 @@ object Mixing {
     sources.map(_._1).foreach(n => require(!n.contains(":"),
       s"source name '$n' must not contain ':' — it is a field in the " +
         "':'-joined sampling salt and shuffle key"))
+    // loud reserved-name guard (r13 review, the Shuffling/dedupByUrl rule):
+    // withColumn would silently REPLACE an input column of the same name —
+    // caller data lost AND the epoch filter would read the wrong values
+    val reserved = Seq("mix_source", "mix_epoch", "__mix_bucket", "__mix_key")
+    sources.foreach { case (name, df, _) =>
+      val clash = df.columns.filter(reserved.contains)
+      require(clash.isEmpty,
+        s"source $name: column(s) ${clash.mkString(", ")} collide with " +
+          s"Mixing's output/scratch schema (${reserved.mkString(", ")}) — rename them")
+    }
     sources.flatMap { case (name, df, w) =>
       require(w > 0.0, s"source $name: weight must be positive, got $w")
       val fullEpochs = math.floor(w).toInt

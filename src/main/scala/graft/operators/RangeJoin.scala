@@ -26,6 +26,12 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // loud scratch-name guard (r13 review): withColumn would silently
+    // replace an input __bin and the equi-join would run on garbage
+    Seq("points" -> points, "intervals" -> intervals).foreach { case (n, df) =>
+      require(!df.columns.contains("__bin"),
+        s"$n side already carries __bin — reserved by RangeJoin; rename it")
+    }
     val p = points.withColumn("__bin",
       floor(col(ptCol) / binWidth).cast("long"))
     val i = intervals.withColumn("__bin",

@@ -34,11 +34,18 @@ object VectorQuantization {
    * Adds `scale` (double) and `qvec` (array of int8 codes in [-127, 127],
    * stored as tinyint — 1 byte/dim on the parquet side).
    */
-  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame =
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    // loud output-name guard (r13 review): withColumn would silently
+    // replace an input `scale`, and qvec would quantize by the WRONG scale
+    val clash = df.columns.filter(Seq("scale", "qvec").contains)
+    require(clash.isEmpty,
+      s"quantizeInt8: column(s) ${clash.mkString(", ")} collide with the " +
+        "output schema (scale, qvec) — rename them")
     df.withColumn("scale", scaleOf(col(vecCol)))
       .withColumn("qvec", transform(col(vecCol), x =>
         greatest(lit(-127L), least(lit(127L),
           floor(x.cast("double") / col("scale") + 0.5))).cast("byte")))
+  }
 
   /** Reconstructed doubles `q · scale` (the re-rank-side dequantization). */
   def dequantize(qvec: Column, scale: Column): Column =
@@ -47,6 +54,8 @@ object VectorQuantization {
   /** Per-element |dequant − original| maximum — the reconstruction-error
     * audit column; ≤ scale/2 by construction for unclamped codes. */
   def maxAbsError(df: DataFrame, vecCol: String): DataFrame = {
+    require(!df.columns.contains("max_abs_err"),
+      "maxAbsError: input already carries max_abs_err — rename it")
     val q = quantizeInt8(df, vecCol)
     q.withColumn("max_abs_err",
       array_max(zip_with(col("qvec"), col(vecCol), (qc, x) =>

@@ -84,4 +84,19 @@ class AsOfJoinSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("name guards: tag collisions and duplicate output columns are rejected loudly") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, "2024-01-01 00:00:00", 1)).toDF("k", "t", "__side")
+    val r = Seq((1L, "2024-01-01 00:00:00", 9)).toDF("k", "t", "v")
+    val e1 = intercept[IllegalArgumentException](
+      AsOfJoin.asofBackward(l, "k", "t", r, "k", "t"))
+    assert(e1.getMessage.contains("__side"), e1.getMessage)
+    // a carry column named like a left column would emit duplicate outputs
+    val l2 = Seq((1L, "2024-01-01 00:00:00", "left")).toDF("k", "t", "v")
+    val e2 = intercept[IllegalArgumentException](
+      AsOfJoin.asofBackward(l2, "k", "t", r, "k", "t"))
+    assert(e2.getMessage.contains("v"), e2.getMessage)
+  }
 }

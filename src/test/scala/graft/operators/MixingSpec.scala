@@ -87,4 +87,13 @@ class MixingSpec extends SparkSuite {
       Mixing.mixCorpora(Seq(("s:1", src(3, "a"), 1.0)), "id"))
     assert(e.getMessage.contains("':'"), e.getMessage)
   }
+
+  test("reserved-name guard: a source carrying mix_epoch is rejected loudly") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1L, 0)).toDF("id", "mix_epoch")
+    val e = intercept[IllegalArgumentException](
+      Mixing.mixCorpora(Seq(("a", bad, 1.0)), "id"))
+    assert(e.getMessage.contains("mix_epoch"), e.getMessage)
+  }
 }

@@ -66,4 +66,14 @@ class RangeJoinSpec extends SparkSuite {
     // only the control interval matches, and only the non-null in-range point
     assert(got === Set((1L, "ok")))
   }
+
+  test("scratch-name guard: an input __bin is rejected loudly") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((1.0, 7L)).toDF("t", "__bin")
+    val ivs = Seq((0.0, 2.0)).toDF("lo", "hi")
+    val e = intercept[IllegalArgumentException](
+      RangeJoin.pointInInterval(pts, "t", ivs, "lo", "hi", 1.0))
+    assert(e.getMessage.contains("__bin"), e.getMessage)
+  }
 }

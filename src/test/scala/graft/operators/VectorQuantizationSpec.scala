@@ -66,4 +66,17 @@ class VectorQuantizationSpec extends SparkSuite {
     val b = VectorQuantization.quantizeInt8(base, "embedding").select("vec_id", "qvec")
     assert(a.exceptAll(b).isEmpty)
   }
+
+  test("output-name guard: an input scale/qvec/max_abs_err is rejected loudly") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1L, Seq(0.5f), 2.0)).toDF("vec_id", "embedding", "scale")
+    val e = intercept[IllegalArgumentException](
+      VectorQuantization.quantizeInt8(bad, "embedding"))
+    assert(e.getMessage.contains("scale"), e.getMessage)
+    val bad2 = Seq((1L, Seq(0.5f), 0.1)).toDF("vec_id", "embedding", "max_abs_err")
+    val e2 = intercept[IllegalArgumentException](
+      VectorQuantization.maxAbsError(bad2, "embedding"))
+    assert(e2.getMessage.contains("max_abs_err"), e2.getMessage)
+  }
 }
