@@ -1248,8 +1248,10 @@ object LlmOpQueries {
     * NEW (changed by MULTIPLICITY — two identical rows xor to 0, so this
     * leg proves the count term catches what the fingerprint alone cannot).
     * The oracle replays the construction literally. */
-  private def corpusVersions(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val base = docs(s, dir).select("doc_id", "text")
+  private def corpusVersions(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    corpusVersionsOf(docs(s, dir).select("doc_id", "text"))
+
+  private def corpusVersionsOf(base: DataFrame): (DataFrame, DataFrame) = {
     val d = col("doc_id")
     val oldV = base.filter(pmod(d, lit(10)) =!= 3)
       .unionByName(base.filter(pmod(d, lit(97)) === 5 && pmod(d, lit(10)) =!= 3))
@@ -1272,6 +1274,32 @@ object LlmOpQueries {
       portableHashing = true)
       .orderBy("doc_id")
   }
+
+  /** [[oCorpusDiff]] at 10× (oracle-backed scale evidence): the identical
+    * version construction over the replicated corpus — the add/remove/edit
+    * legs follow doc_id arithmetic, so each replica contributes its own
+    * deterministic delta and DuckDB replays the whole thing. Wall clock
+    * must scale ~linearly: the per-key collapse keeps the join input at
+    * one row per key regardless of corpus width. */
+  def oCorpusDiff10x(s: SparkSession, dir: String): DataFrame = {
+    val (oldV, newV) =
+      corpusVersionsOf(docs10x(s, dir).select("doc_id", "text"))
+    graft.layout.CorpusDiff.diff(oldV, newV, "doc_id", Seq("text"),
+      portableHashing = true)
+      .orderBy("doc_id")
+  }
+
+  /** Temperature mixture weights (oracle-checked row-for-row, every DOUBLE
+    * bit-exact): per-language α=0.5 sampling weights over `documents` — the
+    * recipe-computation step feeding [[graft.operators.Mixing.mixCorpora]].
+    * Bit-exactness comes from sqrt (IEEE correctly-rounded, unlike pow) and
+    * a group-sorted fold for the normalizer; DuckDB replays the identical
+    * arithmetic via list_reduce over an ORDER BY lang list (left folds with
+    * a 0.0 seed and without one agree exactly: 0.0 + x == x). */
+  def sampTemperatureWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixing
+      .temperatureWeights(docs(s, dir), "lang", alpha = 0.5)
+      .orderBy("lang")
 
   /** JSONL interchange losslessness (oracle-checked row-for-row): the
     * serialize→parse identity over the full documents schema. The oracle is

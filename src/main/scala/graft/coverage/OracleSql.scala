@@ -390,6 +390,42 @@ object OracleSql {
        |FROM ($nearDupCorpusSql) d
        |CROSS JOIN (SELECT unnest(range(10)) AS k) k""".stripMargin
 
+  /** Replays oCorpusDiff / oCorpusDiff10x over any (doc_id, text) base SQL:
+    * the two-version fixture construction (add/remove/edit/duplicate legs
+    * keyed on doc_id arithmetic), then CorpusDiff's count + bit_xor + sum
+    * (md5-60) per-key collapse and full-outer classification. */
+  private def corpusDiffSql(baseSql: String): String =
+    s"""WITH base AS ($baseSql),
+       |old_v AS (
+       |  SELECT doc_id, text FROM base WHERE doc_id % 10 <> 3
+       |  UNION ALL
+       |  SELECT doc_id, text FROM base
+       |  WHERE doc_id % 97 = 5 AND doc_id % 10 <> 3
+       |),
+       |new_v AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = 1 THEN text || ' [v2]' ELSE text END AS text
+       |  FROM base WHERE doc_id % 10 <> 7
+       |),
+       |o AS (SELECT doc_id, count(*) AS n,
+       |        bit_xor(${hex60Sql("md5(text)")}) AS x,
+       |        sum(${hex60Sql("md5(text)")}) AS sm
+       |      FROM old_v GROUP BY doc_id),
+       |n AS (SELECT doc_id, count(*) AS n,
+       |        bit_xor(${hex60Sql("md5(text)")}) AS x,
+       |        sum(${hex60Sql("md5(text)")}) AS sm
+       |      FROM new_v GROUP BY doc_id)
+       |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       |       CASE WHEN o.doc_id IS NULL THEN 'added'
+       |            WHEN n.doc_id IS NULL THEN 'removed'
+       |            ELSE 'changed' END AS change,
+       |       coalesce(o.n, 0) AS n_old,
+       |       coalesce(n.n, 0) AS n_new
+       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+       |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+       |   OR o.n <> n.n OR o.x <> n.x OR o.sm <> n.sm
+       |ORDER BY doc_id""".stripMargin
+
   /** `Dedup.portableHash60` as DuckDB SQL: the value of the first 15 hex
     * chars of an md5-hex expression, via per-digit strpos arithmetic (the
     * same engine-portable idiom as the shard replays; 15 digits < 2^60
@@ -2131,6 +2167,26 @@ object OracleSql {
          |       min(doc_id) AS keeper_id
          |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
+    // Replays Mixing.temperatureWeights(alpha = 0.5) bit-for-bit: sqrt is
+    // IEEE correctly-rounded in both engines, and the normalizer folds in
+    // lang-sorted order (list_reduce's seedless left fold equals Spark's
+    // 0.0-seeded aggregate exactly: 0.0 + x == x).
+    "samp_temperature_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |s0 AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS N FROM c),
+        |s1 AS (SELECT s0.N,
+        |         list_reduce(
+        |           (SELECT list(sqrt(CAST(n_docs AS DOUBLE) / s0.N) ORDER BY lang)
+        |            FROM c),
+        |           (a, b) -> a + b) AS Z
+        |       FROM s0)
+        |SELECT c.lang, c.n_docs,
+        |       CAST(c.n_docs AS DOUBLE) / s1.N AS share,
+        |       sqrt(CAST(c.n_docs AS DOUBLE) / s1.N) / s1.Z AS temp_share,
+        |       (sqrt(CAST(c.n_docs AS DOUBLE) / s1.N) / s1.Z)
+        |         / (CAST(c.n_docs AS DOUBLE) / s1.N) AS up_weight
+        |FROM c CROSS JOIN s1 ORDER BY c.lang""".stripMargin,
+
     // Replays dedupLinesWithin: the identical planted-footer fixture, then
     // LineDedup.dedupLinesWithinDoc's split → filter(first-index == i) →
     // rejoin array algebra (DuckDB list lambdas are 1-based where Spark's
@@ -2155,37 +2211,11 @@ object OracleSql {
     // Replays oCorpusDiff end-to-end: the identical two-version fixture
     // construction (add/remove/edit/duplicate legs), then CorpusDiff's
     // count + bit_xor(md5-60) per-key collapse and full-outer classify.
-    "o_corpus_diff" ->
-      s"""WITH base AS (SELECT doc_id, text FROM documents),
-         |old_v AS (
-         |  SELECT doc_id, text FROM base WHERE doc_id % 10 <> 3
-         |  UNION ALL
-         |  SELECT doc_id, text FROM base
-         |  WHERE doc_id % 97 = 5 AND doc_id % 10 <> 3
-         |),
-         |new_v AS (
-         |  SELECT doc_id,
-         |         CASE WHEN doc_id % 10 = 1 THEN text || ' [v2]' ELSE text END AS text
-         |  FROM base WHERE doc_id % 10 <> 7
-         |),
-         |o AS (SELECT doc_id, count(*) AS n,
-         |        bit_xor(${hex60Sql("md5(text)")}) AS x,
-         |        sum(${hex60Sql("md5(text)")}) AS sm
-         |      FROM old_v GROUP BY doc_id),
-         |n AS (SELECT doc_id, count(*) AS n,
-         |        bit_xor(${hex60Sql("md5(text)")}) AS x,
-         |        sum(${hex60Sql("md5(text)")}) AS sm
-         |      FROM new_v GROUP BY doc_id)
-         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-         |       CASE WHEN o.doc_id IS NULL THEN 'added'
-         |            WHEN n.doc_id IS NULL THEN 'removed'
-         |            ELSE 'changed' END AS change,
-         |       coalesce(o.n, 0) AS n_old,
-         |       coalesce(n.n, 0) AS n_new
-         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
-         |   OR o.n <> n.n OR o.x <> n.x OR o.sm <> n.sm
-         |ORDER BY doc_id""".stripMargin,
+    "o_corpus_diff" -> corpusDiffSql("SELECT doc_id, text FROM documents"),
+
+    // the identical chain over the 10× replicated corpus (ONE parameterized
+    // CTE chain — two verbatim copies could drift, the r12 lesson)
+    "o_corpus_diff_10x" -> corpusDiffSql(docs10xSql),
 
     "dedup_exact_clusters" ->
       """SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keeper_id

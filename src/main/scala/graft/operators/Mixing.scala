@@ -108,6 +108,51 @@ object Mixing {
   }
 
   /**
+   * Temperature-based mixture weights — the step that COMPUTES a recipe's
+   * per-source weights before [[mixCorpora]] applies them (the multilingual
+   * α-sampling rule: sample source g with probability
+   * q_g = p_g^α / Σ_h p_h^α where p_g is its natural share; α < 1 flattens
+   * the distribution, up-weighting small sources without drowning large
+   * ones — the standard knob of multilingual-pretraining recipes).
+   *
+   * Returns one row per group: (groupCol, n_docs, share = p, temp_share =
+   * q, up_weight = q/p — the factor you hand to [[mixCorpora]]).
+   *
+   * Cross-engine float determinism (this feeds a hash-compared oracle):
+   *  - α = 0.5 (the default) computes p^α as `sqrt`, which IEEE 754
+   *    requires to be CORRECTLY ROUNDED — bit-identical in any compliant
+   *    engine, unlike `pow`, which libm implementations round differently
+   *    in the last ulp (other α values use `pow` and carry that caveat);
+   *  - the normalizer Σ p^α is folded in GROUP-SORTED order over a
+   *    collected array (groups are a handful of sources — the collect is
+   *    bounded by the recipe's source count, not the corpus), because a
+   *    parallel aggregate's float addition order is nondeterministic and
+   *    float addition does not associate. Any engine replaying the same
+   *    sorted fold reproduces every output bit (the DuckDB oracle does).
+   */
+  def temperatureWeights(df: DataFrame, groupCol: String,
+                         alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    def pa(p: org.apache.spark.sql.Column) =
+      if (alpha == 0.5) sqrt(p) else pow(p, alpha)
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val scalars = counts
+      .agg(collect_list(struct(col(groupCol), col("n_docs"))).as("__gs"),
+        sum("n_docs").as("__N"))
+      .select(col("__N"),
+        aggregate(array_sort(col("__gs")), lit(0.0), (acc, x) =>
+          acc + pa(x.getField("n_docs").cast("double") /
+            col("__N").cast("double"))).as("__Z"))
+    counts.crossJoin(broadcast(scalars)) // 1-row scalar carrier
+      .withColumn("share",
+        col("n_docs").cast("double") / col("__N").cast("double"))
+      .withColumn("temp_share", pa(col("share")) / col("__Z"))
+      .withColumn("up_weight", col("temp_share") / col("share"))
+      .drop("__N", "__Z")
+  }
+
+  /**
    * The full recipe: mix, then assign the reproducible shard-major training
    * order over the composite key — one wide exchange total. Returns the
    * mixed columns plus (`shard`, `pos`).

@@ -96,4 +96,27 @@ class MixingSpec extends SparkSuite {
       Mixing.mixCorpora(Seq(("a", bad, 1.0)), "id"))
     assert(e.getMessage.contains("mix_epoch"), e.getMessage)
   }
+
+  test("temperatureWeights: alpha=0.5 flattens shares; alpha=1 is identity") {
+    val s = spark
+    import s.implicits._
+    // 90/10 split: sqrt-flattening must up-weight the small source
+    val df = ((1 to 90).map(i => (i, "big")) ++ (1 to 10).map(i => (i, "small")))
+      .toDF("id", "src")
+    val w = Mixing.temperatureWeights(df, "src", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (nb, pb, qb, ub) = w("big"); val (ns, ps, qs, us) = w("small")
+    assert(nb == 90L && ns == 10L)
+    assert(math.abs(pb - 0.9) < 1e-12 && math.abs(ps - 0.1) < 1e-12)
+    assert(math.abs(qb + qs - 1.0) < 1e-12)   // temp shares normalize
+    assert(qs > ps && qb < pb)                // flattening direction
+    assert(us > 1.0 && ub < 1.0)
+    // exact values: q_small = sqrt(.1)/(sqrt(.9)+sqrt(.1))
+    val z = math.sqrt(0.9) + math.sqrt(0.1)
+    assert(math.abs(qs - math.sqrt(0.1) / z) < 1e-15)
+    // alpha = 1: the mix is untouched (up_weight 1 for every source)
+    Mixing.temperatureWeights(df, "src", alpha = 1.0)
+      .collect().foreach(r => assert(math.abs(r.getDouble(4) - 1.0) < 1e-12))
+  }
 }
