@@ -46,7 +46,13 @@ object SnapshotStore {
     * publish lands it harmlessly counts toward keep (retention errs toward
     * keeping); the much larger write-window crash (no marker) is
     * classified as an orphan immediately. Single-writer publish is assumed
-    * throughout (as `nextVersion`'s read-modify-write already requires). */
+    * throughout (as `nextVersion`'s read-modify-write already requires).
+    * The reclassification leans on pointer MONOTONICITY, which this API
+    * guarantees — if an operator manually rolls the pointer back (out-of-API
+    * disaster recovery), versions above it are genuinely published, not
+    * crash orphans: re-publish the rolled-back-to data as a NEW version
+    * instead of leaving a rewound pointer in place, or the next publish
+    * will unmark (and prune will reclaim) the newer history. */
   private val Published = "_PUBLISHED"
 
   /** Store-level flag: this root's snapshots carry [[Published]] markers.

@@ -144,7 +144,12 @@ object EventStreamIngest {
     * this door); the cost is that during a deep backfill — event-time
     * watermark far behind wall-clock — bypass state expires late, bounded
     * by the number of distinct corrupt rows (surfaced by `n_bad_ts`). The
-    * load-time anti-join remains the exactness net for both branches. */
+    * load-time anti-join remains the exactness net for both branches.
+    * CHECKPOINT MIGRATION: the bypass dedup is a SECOND stateful operator —
+    * a checkpoint written by the single-operator (pre-r13) plan cannot
+    * resume on this one (Spark rejects the changed stateful-operator
+    * layout LOUDLY on restart); restart ingest from a fresh checkpoint and
+    * let the load-time anti-join absorb the replayed overlap. */
   def withStreamingDedup(events: DataFrame, lateness: String = "1 hour"): DataFrame = {
     val timed = events
       .withColumn("event_time", try_to_timestamp(col("timestamp")))
