@@ -1522,6 +1522,49 @@ object LlmOpQueries {
     Multimodal.decodeImageFacts(media).orderBy("media_id")
   }
 
+  /** The aHash fixture: block-pattern 16×16 gray BMPs whose 64-bit hashes
+    * are derivable BY HAND from the patterns (8×8 grid → 2×2 cells; bit =
+    * cell mean > global mean), plus the declining payloads (JPEG —
+    * codec-defined pixels — and garbage). The oracle is the hand-derived
+    * ground truth as a VALUES table: independent of the implementation,
+    * and any decode/threshold/bit-order regression flips the hash. */
+  private def aHashFixture(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import graft.multimodal.Multimodal._
+    def halfLR(x: Int, y: Int) = if (x < 8) 0 else 255
+    def checker(x: Int, y: Int) = if (((x / 2) + (y / 2)) % 2 == 0) 0 else 255
+    val rows = Seq(
+      Row(900201L, "image", bmpBytesOf(16, 16, halfLR), "builtin://ahash/halfLR"),
+      Row(900202L, "image", bmpBytesOf(16, 16,
+        (x, y) => if (x == 9 && y == 0) 254 else halfLR(x, y)),
+        "builtin://ahash/halfLR-1px"),
+      Row(900203L, "image", bmpBytesOf(16, 16,
+        (_, y) => if (y < 8) 0 else 255), "builtin://ahash/halfTB"),
+      Row(900204L, "image", bmpBytesOf(16, 16, (_, _) => 128),
+        "builtin://ahash/const"),
+      Row(900205L, "image", jpegBytes(16, 16), "builtin://ahash/jpeg-declined"),
+      Row(900206L, "image", Array[Byte](1, 2, 3), "builtin://ahash/garbage"),
+      Row(900207L, "image", bmpBytesOf(16, 16, checker), "builtin://ahash/checker"),
+      Row(900208L, "image", bmpBytesOf(16, 16,
+        (x, y) => if (x < 2 && y < 2) 255 else checker(x, y)),
+        "builtin://ahash/checker-1cell"))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 2), mediaSchema)
+  }
+
+  /** Perceptual image hashes (oracle = hand-derived VALUES ground truth —
+    * see [[aHashFixture]]); NULL rows pin the JPEG/garbage gates. */
+  def mmPhash(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.imageAHashes(aHashFixture(s))
+      .orderBy("media_id")
+
+  /** Image near-dup pairs by aHash Hamming distance (oracle = the pairs the
+    * patterns IMPLY: the one-pixel edit at distance 0, the one-cell flip at
+    * distance 1, everything else ≥ 32 bits apart — full pigeonhole recall
+    * plus the exact verify, certified end to end). */
+  def mmPhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.aHashNearDupPairs(aHashFixture(s), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
   def mmDecodeFeaturize(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAndFeaturize(
         Multimodal.syntheticMedia(s, 999)

@@ -1560,6 +1560,35 @@ object OracleSql {
         |       sum_r, sum_g, sum_b)
         |ORDER BY media_id""".stripMargin,
 
+    // aHash ground truth, derived BY HAND from the block patterns (16×16
+    // gray BMPs, 8×8 grid → 2×2 cells, bit (cy·8+cx) = cell mean > global
+    // mean): halfLR → every byte 0xF0; the 1-px edit doesn't flip its
+    // cell; halfTB → high 4 bytes 0xFF; const → 0; checker → 0xAA/0x55
+    // alternating bytes; the 1-cell flip sets exactly bit 0. JPEG and
+    // garbage decline (NULL). Independent of the implementation — a
+    // decode/threshold/bit-order regression flips the hash.
+    "mm_phash" ->
+      """SELECT media_id, CAST(ahash AS BIGINT) AS ahash
+        |FROM (VALUES (900201, -1085102592571150096),
+        |             (900202, -1085102592571150096),
+        |             (900203, -4294967296),
+        |             (900204, 0),
+        |             (900205, NULL),
+        |             (900206, NULL),
+        |             (900207, 6172840429334713770),
+        |             (900208, 6172840429334713771))
+        |  AS t(media_id, ahash)
+        |ORDER BY media_id""".stripMargin,
+
+    // the pairs those hashes IMPLY at maxHamming 3: the 1-px edit at
+    // distance 0, the 1-cell flip at distance 1; every other pair is ≥ 32
+    // bits apart (hand-computable xors of the values above)
+    "mm_phash_pairs" ->
+      """SELECT media_id AS id_a, id_b, hamming
+        |FROM (VALUES (900201, 900202, 0), (900207, 900208, 1))
+        |  AS t(media_id, id_b, hamming)
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Replays FilterCascade.gopherRecipe: every metric (token count,
     // stopword ratio, dup-2-gram fraction, marker-vote language) plus the
     // ordered CASE chain with the operator's default thresholds. Stopword

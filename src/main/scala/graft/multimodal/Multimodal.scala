@@ -309,6 +309,32 @@ object Multimodal {
     bb.array()
   }
 
+  /** A real 24-bit BMP with caller-supplied GRAY pixels: `gray(x, y)` (in
+    * 0..255, y = 0 is the TOP row as decoded — rows are written bottom-up
+    * per the format) becomes (r, g, b) = (v, v, v). The block-pattern
+    * fixture images behind the aHash oracle are built with this, so their
+    * hashes are derivable BY HAND from the pattern — the oracle pins
+    * ground truth, not a re-run of the implementation. */
+  def bmpBytesOf(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val pixelBytes = (rowBytes + pad) * h
+    val bb = java.nio.ByteBuffer.allocate(54 + pixelBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + pixelBytes)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(pixelBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- (h - 1) to 0 by -1) { // bottom-up storage, top-down gray(x, y)
+      for (x <- 0 until w) {
+        val v = (gray(x, y) & 0xFF).toByte
+        bb.put(v).put(v).put(v)
+      }
+      for (_ <- 0 until pad) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
   /** A real binary PPM (P6) with a comment line in the header. */
   def ppmBytes(w: Int, h: Int): Array[Byte] = {
     val header = s"P6\n# graft sample\n$w $h\n255\n"
@@ -415,6 +441,127 @@ object Multimodal {
         }
       }(outEncoder)
       .toDF()
+  }
+
+  /**
+   * 64-bit perceptual average-hash (aHash) of a LOSSLESS raster payload —
+   * the image near-duplicate key of a multimodal training pipeline (the
+   * classic 8×8 mean-threshold hash: robust to re-encoding, resizing, and
+   * small edits, cheap enough to compute at crawl scale; near-dup = small
+   * Hamming distance, served by [[aHashNearDupPairs]]).
+   *
+   * Definition (exact INTEGER arithmetic end to end, so the hash is
+   * bit-deterministic across JVMs and derivable by hand for constructed
+   * patterns — the oracle's ground truth):
+   *   - decode the first frame; pixel luminance = r + g + b (equal weights,
+   *     no division — thresholding is scale-invariant);
+   *   - partition the image into an 8×8 cell grid (pixel (x, y) → cell
+   *     (8x/w, 8y/h), integer floor);
+   *   - bit (cy·8 + cx) is set iff the cell's mean luminance exceeds the
+   *     GLOBAL mean: cellSum·nPixels > totalSum·cellCount, cross-multiplied
+   *     in BigInt (a 2³⁰-pixel panorama would overflow the long product;
+   *     64 comparisons per image make exactness free).
+   *
+   * JPEG returns None — IDCT output is codec-implementation-defined, and a
+   * pixel-derived hash would pin a library, not the image (the same gate as
+   * [[ImageInfo]]'s channel sums). Undecodable/degenerate payloads return
+   * None (fail-soft: bad blobs are data). Images narrower than 8 px in
+   * either dimension leave the uncovered cells' bits 0 (cellCount 0 never
+   * exceeds anything).
+   */
+  def aHash64(content: Array[Byte]): Option[Long] = {
+    if (content == null || content.length < 8 || isJpeg(content)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val cellSum = new Array[Long](64)
+      val cellCnt = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val c = cy * 8 + x * 8 / w
+          val p = px(y * w + x)
+          val g = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+          cellSum(c) += g
+          cellCnt(c) += 1
+          total += g
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (cellCnt(i) > 0 &&
+          BigInt(cellSum(i)) * n > BigInt(total) * cellCnt(i))
+          hash |= 1L << i
+        i += 1
+      }
+      Some(hash)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One narrow mapPartitions pass: (media_id, ahash) — ahash NULL for
+    * payloads [[aHash64]] declines (JPEG, corrupt, non-image). Blobs never
+    * leave the scan; 8 bytes per image is what flows on. */
+  def imageAHashes(media: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ahash",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "content")
+      .mapPartitions { it =>
+        it.map { r =>
+          Row(r.getLong(0),
+            aHash64(r.getAs[Array[Byte]](1)).map(Long.box).orNull)
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /**
+   * Image near-duplicate pairs by aHash Hamming distance — the multimodal
+   * twin of [[graft.operators.Dedup.simhashNearDuplicates]]. Pigeonhole
+   * candidate generation: the 64-bit hash splits into 8 bytes; two hashes
+   * within Hamming distance ≤ 7 MUST agree on at least one byte (≤ 7 flips
+   * touch ≤ 7 of the 8 chunks), so an equi-join on (chunk index, chunk
+   * value) has FULL recall for `maxHamming ≤ 7` and the exact
+   * `bit_count(xor)` verify kills the false candidates. Shuffle carries
+   * (id, byte) pairs — never hashes of all pairs, never payloads; a
+   * degenerate corpus (all-black thumbnails → one hot bucket) behaves like
+   * any hot equi-key and salts the same way.
+   */
+  def aHashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "maxHamming in [0,7] — 8 one-byte chunks pigeonhole up to 7 flips")
+    val hashes = imageAHashes(media).filter(col("ahash").isNotNull)
+    val chunks = hashes.select(col("media_id"), col("ahash"),
+      explode(array((0 until 8).map(i =>
+        struct(lit(i).as("ci"),
+          shiftright(col("ahash"), i * 8).bitwiseAND(0xFF).as("cv"))): _*))
+        .as("c"))
+      .select(col("media_id"), col("ahash"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val a = chunks.select(col("ci"), col("cv"),
+      col("media_id").as("id_a"), col("ahash").as("ha"))
+    val b = chunks.select(col("ci"), col("cv"),
+      col("media_id").as("id_b"), col("ahash").as("hb"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct() // ≤ 8 chunk collisions per pair
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** A real RIFF/WAV: 16-bit mono PCM, `nSamples` frames at `sampleRate`. */

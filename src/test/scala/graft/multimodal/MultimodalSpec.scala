@@ -192,4 +192,67 @@ class MultimodalSpec extends SparkSuite {
     Multimodal.writePartitioned(empty, s"$tmp/out")   // used to NPE on sum()=null
     assert(spark.read.parquet(s"$tmp/out").count() === 0)
   }
+
+  // ── aHash (r13): hand-derived ground truth for constructed patterns ──
+  // 16x16 gray BMPs, 8x8 grid => 2x2 cells; bit (cy*8+cx) set iff the
+  // cell mean exceeds the global mean. The expected longs below are
+  // derived FROM THE PATTERNS, not from running the implementation.
+
+  private def halfLR(x: Int, y: Int): Int = if (x < 8) 0 else 255
+  private def halfTB(x: Int, y: Int): Int = if (y < 8) 0 else 255
+  private def checker(x: Int, y: Int): Int =
+    if (((x / 2) + (y / 2)) % 2 == 0) 0 else 255
+
+  test("aHash64: block patterns hash to their hand-derived values") {
+    // left dark / right bright: bits cx>=4 per row => every byte 0xF0
+    assert(Multimodal.aHash64(Multimodal.bmpBytesOf(16, 16, halfLR))
+      === Some(0xF0F0F0F0F0F0F0F0L))
+    // top dark / bottom bright: rows cy>=4 => high 4 bytes 0xFF
+    assert(Multimodal.aHash64(Multimodal.bmpBytesOf(16, 16, halfTB))
+      === Some(0xFFFFFFFF00000000L))
+    // constant image: no cell exceeds the mean => 0
+    assert(Multimodal.aHash64(Multimodal.bmpBytesOf(16, 16, (_, _) => 128))
+      === Some(0L))
+    // cell-granular checkerboard: odd (cx+cy) bright => bytes 0xAA/0x55
+    assert(Multimodal.aHash64(Multimodal.bmpBytesOf(16, 16, checker))
+      === Some(0x55AA55AA55AA55AAL))
+    // one-pixel edit inside a bright cell does not flip its bit
+    val nearDup = Multimodal.bmpBytesOf(16, 16,
+      (x, y) => if (x == 9 && y == 0) 254 else halfLR(x, y))
+    assert(Multimodal.aHash64(nearDup) === Some(0xF0F0F0F0F0F0F0F0L))
+    // one whole cell flipped = exactly one bit
+    val oneCell = Multimodal.bmpBytesOf(16, 16,
+      (x, y) => if (x < 2 && y < 2) 255 else checker(x, y))
+    assert(Multimodal.aHash64(oneCell) === Some(0x55AA55AA55AA55ABL))
+    // gates: JPEG and garbage decline
+    assert(Multimodal.aHash64(Multimodal.jpegBytes(16, 16)).isEmpty)
+    assert(Multimodal.aHash64(Array[Byte](1, 2, 3)).isEmpty)
+    // PNG of the same pattern hashes identically (format-independent)
+    // (pngBytes draws the formula image, so build a PNG from the BMP's
+    // pixels via ImageIO round-trip)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.bmpBytesOf(16, 16, halfLR)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.aHash64(bos.toByteArray) === Some(0xF0F0F0F0F0F0F0F0L))
+  }
+
+  test("aHashNearDupPairs: pigeonhole recall + exact hamming verify") {
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "image", Multimodal.bmpBytesOf(16, 16, halfLR), "p1"),
+      Row(2L, "image", Multimodal.bmpBytesOf(16, 16,
+        (x, y) => if (x == 9 && y == 0) 254 else halfLR(x, y)), "p2"),
+      Row(3L, "image", Multimodal.bmpBytesOf(16, 16, halfTB), "p3"),
+      Row(4L, "image", Multimodal.bmpBytesOf(16, 16, (_, _) => 128), "p4"),
+      Row(5L, "image", Multimodal.jpegBytes(16, 16), "p5"),
+      Row(7L, "image", Multimodal.bmpBytesOf(16, 16, checker), "p7"),
+      Row(8L, "image", Multimodal.bmpBytesOf(16, 16,
+        (x, y) => if (x < 2 && y < 2) 255 else checker(x, y)), "p8"))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val got = Multimodal.aHashNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 2L, 0), (7L, 8L, 1)))
+  }
 }
