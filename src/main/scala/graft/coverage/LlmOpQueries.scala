@@ -1565,6 +1565,47 @@ object LlmOpQueries {
     graft.multimodal.Multimodal.aHashNearDupPairs(aHashFixture(s), maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** The audio-hash fixture: constructed 16-bit mono PCM signals whose
+    * 64-bit energy-envelope hashes are derivable by hand (1024 samples →
+    * 64 segments of 16; bit = segment mean |amp| > global mean |amp|),
+    * plus the declining payloads (stereo, garbage). Same VALUES-oracle
+    * discipline as [[aHashFixture]]. */
+  private def audioHashFixture(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import graft.multimodal.Multimodal._
+    def quietLoud(i: Int): Short =
+      if (i < 512) 0 else (if (i % 2 == 0) 16384 else -16384).toShort
+    def segAlt(i: Int): Short =
+      if ((i / 16) % 2 == 1) 16384.toShort else 0.toShort
+    val edited = Array.tabulate(1024)(quietLoud); edited(512) = 16383
+    val oneSeg = Array.tabulate[Short](1024)(i =>
+      if (i < 16) 16384.toShort else segAlt(i))
+    val rows = Seq(
+      Row(900301L, "audio", wavBytesOf(Array.tabulate(1024)(quietLoud)),
+        "builtin://wavhash/quietLoud"),
+      Row(900302L, "audio", wavBytesOf(edited), "builtin://wavhash/quietLoud-1s"),
+      Row(900303L, "audio", wavBytesOf(Array.tabulate(1024)(segAlt)),
+        "builtin://wavhash/segAlt"),
+      Row(900304L, "audio", wavBytesOf(oneSeg), "builtin://wavhash/segAlt-1seg"),
+      Row(900305L, "audio", wavBytesOf(Array.fill[Short](64)(1), channels = 2),
+        "builtin://wavhash/stereo-declined"),
+      Row(900306L, "audio", Array[Byte](1, 2, 3), "builtin://wavhash/garbage"))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 2), mediaSchema)
+  }
+
+  /** Audio energy-envelope hashes (oracle = hand-derived VALUES ground
+    * truth); NULL rows pin the stereo/garbage gates. */
+  def mmAudioHash(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.audioEnergyHashes(audioHashFixture(s))
+      .orderBy("media_id")
+
+  /** Audio near-dup pairs by envelope Hamming distance (oracle = the pairs
+    * the signals imply: the one-sample edit at 0, the one-segment flip at
+    * 1; everything else ≥ 32 bits apart). */
+  def mmAudioPairs(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.audioNearDupPairs(audioHashFixture(s), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
   def mmDecodeFeaturize(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAndFeaturize(
         Multimodal.syntheticMedia(s, 999)

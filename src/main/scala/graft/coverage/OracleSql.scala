@@ -1589,6 +1589,29 @@ object OracleSql {
         |  AS t(media_id, id_b, hamming)
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // audio energy-envelope ground truth, derived BY HAND from the
+    // constructed signals (1024 mono 16-bit samples → 64 segments of 16;
+    // bit k = segment mean |amp| > global mean |amp|): quiet/loud halves →
+    // high 4 bytes 0xFF; the 1-sample edit doesn't flip its segment;
+    // alternating segments → 0xAA bytes; the 1-segment flip sets exactly
+    // bit 0. Stereo and garbage decline (NULL).
+    "mm_audio_hash" ->
+      """SELECT media_id, CAST(ahash AS BIGINT) AS ahash
+        |FROM (VALUES (900301, -4294967296),
+        |             (900302, -4294967296),
+        |             (900303, -6148914691236517206),
+        |             (900304, -6148914691236517205),
+        |             (900305, NULL),
+        |             (900306, NULL))
+        |  AS t(media_id, ahash)
+        |ORDER BY media_id""".stripMargin,
+
+    "mm_audio_pairs" ->
+      """SELECT media_id AS id_a, id_b, hamming
+        |FROM (VALUES (900301, 900302, 0), (900303, 900304, 1))
+        |  AS t(media_id, id_b, hamming)
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Replays FilterCascade.gopherRecipe: every metric (token count,
     // stopword ratio, dup-2-gram fraction, marker-vote language) plus the
     // ordered CASE chain with the operator's default thresholds. Stopword

@@ -540,10 +540,20 @@ object Multimodal {
    * degenerate corpus (all-black thumbnails → one hot bucket) behaves like
    * any hot equi-key and salts the same way.
    */
-  def aHashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def aHashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(imageAHashes(media), maxHamming)
+
+  /** [[aHashNearDupPairs]] over the AUDIO envelope hash — same pigeonhole
+    * candidate join, same exact verify ([[wavEnergyHash64]]). */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(audioEnergyHashes(media), maxHamming)
+
+  /** Shared Hamming-radius pair machinery over a (media_id, ahash) frame —
+    * see [[aHashNearDupPairs]] for the recall argument and scale shape. */
+  private def hammingPairs(hashFrame: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "maxHamming in [0,7] — 8 one-byte chunks pigeonhole up to 7 flips")
-    val hashes = imageAHashes(media).filter(col("ahash").isNotNull)
+    val hashes = hashFrame.filter(col("ahash").isNotNull)
     val chunks = hashes.select(col("media_id"), col("ahash"),
       explode(array((0 until 8).map(i =>
         struct(lit(i).as("ci"),
@@ -562,6 +572,113 @@ object Multimodal {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /**
+   * 64-bit energy-envelope hash of a 16-bit mono PCM WAV — the audio twin
+   * of [[aHash64]] (the mean-threshold idea over the LOUDNESS envelope:
+   * robust to level-preserving edits, cheap at crawl scale; near-dup =
+   * small Hamming distance via [[audioNearDupPairs]]). Exact integer
+   * arithmetic throughout (BigInt cross-multiply threshold), so the hash
+   * is bit-deterministic and hand-derivable for constructed signals — the
+   * oracle's ground truth.
+   *
+   * Definition: partition the sample stream into 64 segments (sample i →
+   * segment 64i/n, integer floor); bit k is set iff segment k's mean
+   * |amplitude| exceeds the GLOBAL mean |amplitude|. Only uncompressed
+   * 16-bit mono PCM is hashed — stereo/other-depth/compressed audio
+   * returns None (downmix/resample upstream; a format-dependent decode
+   * would pin a codec, the [[aHash64]] JPEG rule). Declared data sizes are
+   * clamped to the bytes actually present (truncated uploads hash their
+   * prefix instead of failing).
+   */
+  def wavEnergyHash64(content: Array[Byte]): Option[Long] = {
+    if (content == null || content.length < 44) return None
+    if (!(content(0) == 'R' && content(1) == 'I' && content(2) == 'F' &&
+      content(3) == 'F')) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(content)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 12L
+      var fmtOk = false
+      var dataOff = -1L; var dataLen = -1L
+      while (off + 8 <= content.length && (!fmtOk || dataOff < 0)) {
+        val i = off.toInt
+        val id = new String(content, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = bb.getInt(i + 4)
+        if (size < 0) return None // corrupt chunk — the decodeWav rule
+        if (id == "fmt " && off + 24 <= content.length) {
+          val audioFormat = bb.getShort(i + 8).toInt & 0xFFFF
+          val channels = bb.getShort(i + 10).toInt & 0xFFFF
+          val bits = bb.getShort(i + 22).toInt & 0xFFFF
+          if (audioFormat != 1 || channels != 1 || bits != 16) return None
+          fmtOk = true
+        } else if (id == "data") { dataOff = off + 8; dataLen = size.toLong }
+        off += 8L + size.toLong + (size & 1)
+      }
+      if (!fmtOk || dataOff < 0) return None
+      val avail = math.max(0L, math.min(dataLen, content.length - dataOff))
+      val n = (avail / 2).toInt
+      if (n <= 0) return None
+      val segSum = new Array[Long](64)
+      val segCnt = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < n) {
+        val s = bb.getShort(dataOff.toInt + 2 * i).toInt
+        val a = math.abs(s).toLong // |Short.MinValue| = 32768, fits
+        val seg = (i.toLong * 64 / n).toInt
+        segSum(seg) += a
+        segCnt(seg) += 1
+        total += a
+        i += 1
+      }
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (segCnt(k) > 0 &&
+          BigInt(segSum(k)) * n > BigInt(total) * segCnt(k))
+          hash |= 1L << k
+        k += 1
+      }
+      Some(hash)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One narrow pass: (media_id, ahash) over [[wavEnergyHash64]] — NULL for
+    * payloads it declines; 8 bytes per clip is what flows on. */
+  def audioEnergyHashes(media: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ahash",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "content")
+      .mapPartitions { it =>
+        it.map { r =>
+          Row(r.getLong(0),
+            wavEnergyHash64(r.getAs[Array[Byte]](1)).map(Long.box).orNull)
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** A real RIFF/WAV with caller-supplied samples (16-bit PCM,
+    * `channels` interleaved) — the constructed-signal fixtures behind the
+    * audio-hash oracle are built with this. */
+  def wavBytesOf(samples: Array[Short], sampleRate: Int = 8000,
+                 channels: Int = 1): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * 2 * channels)
+      .putShort((2 * channels).toShort).putShort(16)
+    bb.put("data".getBytes).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
   }
 
   /** A real RIFF/WAV: 16-bit mono PCM, `nSamples` frames at `sampleRate`. */

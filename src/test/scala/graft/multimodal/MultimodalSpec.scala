@@ -255,4 +255,57 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got === Set((1L, 2L, 0), (7L, 8L, 1)))
   }
+
+  // ── audio energy hash (r13): hand-derived ground truth ──
+  // 1024 mono 16-bit samples => 64 segments of 16; bit k = segment mean
+  // |amplitude| > global mean |amplitude|.
+
+  private def quietLoud(i: Int): Short =
+    if (i < 512) 0 else (if (i % 2 == 0) 16384 else -16384).toShort
+  private def segAlt(i: Int): Short =
+    if ((i / 16) % 2 == 1) 16384.toShort else 0.toShort
+
+  test("wavEnergyHash64: constructed signals hash to their hand-derived values") {
+    import graft.multimodal.Multimodal._
+    // quiet first half / loud second half => bits 32..63
+    assert(wavEnergyHash64(wavBytesOf(Array.tabulate(1024)(quietLoud)))
+      === Some(0xFFFFFFFF00000000L))
+    // one-sample edit inside a loud segment does not flip its bit
+    val edited = Array.tabulate(1024)(quietLoud); edited(512) = 16383
+    assert(wavEnergyHash64(wavBytesOf(edited)) === Some(0xFFFFFFFF00000000L))
+    // alternating segments => odd bits
+    assert(wavEnergyHash64(wavBytesOf(Array.tabulate(1024)(segAlt)))
+      === Some(0xAAAAAAAAAAAAAAAAL))
+    // one segment flipped from quiet to loud = exactly one bit
+    val oneSeg = Array.tabulate[Short](1024)(i =>
+      if (i < 16) 16384.toShort else segAlt(i))
+    assert(wavEnergyHash64(wavBytesOf(oneSeg)) === Some(0xAAAAAAAAAAAAAAABL))
+    // constant amplitude: nothing above the mean
+    assert(wavEnergyHash64(wavBytesOf(Array.fill[Short](1024)(5000)))
+      === Some(0L))
+    // gates: stereo, garbage, and empty-data payloads decline
+    assert(wavEnergyHash64(
+      wavBytesOf(Array.fill[Short](64)(1), channels = 2)).isEmpty)
+    assert(wavEnergyHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(wavEnergyHash64(wavBytesOf(Array.emptyShortArray)).isEmpty)
+  }
+
+  test("audioNearDupPairs: envelope pairs at the hand-derived distances") {
+    import org.apache.spark.sql.Row
+    import graft.multimodal.Multimodal._
+    val edited = Array.tabulate(1024)(quietLoud); edited(512) = 16383
+    val oneSeg = Array.tabulate[Short](1024)(i =>
+      if (i < 16) 16384.toShort else segAlt(i))
+    val rows = Seq(
+      Row(1L, "audio", wavBytesOf(Array.tabulate(1024)(quietLoud)), "a1"),
+      Row(2L, "audio", wavBytesOf(edited), "a2"),
+      Row(3L, "audio", wavBytesOf(Array.tabulate(1024)(segAlt)), "a3"),
+      Row(4L, "audio", wavBytesOf(oneSeg), "a4"),
+      Row(5L, "audio", wavBytesOf(Array.fill[Short](64)(1), channels = 2), "a5"))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), mediaSchema)
+    val got = audioNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 2L, 0), (3L, 4L, 1)))
+  }
 }
