@@ -93,6 +93,20 @@ class CorpusDiffSpec extends SparkSuite {
     intercept[IllegalArgumentException](CorpusDiff.diff(df2, df2, "change", Seq("text")))
   }
 
+  test("composition: diffing two SnapshotStore versions reports the delta") {
+    // the operator's reason for living next to SnapshotStore: publish v0,
+    // publish v1, diff the two immutable snapshot dirs
+    val root = java.nio.file.Files.createTempDirectory("graft-diff-snap").toString + "/t"
+    val v0 = SnapshotStore.publish(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text"), root)
+    val v1 = SnapshotStore.publish(
+      Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "text"), root)
+    val out = CorpusDiff.diff(
+      spark.read.parquet(v0), spark.read.parquet(v1), "id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("plan shape: diff over key-bucketed snapshots is ZERO Exchange") {
     val oldV = (1L to 200L).map(i => (i, s"t$i")).toDF("k", "text")
     val newV = (3L to 202L).map(i => (i, s"t$i")).toDF("k", "text")
