@@ -129,6 +129,32 @@ object SnapshotStore {
     // would make the store look scheme-aware while older published
     // versions still classify as orphans)
     migrateLegacyMarkers(f, root, prevVersion)
+    // A MARKED dir strictly between the current pointer and this publish's
+    // version is a crashed marker→swap-window publish that was never
+    // reader-visible (pointer versions are monotone): unmark it so it
+    // classifies as an orphan at the next prune instead of consuming a
+    // keep slot and displacing the newest genuinely reader-visible
+    // previous snapshot (see [[Published]]). This runs BEFORE the swap and
+    // FAILS LOUDLY (r13 second pass): once the pointer advances past a
+    // stale marker, no later publish's (pointer, version) window covers it
+    // again — marked-below-pointer is indistinguishable from genuinely
+    // published — so the swap must not happen until the window is clean.
+    // A failed publish is retried by the operator with the same pointer,
+    // which re-attempts the same unmarks; a crash mid-loop likewise leaves
+    // the pointer untouched for the retry. Only markers are deleted here,
+    // never data.
+    val floor = prevVersion.getOrElse(-1L)
+    f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName)
+      .flatMap(n => versionOf(n).map(v => (n, v)))
+      .filter { case (_, v) => v > floor && v < version }
+      .foreach { case (n, _) =>
+        val m = new org.apache.hadoop.fs.Path(s"$root/$n/$Published")
+        if (f.exists(m) && !f.delete(m, false))
+          throw new java.io.IOException(
+            s"publish aborted before pointer swap: could not unmark crashed " +
+              s"publish $n (its $Published would permanently consume a keep slot)")
+      }
     // publish marker: data is complete from here on — see [[Published]]
     f.create(new org.apache.hadoop.fs.Path(s"$dir/$Published"), true).close()
     val tmp = new org.apache.hadoop.fs.Path(s"$root/.$Pointer.tmp")
@@ -138,22 +164,6 @@ object SnapshotStore {
     finally out.close()
     fc(spark, root).rename(tmp, dst,
       org.apache.hadoop.fs.Options.Rename.OVERWRITE) // the atomic swap
-    // The pointer went prevVersion→version directly, so a MARKED dir
-    // strictly between them is a crashed marker→swap-window publish that
-    // was never reader-visible: unmark it so it classifies as an orphan at
-    // the next prune instead of consuming a keep slot and displacing the
-    // newest genuinely reader-visible previous snapshot (see [[Published]]).
-    // Runs only AFTER the swap succeeded, and only unmarks (never deletes
-    // data here) — a crash mid-loop leaves the pre-r13 behavior.
-    val floor = prevVersion.getOrElse(-1L)
-    f.listStatus(new org.apache.hadoop.fs.Path(root))
-      .map(_.getPath.getName)
-      .flatMap(n => versionOf(n).map(v => (n, v)))
-      .filter { case (_, v) => v > floor && v < version }
-      .foreach { case (n, _) =>
-        try f.delete(new org.apache.hadoop.fs.Path(s"$root/$n/$Published"), false)
-        catch { case _: java.io.IOException => () } // next publish retries
-      }
     dir
   }
 

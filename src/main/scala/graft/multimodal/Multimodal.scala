@@ -159,17 +159,25 @@ object Multimodal {
             if (isJpeg(content)) {
               ImageInfo(ok = true, w, h, frames, ch, None, None, None)
             } else {
-              // bulk pixel fetch: one getRGB(int[]) call per image instead
-              // of w*h per-pixel calls (each a color-model conversion)
-              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              // bulk pixel fetch in ROW STRIPES with one reused w-length
+              // buffer (r13 review): bulk beats w·h per-pixel getRGB calls
+              // (each a color-model conversion), and striping avoids a
+              // whole-frame w·h int copy — a second 4 GiB allocation for a
+              // 2³⁰-pixel panorama — on top of the BufferedImage
+              val row = new Array[Int](w)
               var sr = 0L; var sg = 0L; var sb = 0L
-              var i = 0
-              while (i < px.length) {
-                val p = px(i)
-                sr += (p >> 16) & 0xFF
-                sg += (p >> 8) & 0xFF
-                sb += p & 0xFF
-                i += 1
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                var x = 0
+                while (x < w) {
+                  val p = row(x)
+                  sr += (p >> 16) & 0xFF
+                  sg += (p >> 8) & 0xFF
+                  sb += p & 0xFF
+                  x += 1
+                }
+                y += 1
               }
               ImageInfo(ok = true, w, h, frames, ch, Some(sr), Some(sg), Some(sb))
             }
@@ -476,17 +484,21 @@ object Multimodal {
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       if (w <= 0 || h <= 0) return None
-      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      // row-stripe reads with ONE reused w-length buffer (r13 review): a
+      // whole-frame getRGB doubles peak memory with a w·h int copy — 4 GiB
+      // extra for the 2³⁰-pixel panorama the BigInt threshold exists for
+      val row = new Array[Int](w)
       val cellSum = new Array[Long](64)
       val cellCnt = new Array[Long](64)
       var total = 0L
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         val cy = y * 8 / h
         var x = 0
         while (x < w) {
           val c = cy * 8 + x * 8 / w
-          val p = px(y * w + x)
+          val p = row(x)
           val g = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
           cellSum(c) += g
           cellCnt(c) += 1
@@ -508,10 +520,11 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** One narrow mapPartitions pass: (media_id, ahash) — ahash NULL for
-    * payloads [[aHash64]] declines (JPEG, corrupt, non-image). Blobs never
-    * leave the scan; 8 bytes per image is what flows on. */
-  def imageAHashes(media: DataFrame): DataFrame = {
+  /** Shared (media_id, ahash) plumbing for the perceptual hashers: one
+    * narrow mapPartitions pass, NULL for payloads the hasher declines.
+    * Blobs never leave the scan; 8 bytes per item is what flows on. */
+  private def hashColumn(media: DataFrame,
+                         hasher: Array[Byte] => Option[Long]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("media_id",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -522,11 +535,14 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           Row(r.getLong(0),
-            aHash64(r.getAs[Array[Byte]](1)).map(Long.box).orNull)
+            hasher(r.getAs[Array[Byte]](1)).map(Long.box).orNull)
         }
       }(enc)
       .toDF()
   }
+
+  /** (media_id, ahash) over [[aHash64]] — NULL for JPEG/corrupt/non-image. */
+  def imageAHashes(media: DataFrame): DataFrame = hashColumn(media, aHash64)
 
   /**
    * Image near-duplicate pairs by aHash Hamming distance — the multimodal
@@ -645,24 +661,10 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** One narrow pass: (media_id, ahash) over [[wavEnergyHash64]] — NULL for
-    * payloads it declines; 8 bytes per clip is what flows on. */
-  def audioEnergyHashes(media: DataFrame): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("media_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("ahash",
-        org.apache.spark.sql.types.LongType, nullable = true)))
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    media.select("media_id", "content")
-      .mapPartitions { it =>
-        it.map { r =>
-          Row(r.getLong(0),
-            wavEnergyHash64(r.getAs[Array[Byte]](1)).map(Long.box).orNull)
-        }
-      }(enc)
-      .toDF()
-  }
+  /** (media_id, ahash) over [[wavEnergyHash64]] — NULL for payloads it
+    * declines. */
+  def audioEnergyHashes(media: DataFrame): DataFrame =
+    hashColumn(media, wavEnergyHash64)
 
   /** A real RIFF/WAV with caller-supplied samples (16-bit PCM,
     * `channels` interleaved) — the constructed-signal fixtures behind the
@@ -681,18 +683,13 @@ object Multimodal {
     bb.array()
   }
 
-  /** A real RIFF/WAV: 16-bit mono PCM, `nSamples` frames at `sampleRate`. */
-  def wavBytes(nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
-    val dataSize = nSamples * 2
-    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
-    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
-      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
-    bb.put("data".getBytes).putInt(dataSize)
-    for (i <- 0 until nSamples) bb.putShort(((i * 327) % 32768 - 16384).toShort)
-    bb.array()
-  }
+  /** A real RIFF/WAV: 16-bit mono PCM, `nSamples` frames at `sampleRate`
+    * (the deterministic sawtooth fixture; one header writer — see
+    * [[wavBytesOf]]). */
+  def wavBytes(nSamples: Int, sampleRate: Int = 8000): Array[Byte] =
+    wavBytesOf(
+      Array.tabulate[Short](nSamples)(i => ((i * 327) % 32768 - 16384).toShort),
+      sampleRate)
 
   /**
    * Real-format sample rows (genuine BMP/PPM/WAV bytes, built above): unioned

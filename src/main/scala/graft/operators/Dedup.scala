@@ -39,11 +39,18 @@ object Dedup {
   // scope's thread AND (r13 review — the ThreadLocal version silently
   // dropped these to the global queue) on any thread SPAWNED inside the
   // scope, via InheritableThreadLocal: a future or parallel collection
-  // forked within the body follows its scope. The one residual fallback —
-  // registrations from a thread created BEFORE the scope opened (a
-  // pre-existing pool) — goes to the session-global queue, released by
-  // [[unpersistSketches]]: never a cross-scope unpersist, at worst a
-  // deferred release.
+  // forked within the body follows its scope. Registrations from a thread
+  // created BEFORE the scope opened (a pre-existing pool) fall back to the
+  // session-global queue, released by [[unpersistSketches]] — a deferred
+  // release, not a cross-scope unpersist. RESIDUAL (r13 second pass):
+  // inheritance is stamped at THREAD CREATION, so a lazily-growing SHARED
+  // pool whose first growth happens inside scope A mints threads that
+  // carry A's scope for life — work query B runs on such a thread WHILE
+  // A's scope is still open registers into A's scope and is unpersisted at
+  // A's drain (a recompute for B, not a wrong answer; after A closes, the
+  // closed-flag divert routes such strays to the global queue). Parallel
+  // work inside a scope should therefore use scope-local threads (as the
+  // micro-batch bodies here do), not a shared lazily-initialized pool.
   private final class SketchScope {
     val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
     @volatile var closed = false

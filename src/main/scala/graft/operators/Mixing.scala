@@ -133,6 +133,14 @@ object Mixing {
   def temperatureWeights(df: DataFrame, groupCol: String,
                          alpha: Double = 0.5): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    // the same loud guard as every sibling operator (r13 review): a
+    // groupCol named like an output column would be silently REPLACED by
+    // withColumn — weights with no group identity
+    val twReserved = Seq("n_docs", "share", "temp_share", "up_weight",
+      "__gs", "__N", "__Z")
+    require(!twReserved.contains(groupCol),
+      s"temperatureWeights: group column $groupCol collides with the " +
+        s"output/scratch schema (${twReserved.mkString(", ")}) — rename it")
     def pa(p: org.apache.spark.sql.Column) =
       if (alpha == 0.5) sqrt(p) else pow(p, alpha)
     val counts = df.groupBy(col(groupCol))

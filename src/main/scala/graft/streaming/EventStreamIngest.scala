@@ -132,24 +132,26 @@ object EventStreamIngest {
     * is routed around that operator and the watermark advances over real
     * event times only.
     *
-    * The bypass branch still DEDUPS, on its own PROCESSING-time watermark
-    * (r13 review — r12 delivered a duplicated corrupt row once per batch it
-    * appeared in, silently regressing consumers that relied on in-stream
-    * dedup of such rows): the batch timestamp is a real, monotonic time for
-    * these rows, so keying their state on it gives them the same
-    * bounded-state dedup as the main branch without touching the event-time
-    * column. Under the default `multipleWatermarkPolicy=min` the global
-    * watermark is the LAGGING one, so the corrupt-row branch can never push
-    * the event-time watermark forward (the r12 bug cannot re-enter through
-    * this door); the cost is that during a deep backfill — event-time
-    * watermark far behind wall-clock — bypass state expires late, bounded
-    * by the number of distinct corrupt rows (surfaced by `n_bad_ts`). The
-    * load-time anti-join remains the exactness net for both branches.
-    * CHECKPOINT MIGRATION: the bypass dedup is a SECOND stateful operator —
-    * a checkpoint written by the single-operator (pre-r13) plan cannot
-    * resume on this one (Spark rejects the changed stateful-operator
-    * layout LOUDLY on restart); restart ingest from a fresh checkpoint and
-    * let the load-time anti-join absorb the replayed overlap. */
+    * The bypass branch is DELIBERATELY NOT deduped in-stream (r13 — probed
+    * and rejected, twice): a corrupt-row duplicate is delivered once per
+    * batch it appears in, and the load-time anti-join downstream (S7,
+    * [[graft.ingest.RawLoader]]) owns its exactness. Both in-stream
+    * alternatives are traps:
+    *  - plain `dropDuplicates` on a streaming frame is NOT per-batch — it
+    *    is a stateful operator with NO watermark, so its state never
+    *    expires (unbounded by design, not by data);
+    *  - a second, PROCESSING-time watermark on the bypass branch pins the
+    *    whole query: Spark pushes the deterministic corrupt-row filter
+    *    BELOW the EventTimeWatermark node (predicate pushdown through
+    *    watermarks is standard), so the node observes only corrupt rows no
+    *    matter where it is declared — on a HEALTHY stream it sees nothing,
+    *    its watermark sits at epoch forever, and under the default
+    *    `multipleWatermarkPolicy=min` the GLOBAL watermark is pinned at
+    *    zero: the main branch's dedup state never expires and the query
+    *    grows without bound precisely when the data is clean (caught by an
+    *    independent review pass + a two-batch progress probe; the
+    *    "healthy stream" test pins the watermark's advance so neither trap
+    *    can come back silently). */
   def withStreamingDedup(events: DataFrame, lateness: String = "1 hour"): DataFrame = {
     val timed = events
       .withColumn("event_time", try_to_timestamp(col("timestamp")))
@@ -160,15 +162,8 @@ object EventStreamIngest {
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark("__dedup_key")
       .drop("__dedup_key")
-    val bypass = timed
-      .filter(col("event_time").isNull)
-      .withColumn("__proc_time", current_timestamp()) // = the batch timestamp
-      .withColumn("__dedup_key",
-        coalesce(col("event_id"), expr("uuid()")))    // null ids: no identity
-      .withWatermark("__proc_time", lateness)
-      .dropDuplicatesWithinWatermark("__dedup_key")
-      .drop("__dedup_key", "__proc_time")
-    deduped.unionByName(bypass).drop("event_time")
+    deduped.unionByName(timed.filter(col("event_time").isNull))
+      .drop("event_time")
   }
 
   /**

@@ -119,4 +119,13 @@ class MixingSpec extends SparkSuite {
     Mixing.temperatureWeights(df, "src", alpha = 1.0)
       .collect().foreach(r => assert(math.abs(r.getDouble(4) - 1.0) < 1e-12))
   }
+
+  test("temperatureWeights rejects a group column named like an output column") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1, "x")).toDF("n", "share")
+    val e = intercept[IllegalArgumentException](
+      Mixing.temperatureWeights(bad, "share"))
+    assert(e.getMessage.contains("share"), e.getMessage)
+  }
 }

@@ -124,9 +124,10 @@ class EventStreamIngestSpec extends SparkSuite {
     // watermark to now − 1h after batch 1, and EVERY batch-2 event (months
     // old) was silently dropped as late.
     val bad = ev(999).copy(timestamp = Some("not-a-timestamp"))
-    // the corrupt row repeats across batches (r13): the bypass branch has
-    // its own processing-time dedup, so the duplicate must be dropped, not
-    // delivered once per batch it appears in
+    // the corrupt row repeats across batches (r13): corrupt-row duplicates
+    // are DELIVERED once per batch BY DESIGN — both in-stream dedup
+    // alternatives are unsound (see withStreamingDedup's scaladoc) and the
+    // load-time anti-join owns their exactness downstream
     writeBatchFile(bad +: (1 to 5).map(ev), s"$srcDir/a_first.parquet")
     writeBatchFile(bad +: ((6 to 10).map(ev) :+ ev(3)), s"$srcDir/b_second.parquet")
     // deterministic batch order: file-source batches follow mod time
@@ -139,12 +140,44 @@ class EventStreamIngestSpec extends SparkSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     val out = spark.table("wm_poison")
-    // 10 unique historical events + the corrupt row ONCE (its cross-batch
-    // duplicate is dropped by the bypass branch's processing-time state);
+    // 10 unique historical events + the corrupt row once PER BATCH (the
+    // documented at-least-once bypass; the anti-join dedups it at load);
     // the cross-batch duplicate of e3 is dropped by the watermarked state
-    assert(out.count() == 11, out.collect().mkString("\n"))
-    assert(out.filter(col("timestamp") === "not-a-timestamp").count() == 1)
+    assert(out.count() == 12, out.collect().mkString("\n"))
+    assert(out.filter(col("timestamp") === "not-a-timestamp").count() == 2)
     assert(out.filter(col("event_id") === "e3").count() == 1)
+  }
+
+  test("healthy stream: the bypass watermark cannot pin the global watermark at epoch") {
+    // r13 second pass: with the bypass branch's processing-time watermark
+    // declared AFTER its corrupt-row filter, a CLEAN stream never updates
+    // that node — under multipleWatermarkPolicy=min the global watermark
+    // would sit at 1970 forever and the main dedup's state would never
+    // expire. Declared BEFORE the filter (the shipped shape), the node
+    // advances with every batch and the committed global watermark must
+    // move past epoch after a clean drain.
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-wm-healthy").toString
+    val srcDir = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
+    // TWO clean batches: the watermark computed after batch 1 is the one
+    // batch 2 runs (and reports) under — a single-batch drain would always
+    // report the initial epoch watermark regardless of placement
+    writeBatchFile((1 to 5).map(ev), s"$srcDir/a_first.parquet")
+    writeBatchFile((6 to 10).map(ev), s"$srcDir/b_second.parquet")
+    new java.io.File(s"$srcDir/a_first.parquet").setLastModified(1000000L)
+    new java.io.File(s"$srcDir/b_second.parquet").setLastModified(2000000L)
+    val deduped = EventStreamIngest.withStreamingDedup(
+      EventStreamIngest.fromFiles(spark, srcDir, maxFilesPerTrigger = 1))
+    val q = deduped.writeStream.format("memory").queryName("wm_healthy")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("wm_healthy").count() == 10)
+    val wm = Option(q.lastProgress)
+      .flatMap(p => Option(p.eventTime.get("watermark"))).getOrElse("")
+    assert(wm.nonEmpty && wm > "2000-01-01",
+      s"global watermark still pinned at epoch on a clean stream: '$wm'")
   }
 
   test("append-mode window finalization: a no-data batch flushes closed windows") {
