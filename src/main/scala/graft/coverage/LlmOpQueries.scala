@@ -1565,6 +1565,38 @@ object LlmOpQueries {
     graft.multimodal.Multimodal.aHashNearDupPairs(aHashFixture(s), maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** Incremental media near-dup (oracle = hand-derived VALUES ground
+    * truth): a 4-image batch probes [[aHashFixture]]'s chunk index — a
+    * one-pixel edit of the half-split lands on BOTH half-split corpus
+    * members at distance 0, the one-cell checker flip lands on the checker
+    * pair at 1 and 0, a novel quarter-pattern pairs with nothing (≥ 16
+    * bits from every corpus hash), and a REPLAYED corpus id is excluded
+    * entirely (the at-least-once replay rule — without it the row would
+    * self-report distance 0). */
+  def mmPhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import graft.multimodal.Multimodal._
+    def halfLR(x: Int, y: Int) = if (x < 8) 0 else 255
+    def halfTB(x: Int, y: Int) = if (y < 8) 0 else 255
+    def checker(x: Int, y: Int) = if (((x / 2) + (y / 2)) % 2 == 0) 0 else 255
+    val batch = s.createDataFrame(s.sparkContext.parallelize(Seq(
+      Row(900210L, "image", bmpBytesOf(16, 16,
+        (x, y) => if (x == 10 && y == 1) 254 else halfLR(x, y)),
+        "builtin://ahash-inc/halfLR-1px"),
+      Row(900211L, "image", bmpBytesOf(16, 16,
+        (x, y) => if (x < 2 && y < 2) 255 else checker(x, y)),
+        "builtin://ahash-inc/checker-1cell"),
+      Row(900212L, "image", bmpBytesOf(16, 16,
+        (x, y) => if (x < 8 && y < 8) 255 else 0),
+        "builtin://ahash-inc/quarter-novel"),
+      Row(900203L, "image", bmpBytesOf(16, 16, halfTB),
+        "builtin://ahash-inc/replayed")), 2), mediaSchema)
+    graft.multimodal.Multimodal.incrementalAHashPairs(
+        batch, graft.multimodal.Multimodal.aHashChunkIndex(aHashFixture(s)),
+        maxHamming = 3)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** The audio-hash fixture: constructed 16-bit mono PCM signals whose
     * 64-bit energy-envelope hashes are derivable by hand (1024 samples →
     * 64 segments of 16; bit = segment mean |amp| > global mean |amp|),

@@ -1589,6 +1589,18 @@ object OracleSql {
         |  AS t(media_id, id_b, hamming)
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // incremental probe ground truth (hand-derived like mm_phash): the
+    // 1-px half-split edit hits both half-split corpus hashes at 0, the
+    // 1-cell checker flip hits the checker pair at 1 and 0, the quarter
+    // pattern is >= 16 bits from everything, and the replayed corpus id
+    // 900203 is excluded entirely by the at-least-once guard
+    "mm_phash_incremental" ->
+      """SELECT media_id AS new_id, corpus_id, hamming
+        |FROM (VALUES (900210, 900201, 0), (900210, 900202, 0),
+        |             (900211, 900207, 1), (900211, 900208, 0))
+        |  AS t(media_id, corpus_id, hamming)
+        |ORDER BY new_id, corpus_id""".stripMargin,
+
     // audio energy-envelope ground truth, derived BY HAND from the
     // constructed signals (1024 mono 16-bit samples → 64 segments of 16;
     // bit k = segment mean |amp| > global mean |amp|): quiet/loud halves →

@@ -564,19 +564,24 @@ object Multimodal {
   def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
     hammingPairs(audioEnergyHashes(media), maxHamming)
 
-  /** Shared Hamming-radius pair machinery over a (media_id, ahash) frame —
-    * see [[aHashNearDupPairs]] for the recall argument and scale shape. */
-  private def hammingPairs(hashFrame: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      "maxHamming in [0,7] — 8 one-byte chunks pigeonhole up to 7 flips")
-    val hashes = hashFrame.filter(col("ahash").isNotNull)
-    val chunks = hashes.select(col("media_id"), col("ahash"),
+  /** (media_id, ahash, ci, cv) — one row per one-byte chunk of each hash
+    * (ci = chunk index 0..7, cv = the byte; arithmetic shiftright then
+    * mask, so negative hashes chunk correctly). */
+  private def chunksOf(hashes: DataFrame): DataFrame =
+    hashes.select(col("media_id"), col("ahash"),
       explode(array((0 until 8).map(i =>
         struct(lit(i).as("ci"),
           shiftright(col("ahash"), i * 8).bitwiseAND(0xFF).as("cv"))): _*))
         .as("c"))
       .select(col("media_id"), col("ahash"),
         col("c.ci").as("ci"), col("c.cv").as("cv"))
+
+  /** Shared Hamming-radius pair machinery over a (media_id, ahash) frame —
+    * see [[aHashNearDupPairs]] for the recall argument and scale shape. */
+  private def hammingPairs(hashFrame: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "maxHamming in [0,7] — 8 one-byte chunks pigeonhole up to 7 flips")
+    val chunks = chunksOf(hashFrame.filter(col("ahash").isNotNull))
     val a = chunks.select(col("ci"), col("cv"),
       col("media_id").as("id_a"), col("ahash").as("ha"))
     val b = chunks.select(col("ci"), col("cv"),
@@ -588,6 +593,57 @@ object Multimodal {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** The persistable chunk index of a media corpus's perceptual hashes —
+    * the media mirror of [[graft.operators.Dedup.bandIndex]]: compute once,
+    * write with `TableLayout.writeBucketed(_, table, Seq("ci", "cv"),
+    * buckets)`, and every nightly batch probes it SHUFFLE-FREE on the
+    * corpus side ([[incrementalAHashPairs]]; MultimodalSpec machine-checks
+    * the zero-Exchange probe). Items whose payload declines hashing never
+    * enter the index. */
+  def aHashChunkIndex(media: DataFrame): DataFrame =
+    chunksOf(imageAHashes(media).filter(col("ahash").isNotNull))
+
+  /**
+   * Incremental media near-dup: a NEW batch of images against an EXISTING
+   * corpus's precomputed chunk index — the nightly flow where re-hashing
+   * and self-joining the whole corpus per batch would pay the full decode
+   * bill for a 0.1% increment. Emits (new_id, corpus_id, hamming ≤
+   * `maxHamming`) CROSS pairs only; intra-batch duplicates are
+   * [[aHashNearDupPairs]] on the (small) batch.
+   *
+   * Corpus ids present in the batch are excluded (broadcast anti-join —
+   * the batch id set is small, and a shuffled anti would re-exchange the
+   * bucketed index): under an at-least-once upstream, a crashed-then-
+   * replayed batch re-probes an index that already holds its own rows and
+   * every replayed image would otherwise report itself as a distance-0
+   * "duplicate" — the [[graft.operators.Dedup.incrementalNearDupPairs]]
+   * replay rule.
+   */
+  def incrementalAHashPairs(batch: DataFrame, corpusIndex: DataFrame,
+                            maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "maxHamming in [0,7] — 8 one-byte chunks pigeonhole up to 7 flips")
+    val required = Seq("media_id", "ahash", "ci", "cv")
+    require(required.forall(corpusIndex.columns.contains),
+      s"corpusIndex needs columns (${required.mkString(", ")}) — build it " +
+        "with aHashChunkIndex")
+    val batchChunks = chunksOf(imageAHashes(batch).filter(col("ahash").isNotNull))
+      .select(col("ci"), col("cv"),
+        col("media_id").as("new_id"), col("ahash").as("__hb"))
+    val corpus = corpusIndex
+      .join(broadcast(batch.select(col("media_id")).distinct()),
+        Seq("media_id"), "left_anti") // replay guard; broadcast keeps the
+                                      // bucketed index unexchanged
+      .select(col("ci"), col("cv"),
+        col("media_id").as("corpus_id"), col("ahash").as("__hc"))
+    batchChunks.join(corpus, Seq("ci", "cv"))
+      .select("new_id", "corpus_id", "__hb", "__hc").distinct()
+      .withColumn("hamming",
+        bit_count(col("__hb").bitwiseXOR(col("__hc"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("new_id", "corpus_id", "hamming")
   }
 
   /**

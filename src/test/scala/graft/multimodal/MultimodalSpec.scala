@@ -308,4 +308,76 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got === Set((1L, 2L, 0), (3L, 4L, 1)))
   }
+
+  test("incremental media near-dup: cross pairs only, replayed ids excluded") {
+    import org.apache.spark.sql.Row
+    import graft.multimodal.Multimodal._
+    def quarter(x: Int, y: Int): Int = if (x < 8 && y < 8) 255 else 0
+    def halfTB(x: Int, y: Int): Int = if (y < 8) 0 else 255
+    val corpus = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "image", bmpBytesOf(16, 16, halfLR), "c1"),
+      Row(2L, "image", bmpBytesOf(16, 16, checker), "c2"),
+      Row(3L, "image", jpegBytes(16, 16), "c3"),     // declines — not indexed
+      Row(4L, "image", bmpBytesOf(16, 16, halfTB), "c4")), 2), mediaSchema)
+    val idx = aHashChunkIndex(corpus)
+    val batch = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(10L, "image", bmpBytesOf(16, 16,               // near-dup of c1
+        (x, y) => if (x == 10 && y == 1) 254 else halfLR(x, y)), "b1"),
+      Row(11L, "image", bmpBytesOf(16, 16,               // 1 cell off c2
+        (x, y) => if (x < 2 && y < 2) 255 else checker(x, y)), "b2"),
+      Row(12L, "image", bmpBytesOf(16, 16, quarter), "b3"), // novel
+      Row(4L, "image", bmpBytesOf(16, 16, halfTB), "b4")), 2), // REPLAYED id
+      mediaSchema)
+    val got = incrementalAHashPairs(batch, idx, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // b1->c1 at 0, b2->c2 at 1; the novel image pairs with nothing; the
+    // replayed id 4 is excluded ENTIRELY — without the guard it would
+    // self-report (4, 4, 0)
+    assert(got === Set((10L, 1L, 0), (11L, 2L, 1)))
+  }
+
+  test("incremental media near-dup probes a bucketed index with ZERO corpus-side Exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.Row
+    import graft.multimodal.Multimodal._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = spark.createDataFrame(spark.sparkContext.parallelize(
+        (0 until 64).map(i => Row(i.toLong, "image",
+          bmpBytesOf(16, 16, (x, y) => if (((x / 2 + y / 2 + i) % 2) == 0) 0 else 255),
+          s"c$i")), 2), mediaSchema)
+      graft.layout.TableLayout.writeBucketed(
+        aHashChunkIndex(corpus), "phash_idx_b", Seq("ci", "cv"), buckets = 8)
+      val batch = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(1000L, "image", bmpBytesOf(16, 16, checker), "b")), 1), mediaSchema)
+      val pairs = incrementalAHashPairs(batch, spark.table("phash_idx_b"))
+      val root = pairs.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      def hasIdxScan(p: SparkPlan): Boolean = p.collect {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == "phash_idx_b") => f
+      }.nonEmpty
+      val joins = root.collect {
+        case j: SortMergeJoinExec if hasIdxScan(j) => j: SparkPlan
+        case j: ShuffledHashJoinExec if hasIdxScan(j) => j: SparkPlan
+      }
+      assert(joins.nonEmpty, "candidate join did not plan as a shuffle join:\n" + root)
+      val (l, r) = joins.last match {
+        case j: SortMergeJoinExec => (j.left, j.right)
+        case j: ShuffledHashJoinExec => (j.left, j.right)
+      }
+      val idxSide = if (hasIdxScan(l)) l else r
+      assert(idxSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "the bucketed index side was re-shuffled:\n" + idxSide)
+      // and it still answers: the checker batch matches the i-even corpus
+      // members (same cell parity => distance 0 or 1-ish small), none others
+      assert(pairs.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
