@@ -162,10 +162,32 @@ object Bench {
     } + "\""
     val jsonLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":$sfJson,"loadavg1":$load1}"""
+    // The driver records only the LAST 2000 characters of stdout and tries
+    // to parse one JSON line out of that tail (BENCH_r01..r13 all carry
+    // `"tail": <2000 chars>, "parsed": null` — the full 128-query line is
+    // ~5 KB, so its head was always cut off and no round ever parsed).
+    // Contract fix (r12/r13 verdict item): print the FULL line first (for
+    // humans scrolling the log), then a COMPACT line LAST — total + the
+    // slowest queries, truncated to fit the tail window with sbt's trailing
+    // "[success] Total time: …" line budgeted — so the driver's parse is
+    // finally non-null. The complete per-query map is always written intact
+    // to bench_out.json (README "Bench artifacts"): that file remains the
+    // canonical artifact; the stdout line is the driver-facing summary.
     println(jsonLine)
-    // The stdout line rides inside sbt's log stream, whose captured tail has
-    // been observed truncated mid-JSON (BENCH_r03 lost 10 per-query timings);
-    // also write the whole line to a file any reader can consume intact.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
+    val fixed =
+      s""","n_queries":${results.size},"full":"bench_out.json","failed":$failedJson,"sf":$sfJson,"loadavg1":$load1}"""
+    val head =
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":{"""
+    val budget = 1700 - fixed.length - head.length
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    slowest.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    println(head + entries.mkString(",") + "}" + fixed)
+    // bench_out.json: the whole line, intact, for any reader.
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))

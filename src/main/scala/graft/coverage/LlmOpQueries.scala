@@ -501,6 +501,35 @@ object LlmOpQueries {
         .orderBy("doc_id")
     })
 
+  /** Quality-aware keep-best dedup (oracle-checked row-for-row): the same
+    * 3-chain corpus as [[dedupClusterAssign]], with keeper = arg-max by
+    * (whitespace token count DESC, doc_id ASC) — the C4/RefinedWeb "keep
+    * the best member, not the first" policy
+    * ([[graft.operators.Dedup.keepBestPerCluster]]). The chain corpus makes
+    * the policy NON-vacuous by construction: each cluster's members are
+    * base < base+1 token < base+2 tokens, so the quality keeper (the
+    * two-token copy, id+2000000) is never the min-id keeper the plain
+    * cluster query would pick — a keeper column that accidentally fell back
+    * to min-id hash-mismatches every non-singleton row. The DuckDB oracle
+    * recomputes the exact closure and picks arg-max via a window — an
+    * independent formulation of the same policy (the Spark side is a
+    * skew-proof composite-max AGGREGATE, no window). */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((s, dir, "__q_keep_best"), {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 500)
+      val copy1 = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+      val copy2 = base.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" extraword extrawordtwo")).as("text"))
+      val corpus = matInput(s, dir, "corpus_chain")(
+        base.unionByName(copy1).unionByName(copy2))
+      Dedup.nearDuplicateKeepBest(corpus, "doc_id", "text",
+          t => TextAnalysis.tokenCount(t).cast("long"),
+          threshold = 0.7, numHashes = 32, bands = 16, unrolledRounds = 3)
+        .orderedSmallBarrier(col("cluster_id"))
+    })
+
   /** Incremental near-dup (oracle-checked): a new batch — mutated copies of
     * half the bounded corpus plus genuinely new unrelated docs — joined
     * against the EXISTING corpus's band index; emits (new_id, corpus_id)

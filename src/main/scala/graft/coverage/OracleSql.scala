@@ -1442,6 +1442,56 @@ object OracleSql {
          |FROM corpus c LEFT JOIN lbl l ON c.doc_id = l.id
          |ORDER BY c.doc_id""".stripMargin,
 
+    // Keep-best policy over the same closed clusters: keeper = arg-max by
+    // (whitespace token count DESC, doc_id ASC). Deliberately a DIFFERENT
+    // formulation than the engine's (window row_number here vs the
+    // skew-proof composite-max aggregate there) — hash-equality certifies
+    // the policy, not a shared code path. Score replay = the tokenCount
+    // contract: split on \s+ of the trimmed lowered text, blank/null → 0.
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id < 500
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' extraword' AS text
+         |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 500
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |         text || ' extraword extrawordtwo' AS text
+         |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 500),
+         |tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |       FROM corpus),
+         |sh AS (SELECT doc_id, ${shingleSql("toks")} AS sh FROM tk),
+         |pairs AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |                  / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.7),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+         |reach AS (
+         |  SELECT u AS id, v AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON reach.r = e.u),
+         |lbl AS (SELECT id, min(r) AS mr FROM reach GROUP BY id),
+         |clustered AS (
+         |  SELECT c.doc_id,
+         |         least(coalesce(l.mr, c.doc_id), c.doc_id) AS cluster_id,
+         |         CAST(CASE WHEN c.text IS NULL OR trim(c.text) = '' THEN 0
+         |              ELSE len(string_split_regex(trim(lower(c.text)), '\\s+'))
+         |              END AS BIGINT) AS score
+         |  FROM corpus c LEFT JOIN lbl l ON c.doc_id = l.id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |                               ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM clustered),
+         |members AS (SELECT cluster_id, count(*) AS n_members
+         |            FROM clustered GROUP BY cluster_id)
+         |SELECT m.cluster_id, m.n_members,
+         |       r.doc_id AS keeper_id, r.score AS keeper_score
+         |FROM members m JOIN ranked r ON m.cluster_id = r.cluster_id AND r.rn = 1
+         |ORDER BY m.cluster_id""".stripMargin,
+
     "dedup_embedding_cosine" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |pert AS (SELECT vec_id + 1000000 AS vec_id,

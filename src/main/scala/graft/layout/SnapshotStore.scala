@@ -123,7 +123,19 @@ object SnapshotStore {
     val dir = s"$root/snapshot-$version"
     df.write.mode("error").parquet(dir) // never in place; fails on dir reuse
     val f = fs(spark, root)
-    val prevVersion = latest(spark, root).map(_.split('/').last).flatMap(versionOf)
+    // 'no pointer' (first publish) and 'unparseable pointer' (hand-edited
+    // or corrupt _latest) are NOT the same case (r13 advice): treating the
+    // latter as None would drop the unmark floor to -1 and strip
+    // _PUBLISHED from every genuinely published snapshot below `version`,
+    // letting the next prune reclaim the entire retention history. Abort
+    // loudly instead — an operator must repair the pointer first.
+    val prevVersion = latest(spark, root).map(_.split('/').last).map { n =>
+      versionOf(n).getOrElse(throw new IllegalStateException(
+        s"publish aborted before unmark pass: $Pointer names '$n', which is " +
+          s"not a snapshot-<version> directory; repair the pointer before " +
+          s"publishing (proceeding would misclassify all published " +
+          s"snapshots as crashed publishes)"))
+    }
     // legacy stores first get their pre-upgrade snapshots back-filled with
     // markers (BEFORE this publish's own marker — otherwise the new marker
     // would make the store look scheme-aware while older published

@@ -477,6 +477,16 @@ object Multimodal {
    * either dimension leave the uncovered cells' bits 0 (cellCount 0 never
    * exceeds anything).
    */
+  /** 8×8-grid cell index along one axis, in LONG arithmetic: `p * 8`
+    * overflows Int once a dimension reaches 2^28, and inside [[aHash64]]
+    * the resulting negative index would throw and be silently declined to
+    * None by the NonFatal catch — exactly on the 2^30-pixel panoramas the
+    * BigInt comparison threshold exists for (r13 advice). Package-private
+    * so the spec can pin the overflow regime without allocating a
+    * 2^28-wide frame. */
+  private[multimodal] def cellAxis(p: Int, extent: Int): Int =
+    (p.toLong * 8 / extent).toInt
+
   def aHash64(content: Array[Byte]): Option[Long] = {
     if (content == null || content.length < 8 || isJpeg(content)) return None
     try {
@@ -494,10 +504,10 @@ object Multimodal {
       var y = 0
       while (y < h) {
         img.getRGB(0, y, w, 1, row, 0, w)
-        val cy = y * 8 / h
+        val cy = cellAxis(y, h)
         var x = 0
         while (x < w) {
-          val c = cy * 8 + x * 8 / w
+          val c = cy * 8 + cellAxis(x, w)
           val p = row(x)
           val g = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
           cellSum(c) += g

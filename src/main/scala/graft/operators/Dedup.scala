@@ -706,6 +706,65 @@ object Dedup {
   }
 
   /**
+   * Quality-aware keeper selection over clustered rows — the C4/RefinedWeb
+   * policy: keep the BEST member of each near-dup cluster, not the lowest
+   * id. Input: one row per document carrying its cluster label (e.g. from
+   * [[nearDuplicateClusters]]) and a quality score (any
+   * [[graft.text.TextAnalysis.qualityMetrics]] column, a model score, a
+   * token count, …). Output: one row per cluster —
+   * `(clusterCol, n_members, keeper_id, keeper_score)` — keeper = arg-max
+   * by (score DESC, id ASC); the deterministic id tie-break keeps the
+   * choice reproducible when scores tie (exact copies tie by construction).
+   * Downstream keep-list = semi-join on `keeper_id`.
+   *
+   * Same skew-proof shape as [[exactDedup]]'s `min(struct(…))`: a
+   * partial+final AGGREGATE — map-side combine shrinks every cluster to one
+   * candidate per input partition before the exchange — never a
+   * row_number() window, which would sort each whole cluster on one task
+   * and let a pathological 10⁸-copy cluster pin a 100 TB job. The composite
+   * max key `struct(score, -id, id)` encodes both orderings in ONE max
+   * (score DESC via max, id ASC via the negated id; the negation is safe —
+   * document ids are non-negative by the house fixture/loader contract).
+   * NULL scores lose to every non-null score under struct-max (Spark and
+   * ANSI MAX agree: nulls sort lowest within a struct comparison), so an
+   * all-null-score cluster degrades to the min-id keeper rather than
+   * failing. NaN scores sort GREATEST in both Spark and DuckDB — callers
+   * feeding model scores should sanitize NaN upstream if "NaN wins" is not
+   * intended.
+   */
+  def keepBestPerCluster(clustered: DataFrame, idCol: String,
+                         clusterCol: String, scoreCol: String): DataFrame =
+    clustered
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"),
+          col(idCol).as("i"))).as("__best"))
+      .select(col(clusterCol), col("n_members"),
+        col("__best.i").as("keeper_id"), col("__best.s").as("keeper_score"))
+
+  /**
+   * [[nearDuplicateClusters]] + [[keepBestPerCluster]] fused: cluster the
+   * corpus, score every member with `scoreOf(textCol)`, return the
+   * per-cluster keep decision. One extra join against the (tiny) label
+   * table; the corpus text is scanned once for scoring — scores never
+   * shuffle with the LSH band traffic.
+   */
+  def nearDuplicateKeepBest(
+      df: DataFrame, idCol: String, textCol: String,
+      scoreOf: Column => Column,
+      threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 256,
+      unrolledRounds: Int = 0): DataFrame = {
+    val clustered = nearDuplicateClusters(df, idCol, textCol, threshold,
+      numHashes, bands, maxBucketSize, unrolledRounds)
+    val scored = clustered.join(
+      df.select(col(idCol), scoreOf(col(textCol)).as("__kb_score")),
+      Seq(idCol))
+    keepBestPerCluster(scored, idCol, "cluster_id", "__kb_score")
+  }
+
+  /**
    * 64-bit SimHash: per-token xxhash64; bit b of the sketch is 1 when more
    * than half the tokens have bit b set. Pure expressions (bitwise ops over
    * an exploded bit sequence folded back with aggregate).

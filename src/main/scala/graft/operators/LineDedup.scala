@@ -107,21 +107,42 @@ object LineDedup {
    * engine with list lambdas (the DuckDB oracle does, 1-based indexes
    * there). The first-occurrence test is `array_position`, making the
    * filter O(lines²) per document — right for web pages (tens to hundreds
-   * of lines, evaluated at scan speed with zero movement); for
-   * pathological million-line documents prefer the explode + min(struct)
-   * aggregate shape of [[dedupLines]] scoped per doc, which trades two
-   * exchanges for linear work. Higher-order array functions evaluate
-   * outside whole-stage codegen, but there is no UDF and no serialization
-   * boundary — the expression tree stays in Tungsten rows.
+   * of lines, evaluated at scan speed with zero movement). Above
+   * `quadraticMaxLines` the row switches to
+   * [[graft.expressions.DedupLinesWithinExpr]] — ONE imperative pass with a
+   * hash set, O(lines) — so a pathological million-line crawl document
+   * costs milliseconds instead of stalling a task for hours (r13 verdict
+   * item; a spec pins branch equality on the crossover and bounded time at
+   * 10⁵ lines). Both branches are per-row projections: no shuffle, no
+   * explode, no row-identity requirement on the caller's schema. Higher-
+   * order array functions evaluate outside whole-stage codegen, but there
+   * is no UDF and no serialization boundary — the expression tree stays in
+   * Tungsten rows. (The oracle-replayable HOF branch remains the one
+   * engines without imperative extensions can replay; the fixture corpus
+   * sits entirely under the gate, so oracle certification exercises the
+   * HOF branch and the spec pins the expression branch against it.)
    */
   def dedupLinesWithinDoc(docs: DataFrame, textCol: String,
-                          minChars: Int = 1): DataFrame = {
+                          minChars: Int = 1,
+                          quadraticMaxLines: Int = 4096): DataFrame = {
     require(Seq("n_lines", "n_lines_kept", "__ldw_text")
         .forall(!docs.columns.contains(_)),
       "dedupLinesWithinDoc: input already carries n_lines / n_lines_kept / __ldw_text")
+    require(quadraticMaxLines >= 0,
+      s"dedupLinesWithinDoc: quadraticMaxLines must be >= 0, got $quadraticMaxLines")
     val arr = split(col(textCol), "\n")
     val keptArr = filter(arr, (x, i) =>
       length(trim(x)) < lit(minChars) || array_position(arr, x) === i + lit(1))
+    // the size gate: CaseWhen evaluates branches lazily per row, so small
+    // docs never pay the imperative pass and large docs never pay the
+    // quadratic HOF. (gated appears in two output columns; like the HOF
+    // formulation before it, the projection may evaluate it twice — both
+    // branches are linear except the HOF one, which the gate size-bounds.)
+    val gated = when(size(arr) <= lit(quadraticMaxLines),
+        struct(array_join(keptArr, "\n").as("kept_text"),
+          size(keptArr).as("n_kept")))
+      .otherwise(graft.expressions.LineExpressions
+        .dedup_lines_within(col(textCol), minChars))
     // One select resolving everything against the INPUT text, with the
     // rewrite under a TEMP name. Aliasing it straight to textCol would put
     // an alias named `textCol` in the same projection that still references
@@ -131,10 +152,10 @@ object LineDedup {
     // observed as n_lines_kept counting a mixed-semantics array). The
     // rename afterwards is metadata-only and keeps the column position.
     docs.select(docs.columns.map {
-      case c if c == textCol => array_join(keptArr, "\n").as("__ldw_text")
+      case c if c == textCol => gated.getField("kept_text").as("__ldw_text")
       case c => col(c)
     } :+ size(arr).cast("bigint").as("n_lines")
-      :+ size(keptArr).cast("bigint").as("n_lines_kept"): _*)
+      :+ gated.getField("n_kept").cast("bigint").as("n_lines_kept"): _*)
       .withColumnRenamed("__ldw_text", textCol)
   }
 }

@@ -143,7 +143,14 @@ object Mixing {
         s"output/scratch schema (${twReserved.mkString(", ")}) — rename it")
     def pa(p: org.apache.spark.sql.Column) =
       if (alpha == 0.5) sqrt(p) else pow(p, alpha)
-    val counts = df.groupBy(col(groupCol))
+    // NULL group keys excluded (r13 advice; the CorpusDiff/Sessionize house
+    // rule): a null source label addresses no corpus, and letting it into
+    // the group-sorted normalizer fold would break the documented bit-
+    // reproducibility — Spark's struct-null sort position differs from SQL
+    // engines' NULLS LAST, so the fold order (hence every Σ p^α bit) would
+    // diverge cross-engine. Null-label rows are a DQ finding, not a source.
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"))
     val scalars = counts
       .agg(collect_list(struct(col(groupCol), col("n_docs"))).as("__gs"),

@@ -130,24 +130,45 @@ object UrlNormalize {
    * (canonical_url, n_copies, keeper id + carried columns). One exact
    * hash-aggregation; the `min(struct(idCol, carried…))` partial aggregate
    * collapses a hot URL's copies map-side (no Window, no skew cliff).
+   *
+   * `keepBestBy = Some(scoreCol)` switches the keeper policy to the
+   * C4/RefinedWeb quality rule — keep the member with the HIGHEST score,
+   * id ASC on ties ([[graft.operators.Dedup.keepBestPerCluster]]'s
+   * `(score DESC, id ASC)` order, same skew-proof single-aggregate shape:
+   * the composite `max(struct(score, -id, row))` key decides on (score,
+   * -id) — unique per row — and carries the keeper's row along). The score
+   * column is consumed for the decision, not emitted; list it in
+   * `carryCols` to also carry it through. NULL scores lose to any non-null
+   * score; an all-null group keeps its minimum id.
    */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String,
-                 carryCols: Seq[String] = Seq.empty): DataFrame = {
+                 carryCols: Seq[String] = Seq.empty,
+                 keepBestBy: Option[String] = None): DataFrame = {
     // loud reserved-name guard (r12 review): an input already carrying
     // canonical_url would be silently overwritten; n_copies in carryCols
     // would emit duplicate output columns that throw far downstream
-    val reserved = Seq("canonical_url", "n_copies", "__keep")
+    val reserved = Seq("canonical_url", "n_copies", "__keep", "__kb")
     val clashes = (df.columns.toSeq ++ carryCols).filter(reserved.contains)
     require(clashes.isEmpty,
       s"dedupByUrl: column(s) ${clashes.distinct.mkString(", ")} collide " +
         s"with the output schema (${reserved.mkString(", ")}) — rename them")
+    keepBestBy.foreach(sc => require(df.columns.contains(sc),
+      s"dedupByUrl: keepBestBy column $sc is not an input column"))
     val canon = df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
-    canon
-      .groupBy("canonical_url")
-      .agg(
-        count(lit(1)).as("n_copies"),
-        min(struct((idCol +: carryCols).map(col): _*)).as("__keep"))
-      .select(col("canonical_url") +: col("n_copies") +:
-        (idCol +: carryCols).map(c => col(s"__keep.$c").as(c)): _*)
+    val row = struct((idCol +: carryCols).map(col): _*)
+    val agged = keepBestBy match {
+      case None =>
+        canon.groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_copies"), min(row).as("__keep"))
+      case Some(sc) =>
+        canon.groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_copies"),
+            max(struct(col(sc).as("s"), (-col(idCol)).as("ni"),
+              row.as("r"))).as("__kb"))
+          .select(col("canonical_url"), col("n_copies"),
+            col("__kb.r").as("__keep"))
+    }
+    agged.select(col("canonical_url") +: col("n_copies") +:
+      (idCol +: carryCols).map(c => col(s"__keep.$c").as(c)): _*)
   }
 }

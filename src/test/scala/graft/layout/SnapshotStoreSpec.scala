@@ -106,6 +106,39 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(SnapshotStore.readLatest(spark, root).head().getInt(0) === 3)
   }
 
+  test("publish aborts on an unparseable _latest pointer, markers intact") {
+    // r13 advice: a hand-edited/corrupt pointer must NOT be treated as 'no
+    // pointer' — that would drop the unmark floor to -1, strip _PUBLISHED
+    // from every genuinely published snapshot, and let the next prune
+    // reclaim the whole retention history.
+    val root = Files.createTempDirectory("graft-snap-corrupt").toString + "/t"
+    (0 to 2).foreach(i => SnapshotStore.publish(Seq(i).toDF("x"), root))
+    val markers = (0 to 2).map(v =>
+      java.nio.file.Paths.get(s"$root/snapshot-$v/_PUBLISHED"))
+    markers.foreach(m => assert(Files.exists(m)))
+    // corrupt the pointer the way an operator's stray edit would (drop the
+    // Hadoop local-FS checksum sidecar too, or the read fails as a
+    // ChecksumException instead of reaching the parse guard under test)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_latest"), "snapshot-oops\n")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/._latest.crc"))
+    val e = intercept[IllegalStateException](
+      SnapshotStore.publish(Seq(9).toDF("x"), root))
+    assert(e.getMessage.contains("snapshot-oops"), e.getMessage)
+    // nothing was unmarked: every published snapshot keeps its marker
+    markers.foreach(m => assert(Files.exists(m),
+      s"$m stripped by a publish that should have aborted first"))
+    // repair the pointer → publish works again and the history is intact
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_latest"), "snapshot-2\n")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/._latest.crc"))
+    SnapshotStore.publish(Seq(9).toDF("x"), root)
+    markers.foreach(m => assert(Files.exists(m)))
+    assert(SnapshotStore.readLatest(spark, root).count() === 1)
+  }
+
   test("prune leaves versions newer than the pointer alone (in-flight publish)") {
     val root = Files.createTempDirectory("graft-snap5").toString + "/t"
     SnapshotStore.publish(Seq(1).toDF("x"), root)

@@ -237,6 +237,22 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.aHash64(bos.toByteArray) === Some(0xF0F0F0F0F0F0F0F0L))
   }
 
+  test("cellAxis: no Int overflow at >=2^28-px dimensions (r14 advice fix)") {
+    // p*8 overflows Int at p >= 2^28; the old Int math returned a negative
+    // cell index there, aHash64 threw, and NonFatal silently declined the
+    // very panoramas the BigInt comparison threshold targets. Pin the Long
+    // math directly — allocating a 2^28-wide frame is not testable.
+    val big = 1 << 28
+    assert(Multimodal.cellAxis(big, big + 1) === 7)       // last pixel band
+    assert(Multimodal.cellAxis(big - 1, big) === 7)
+    assert(Multimodal.cellAxis(Int.MaxValue - 1, Int.MaxValue) === 7)
+    assert(Multimodal.cellAxis(Int.MaxValue / 2, Int.MaxValue) === 3)
+    assert(Multimodal.cellAxis(0, Int.MaxValue) === 0)
+    // unchanged small-image regime (the hand-derived hashes above rely on it)
+    assert((0 until 16).map(Multimodal.cellAxis(_, 16))
+      === (0 until 16).map(_ / 2))
+  }
+
   test("aHashNearDupPairs: pigeonhole recall + exact hamming verify") {
     import org.apache.spark.sql.Row
     val rows = Seq(

@@ -30,6 +30,42 @@ class DedupSpec extends SparkSuite {
     assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("keepBestPerCluster: arg-max by (score desc, id asc); null scores lose") {
+    val s = spark
+    import s.implicits._
+    // cluster 1: distinct scores — keeper is the HIGHEST score, not min id
+    // cluster 2: tied scores — id ASC breaks the tie
+    // cluster 3: all-null scores — degrades to min id, keeper_score null
+    // cluster 4: null loses to a lower non-null score
+    val clustered = Seq(
+      (10L, 1L, Some(0.2)), (11L, 1L, Some(0.9)), (12L, 1L, Some(0.5)),
+      (20L, 2L, Some(0.7)), (21L, 2L, Some(0.7)),
+      (30L, 3L, None), (31L, 3L, None),
+      (40L, 4L, None), (41L, 4L, Some(0.1))
+    ).toDF("doc_id", "cluster_id", "score")
+    val got = Dedup.keepBestPerCluster(clustered, "doc_id", "cluster_id", "score")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got(1L) === ((3L, 11L, Some(0.9))))
+    assert(got(2L) === ((2L, 20L, Some(0.7))))
+    assert(got(3L) === ((2L, 30L, None)))
+    assert(got(4L) === ((2L, 41L, Some(0.1))))
+  }
+
+  test("nearDuplicateKeepBest keeps the best-quality member per component") {
+    // docs 1/2/3 cluster (exact + near dup); score = text length makes doc 3
+    // (two chars longer: today→tonight) the quality keeper — NOT the min-id
+    // keeper doc 1, so a fallback to min-id policy fails this assert
+    val got = Dedup.nearDuplicateKeepBest(docs, "doc_id", "text",
+        t => length(t).cast("long"), threshold = 0.7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 3L, 71L))) // cluster 1 = {1,2,3}, keeper 3
+    assert(got(4L)._1 === 1L && got(4L)._2 === 4L) // singletons keep self
+    assert(got(5L)._1 === 1L && got(5L)._2 === 5L)
+  }
+
   test("jaccard is exact on known sets") {
     val s = spark
     import s.implicits._

@@ -121,4 +121,60 @@ class LineDedupSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("within-doc dedup: expression branch ≡ HOF branch on the crossover") {
+    val s = spark
+    import s.implicits._
+    // every semantics corner in one fixture: raw-equality dups, bypassed
+    // short/blank repeats (incl. a SHORT line equal to text inside a long
+    // one), space-only lines, trailing newline (split keeps the empty
+    // tail), multi-byte chars straddling the minChars count, and a dup
+    // whose copies differ only in leading spaces (raw equality → NOT dups)
+    val texts = Seq(
+      "alpha line\nbeta line\nalpha line\ngamma line\nbeta line",
+      "a longer heading\n***\n\n***\na longer heading",
+      "  alpha line\nalpha line\n  alpha line",
+      "日本語のテキスト行\nab\n日本語のテキスト行\nab",
+      "trailing\n", "", " ", "solo",
+      (1 to 50).map(i => s"line ${i % 7}").mkString("\n"))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (minChars <- Seq(0, 1, 5)) {
+      // gate at 0 lines forces EVERY row down the expression branch;
+      // a huge gate forces every row down the HOF branch
+      val viaExpr = LineDedup.dedupLinesWithinDoc(docs, "text", minChars,
+        quadraticMaxLines = 0).orderBy("id").collect().toSeq
+      val viaHof = LineDedup.dedupLinesWithinDoc(docs, "text", minChars,
+        quadraticMaxLines = Int.MaxValue).orderBy("id").collect().toSeq
+      assert(viaExpr === viaHof, s"branches diverge at minChars=$minChars")
+    }
+    // null text: both branches propagate null (no NPE, no fabricated 0s)
+    val withNull = docs.unionByName(
+      Seq((99L, null: String)).toDF("id", "text"))
+    for (gate <- Seq(0, Int.MaxValue)) {
+      val r = LineDedup.dedupLinesWithinDoc(withNull, "text",
+          quadraticMaxLines = gate)
+        .filter(col("id") === 99L).head()
+      assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3), r.toString)
+    }
+  }
+
+  test("within-doc dedup: a pathological 10^5-line document in bounded time") {
+    val s = spark
+    import s.implicits._
+    // 100k lines over 1k distinct values: the HOF branch's array_position
+    // scan is O(lines²) ≈ 10^10 comparisons — hours; the gated expression
+    // branch is one hash-set pass. Wall-bound generous for CI noise, but
+    // far under any quadratic outcome.
+    val n = 100000
+    val text = (0 until n).map(i => s"line number ${i % 1000}").mkString("\n")
+    val docs = Seq((1L, text)).toDF("id", "text")
+    val t0 = System.nanoTime()
+    val out = LineDedup.dedupLinesWithinDoc(docs, "text").head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.getLong(2) === n.toLong && out.getLong(3) === 1000L)
+    assert(out.getString(1) ===
+      (0 until 1000).map(i => s"line number $i").mkString("\n"))
+    assert(secs < 60.0, s"pathological doc took $secs s — gate not engaged?")
+  }
 }

@@ -120,6 +120,25 @@ class MixingSpec extends SparkSuite {
       .collect().foreach(r => assert(math.abs(r.getDouble(4) - 1.0) < 1e-12))
   }
 
+  test("temperatureWeights excludes NULL group keys (bit-reproducibility rule)") {
+    val s = spark
+    import s.implicits._
+    // r13 advice: a null source label must not enter the group-sorted
+    // normalizer fold — Spark's struct-null sort position differs from SQL
+    // engines' NULLS LAST, so its presence would silently break the
+    // documented cross-engine bit-exactness. House rule (CorpusDiff,
+    // Sessionize): null keys are a DQ finding, excluded from the operator.
+    val df = ((1 to 90).map(i => (i, "big")) ++ (1 to 10).map(i => (i, "small"))
+      ++ (1 to 5).map(i => (i, null: String))).toDF("id", "src")
+    val w = Mixing.temperatureWeights(df, "src", alpha = 0.5).collect()
+    assert(w.length === 2, "null group must not surface as a source")
+    assert(w.forall(r => !r.isNullAt(0)))
+    // shares renormalize over the NON-null rows only (100, not 105)
+    val shares = w.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(shares("big") - 0.9) < 1e-12)
+    assert(math.abs(shares("small") - 0.1) < 1e-12)
+  }
+
   test("temperatureWeights rejects a group column named like an output column") {
     val s = spark
     import s.implicits._

@@ -141,6 +141,51 @@ class UrlNormalizeSpec extends SparkSuite {
       ("https://other.com/q", 1L, 5L)))
   }
 
+  test("dedupByUrl keepBestBy: highest score wins, id asc on ties, carry intact") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (10L, "https://a.com/p?b=2", 0.3, "ten"),
+      (3L, "HTTPS://WWW.A.COM:443/p/?b=2&utm_source=x", 0.9, "three"),
+      (7L, "https://a.com/p?b=2#frag", 0.9, "seven"),
+      (5L, "https://other.com/q", 0.1, "five"))
+      .toDF("id", "url", "score", "tag")
+    // group a.com/p: 0.9 tie between ids 3 and 7 → id ASC keeps 3 (NOT the
+    // min-id coincidence: flip doc 3's score to 0.0 and the keeper moves)
+    val out = UrlNormalize.dedupByUrl(df, "url", "id", Seq("tag"),
+        keepBestBy = Some("score"))
+      .orderBy("canonical_url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      ("https://a.com/p?b=2", 3L, 3L, "three"),
+      ("https://other.com/q", 1L, 5L, "five")))
+    // and with doc 3 demoted, the other 0.9 (id 7) wins — policy is live
+    val demoted = df.withColumn("score",
+      when(col("id") === 3L, 0.0).otherwise(col("score")))
+    val keeper = UrlNormalize.dedupByUrl(demoted, "url", "id", Seq("tag"),
+        keepBestBy = Some("score"))
+      .filter(col("canonical_url") === "https://a.com/p?b=2")
+      .collect().head
+    assert(keeper.getLong(2) === 7L && keeper.getString(3) === "seven")
+    // unknown score column fails loudly
+    val e = intercept[IllegalArgumentException](
+      UrlNormalize.dedupByUrl(df, "url", "id", keepBestBy = Some("nope")))
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("plan shape: dedupByUrl keepBestBy stays ONE exchange, no Window") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(i => (i, s"https://a$i.com/p", i * 0.5))
+      .toDF("id", "url", "score")
+    val plan = UrlNormalize.dedupByUrl(df, "url", "id",
+        keepBestBy = Some("score"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_max(struct(s"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("plan shape: dedupByUrl is ONE exchange with a map-side partial min") {
     val s = spark
     import s.implicits._

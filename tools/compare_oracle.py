@@ -47,9 +47,18 @@ def eq(a: pd.DataFrame, b: pd.DataFrame) -> str:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # an in-memory connection has NO temp_directory, so at sf1 the heavy
+    # replay oracles (banded minhash, span census) OOM instead of spilling
+    # and take the whole run down; give it a spill dir and a cap that
+    # leaves room for the pyarrow side of the compare
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET memory_limit='48GB'")
     for f in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(f)[:-8]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+        # driver testdata tables are single files; ScaleUp-generated sets
+        # (sf1 certification) are Spark-written DIRECTORIES of part files
+        pat = f"{f}/*.parquet" if os.path.isdir(f) else f
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
