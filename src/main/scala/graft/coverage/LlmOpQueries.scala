@@ -786,13 +786,14 @@ object LlmOpQueries {
    * configuration (1 table, 16 bits, no multi-probe) returns zero rows.
    */
   def lshRecallGated(s: SparkSession, dir: String, nTables: Int, nBits: Int,
-                     multiProbeBits: Int, minRecall: Double): DataFrame = {
+                     multiProbeBits: Int, minRecall: Double,
+                     portableHashing: Boolean = false): DataFrame = {
     val e = embeddings(s, dir)
     val q = e.filter(col("vec_id") < 10)
     val exact = exactTopK(s, dir).select("query_id", "corpus_id")
     val approx = SimilaritySearch.lshTopK(e, "vec_id", "embedding",
       q, "vec_id", "embedding", k = 5, nTables = nTables, nBits = nBits,
-      multiProbeBits = multiProbeBits)
+      multiProbeBits = multiProbeBits, portableHashing = portableHashing)
       .select("query_id", "corpus_id")
       // distinct (r11 advice): the left-join recall form below is only
       // correct when the approx side is unique per (query_id, corpus_id) —
@@ -812,10 +813,17 @@ object LlmOpQueries {
   }
 
   /** Driver entry: multi-probe sign-LSH, gated at recall@5 ≥ 0.9 (measured
-    * 1.00 on this corpus — see SimilaritySearchSpec). */
+    * 1.00 on this corpus — see SimilaritySearchSpec). PORTABLE hashing
+    * since r14 (verdict item 5): hyperplane components derive from md5
+    * digits, so the DuckDB oracle replays planes → normalization →
+    * projections → buckets → multi-probe masks → the candidate join →
+    * top-5 → the recall number itself, converting this row from
+    * recall-gated rows-only to a full hash row. The plan shape is identical
+    * to the xxhash default (one leaf expression swap; SimilaritySearchSpec
+    * pins portable ≡ default recall on the driver corpus). */
   def simLshRecall(s: SparkSession, dir: String): DataFrame =
     lshRecallGated(s, dir, nTables = 16, nBits = 6, multiProbeBits = 2,
-      minRecall = 0.9)
+      minRecall = 0.9, portableHashing = true)
 
   /** IVF ANN vs brute force: recall@5 for the same queries (rows-only).
     * nProbe=6 of 16 lists; this corpus's neighbours are weak and scattered

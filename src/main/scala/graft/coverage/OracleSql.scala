@@ -1130,6 +1130,87 @@ object OracleSql {
         |SELECT query_id, corpus_id, rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // Full portable sign-LSH replay (r14, converts the row from rows-only):
+    // hyperplane components from md5 digits (the portableHash60 digit
+    // arithmetic), normalization and projections folded in ascending index
+    // order (bit-identical to the Spark expressions — see
+    // PortableSignLshSketchExpr scaladoc), buckets as Σ sign-bits,
+    // multi-probe = XOR masks at Hamming ≤ 2, candidate join, cosine top-5
+    // inside the candidates, recall vs the exact top-5. Every stage of the
+    // ANN pipeline is replayed digit-for-digit; only the top-5 ranking
+    // reuses list_cosine_similarity for ORDER (the certified
+    // sim_brute_force_topk precedent — values never compared, rank
+    // boundaries proven stable on this corpus at both scales).
+    "sim_lsh_recall" -> {
+      val planeComp = hex60Sql(
+        "md5(CAST(t.t AS VARCHAR) || ':' || CAST(b.b AS VARCHAR) || ':' || CAST(d.d AS VARCHAR))")
+      s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, v,
+         |               sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nm
+         |        FROM corpus),
+         |nv AS (SELECT vec_id,
+         |              CASE WHEN nm > 0 THEN list_transform(v, x -> x / nm) ELSE v END AS vh
+         |       FROM nrm),
+         |planes AS (
+         |  SELECT t, b, list(comp ORDER BY d) AS comps
+         |  FROM (SELECT t.t, b.b, d.d,
+         |               CAST($planeComp AS DOUBLE) / 576460752303423488.0 - 1.0 AS comp
+         |        FROM (SELECT range AS t FROM range(16)) t,
+         |             (SELECT range AS b FROM range(6)) b,
+         |             (SELECT range AS d FROM range(64)) d)
+         |  GROUP BY t, b),
+         |proj AS (
+         |  SELECT n.vec_id, p.t, p.b,
+         |         list_reduce(list_transform(range(len(n.vh)),
+         |                                    i -> n.vh[i+1] * p.comps[i+1]),
+         |                     (a,b) -> a+b) AS pr
+         |  FROM nv n, planes p),
+         |buck AS (
+         |  SELECT vec_id, t,
+         |         CAST(sum(CASE WHEN pr >= 0
+         |                       THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+         |                       ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id, t),
+         |masks AS (
+         |  SELECT CAST(0 AS BIGINT) AS m
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT) << CAST(i.range AS INTEGER) FROM range(6) i
+         |  UNION ALL
+         |  SELECT (CAST(1 AS BIGINT) << CAST(i.range AS INTEGER))
+         |         | (CAST(1 AS BIGINT) << CAST(j.range AS INTEGER))
+         |  FROM range(6) i, range(6) j WHERE i.range < j.range),
+         |qb AS (SELECT q.vec_id AS query_id, q.t, xor(q.bucket, masks.m) AS bucket
+         |       FROM buck q, masks WHERE q.vec_id < 10),
+         |cand AS (SELECT DISTINCT qb.query_id, cb.vec_id AS corpus_id
+         |         FROM qb JOIN buck cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+         |         WHERE cb.vec_id <> qb.query_id),
+         |qv AS (SELECT vec_id AS query_id, v AS qe FROM corpus WHERE vec_id < 10),
+         |exact AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.query_id, c.vec_id AS corpus_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |                              ORDER BY list_cosine_similarity(c.v, q.qe) DESC,
+         |                                       c.vec_id) AS rank
+         |    FROM corpus c, qv q WHERE c.vec_id <> q.query_id)
+         |  WHERE rank <= 5),
+         |approx AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT cand.query_id, cand.corpus_id,
+         |           row_number() OVER (PARTITION BY cand.query_id
+         |                              ORDER BY list_cosine_similarity(c.v, q.qe) DESC,
+         |                                       cand.corpus_id) AS rank
+         |    FROM cand JOIN corpus c ON cand.corpus_id = c.vec_id
+         |              JOIN qv q ON cand.query_id = q.query_id)
+         |  WHERE rank <= 5),
+         |rec AS (
+         |  SELECT CAST(coalesce(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+         |         / greatest(count(*), 1) AS recall_at_5
+         |  FROM exact e LEFT JOIN approx a
+         |    ON e.query_id = a.query_id AND e.corpus_id = a.corpus_id)
+         |SELECT recall_at_5, recall_at_5 >= 0.9 AS meets_target
+         |FROM rec WHERE recall_at_5 >= 0.9""".stripMargin
+    },
+
     // the sketch value is engine-specific: the oracle recomputes the EXACT
     // percentiles and expects the error-bound verdicts to hold (a8 pattern)
     "a_percentile_approx" ->

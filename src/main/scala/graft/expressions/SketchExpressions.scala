@@ -302,6 +302,91 @@ case class SignLshSketchExpr(child: Expression, table: Int, nBits: Int)
 }
 
 /**
+ * ENGINE-PORTABLE sign-LSH sketch — the md5-hashing precedent (minhash /
+ * simhash portable modes, r5) applied to the hyperplane family so an
+ * external engine can replay buckets AND probes and certify the whole
+ * candidate set (r13 verdict item 5: converts `sim_lsh_recall` from a
+ * recall-gated rows-only row to a hash row).
+ *
+ * Hyperplane component (t, b, d) = u60 / 2⁵⁹ − 1.0 ∈ [−1, 1), where u60 is
+ * the first 15 hex chars of `md5("t:b:d")` — exactly
+ * [[graft.operators.Dedup.portableHash60]]'s digit arithmetic, replayable
+ * in any engine with `md5`. Every arithmetic step is IEEE-pinned
+ * cross-engine: u60 → double is round-to-nearest, / 2⁵⁹ is an exact
+ * power-of-two scaling, and the projection folds `Σ v[d]·comp[d]` in
+ * ascending-d order (the oracle folds the same order with `list_reduce`),
+ * so the SIGN decisions are bit-identical even for projections near zero.
+ *
+ * The planes depend only on (table, nBits, dim): they are computed once
+ * per expression instance on the first row (nBits·dim md5 calls, ~ms) and
+ * cached; per-row work is the same multiply-add loop as
+ * [[SignLshSketchExpr]]. xxhash-derived [[SignLshSketchExpr]] stays the
+ * production default — md5 setup is irrelevant but this expression exists
+ * for certification, and certified-vs-default plan shapes are identical
+ * (one leaf expression swap in the same projection).
+ */
+case class PortableSignLshSketchExpr(child: Expression, table: Int, nBits: Int)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  require(nBits >= 1 && nBits <= 64,
+    s"portable_sign_lsh_sketch: nBits must be in [1, 64], got $nBits")
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] =
+    Seq(org.apache.spark.sql.graftbridge.TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_sign_lsh_sketch"
+
+  private lazy val elementIsFloat: Boolean = VectorElem.isFloat(child.dataType)
+
+  // planes cache, keyed by the input dimension (constant in practice; a
+  // mixed-dim column just recomputes — correctness never depends on it)
+  @transient private var cachedDim: Int = -1
+  @transient private var planes: Array[Array[Double]] = _
+
+  private def planesFor(dim: Int): Array[Array[Double]] = {
+    if (planes == null || cachedDim != dim) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      planes = Array.tabulate(nBits) { b =>
+        Array.tabulate(dim) { d =>
+          md.reset()
+          val hex = md.digest(s"$table:$b:$d"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          val u60 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          u60.toDouble / 576460752303423488.0 - 1.0 // 2^59
+        }
+      }
+      cachedDim = dim
+    }
+    planes
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val pl = planesFor(dim)
+    var sk = 0L
+    var b = 0
+    while (b < nBits) {
+      val comp = pl(b)
+      var proj = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = if (elementIsFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        proj += x * comp(d)
+        d += 1
+      }
+      if (proj >= 0.0) sk |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sk)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Marker-token language ID over an `array<string>` token column: each
  * candidate language scores the number of tokens (with repeats) found in its
  * marker set; argmax wins, ties broken by language-code order, zero score →
@@ -772,6 +857,12 @@ object SketchExpressions {
   def sign_lsh_sketch(vec: Column, table: Int, nBits: Int): Column =
     ColumnBridge.column(
       SignLshSketchExpr(ColumnBridge.expression(vec), table, nBits))
+
+  /** Column wrapper: engine-portable (md5-derived hyperplanes) sign-LSH
+    * sketch of a numeric-array vector column. */
+  def portable_sign_lsh_sketch(vec: Column, table: Int, nBits: Int): Column =
+    ColumnBridge.column(
+      PortableSignLshSketchExpr(ColumnBridge.expression(vec), table, nBits))
 
   /** Column wrapper: dot product of two numeric-array vector columns. */
   def vector_dot(a: Column, b: Column): Column =

@@ -97,6 +97,14 @@ object SimilaritySearch {
   def lshSketch(vec: Column, table: Int, nBits: Int = 16): Column =
     graft.expressions.SketchExpressions.sign_lsh_sketch(vec, table, nBits)
 
+  /** Engine-portable twin of [[lshSketch]]: hyperplane components derived
+    * from md5 digits ([[graft.expressions.PortableSignLshSketchExpr]]), so
+    * an external engine replays buckets and probes digit-for-digit and the
+    * whole candidate set is oracle-certifiable — the minhash/simhash
+    * portable-hashing precedent applied to the hyperplane family. */
+  def lshSketchPortable(vec: Column, table: Int, nBits: Int): Column =
+    graft.expressions.SketchExpressions.portable_sign_lsh_sketch(vec, table, nBits)
+
   /**
    * ANN top-k via sign-LSH bucket collisions across `nTables` tables,
    * cosine-verified and ranked inside the candidate set. Recall grows with
@@ -114,7 +122,8 @@ object SimilaritySearch {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int = 5, nTables: Int = 16, nBits: Int = 6,
-      multiProbeBits: Int = 2): DataFrame = {
+      multiProbeBits: Int = 2,
+      portableHashing: Boolean = false): DataFrame = {
     require(multiProbeBits >= 0 && multiProbeBits <= 2, "multiProbeBits in 0..2")
     requireSameIdType(corpus, idCol, queries, qIdCol)
     val c = corpus.select(col(idCol).as("corpus_id"),
@@ -122,13 +131,20 @@ object SimilaritySearch {
     val q = queries.select(col(qIdCol).as("query_id"),
       normalized(col(qVecCol)).as("qv"))
 
+    // portableHashing swaps one leaf expression ([[lshSketchPortable]] for
+    // [[lshSketch]]) in the same projection — identical plan shape, so the
+    // certified configuration IS the benched configuration
+    def sketch(vc: Column, t: Int): Column =
+      if (portableHashing) lshSketchPortable(vc, t, nBits)
+      else lshSketch(vc, t, nBits)
+
     // (id, table, bucket) streams only — a distinct over the wide vector
     // columns would shuffle 2×64 floats per candidate row; vectors re-attach
     // after the id-level dedup (corpus side by join, query side broadcast).
     def buckets(df: DataFrame, idName: String, vc: String): DataFrame =
       df.select(col(idName),
         posexplode(array((0 until nTables).map(t =>
-          lshSketch(col(vc), t, nBits)): _*)))
+          sketch(col(vc), t)): _*)))
         .withColumnRenamed("pos", "table")
         .withColumnRenamed("col", "bucket")
 

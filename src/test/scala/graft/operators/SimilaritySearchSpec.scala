@@ -44,6 +44,53 @@ class SimilaritySearchSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall@5 = $recall")
   }
 
+  test("portable sign-LSH: hand-derived md5 plane components (known answers)") {
+    val s = spark
+    import s.implicits._
+    // comp(t,b,d) = u60(md5("t:b:d")) / 2^59 - 1.0, hand-computed outside
+    // the JVM (python hashlib): md5("0:0:0") = 90e48cd0d5d9ad4…,
+    // u60 = 652539041545034452 → 0.13197479435957638. A one-component
+    // vector's projection IS comp·v, so the sketch bit pins the sign and
+    // a (1.0) vs (-1.0) input pins the exact boundary behaviour.
+    val df = Seq(Tuple1(Seq(1.0f)), Tuple1(Seq(-1.0f))).toDF("v")
+    // table 0, bit 0: comp(0,0,0) > 0 → +v sets bit 0, -v clears it
+    val sk = df.select(
+      SimilaritySearch.lshSketchPortable(col("v"), table = 0, nBits = 1))
+      .collect().map(_.getLong(0))
+    assert(sk(0) === 1L && sk(1) === 0L)
+    // comp(3,5,63) < 0 (hand-computed -0.5795…): craft a 64-dim vector with
+    // only dim 63 set → in table 3 bit 5 is set only for NEGATIVE input
+    val v64pos = Seq.tabulate(64)(d => if (d == 63) 1.0f else 0.0f)
+    val v64neg = v64pos.map(-_)
+    val sk2 = Seq(Tuple1(v64pos), Tuple1(v64neg)).toDF("v")
+      .select(SimilaritySearch.lshSketchPortable(col("v"), table = 3, nBits = 6))
+      .collect().map(_.getLong(0))
+    assert((sk2(0) & (1L << 5)) === 0L, s"comp(3,5,63) is negative: ${sk2(0)}")
+    assert((sk2(1) & (1L << 5)) === (1L << 5), sk2(1).toString)
+  }
+
+  test("portable sign-LSH recall equals the xxhash default's on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5).select("query_id", "corpus_id")
+    def recallOf(portable: Boolean): Double = {
+      val approx = SimilaritySearch.lshTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, nTables = 16, nBits = 6,
+        portableHashing = portable)
+        .select("query_id", "corpus_id").distinct()
+      val hits = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .count().toDouble
+      hits / exact.count()
+    }
+    // different hash family, same recall REGIME (both ≥ the driver gate) —
+    // the portable mode must not be a silently weaker sketch
+    val rp = recallOf(portable = true)
+    val rd = recallOf(portable = false)
+    assert(rp >= 0.9, s"portable recall $rp")
+    assert(rd >= 0.9, s"default recall $rd")
+  }
+
   test("multi-probe off still finds exact-bucket collisions (subset of probed)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)

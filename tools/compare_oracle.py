@@ -44,38 +44,79 @@ def eq(a: pd.DataFrame, b: pd.DataFrame) -> str:
                 return f"VAL col={c} row={i}: {x!r} vs {y!r}"
     return "OK"
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def connect(sf_dir):
+    """Fresh connection with spill + cap, tables registered by basename.
+
+    A FRESH connection per query matters at sf1: one replay blowing the
+    memory cap used to poison the shared connection's buffer manager, and
+    every later (trivial) query then failed OOM too; isolation makes each
+    verdict independent. An in-memory connection also has NO temp_directory
+    by default, so the heavy replay oracles (banded minhash, span census)
+    OOMed instead of spilling; cap below host RAM so the pyarrow side of
+    the compare keeps headroom.
+    """
     con = duckdb.connect()
-    # an in-memory connection has NO temp_directory, so at sf1 the heavy
-    # replay oracles (banded minhash, span census) OOM instead of spilling
-    # and take the whole run down; give it a spill dir and a cap that
-    # leaves room for the pyarrow side of the compare
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
-    con.execute("SET memory_limit='48GB'")
+    con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '48GB')}'")
+    thr = os.environ.get("ORACLE_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for f in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(f)[:-8]
         # driver testdata tables are single files; ScaleUp-generated sets
         # (sf1 certification) are Spark-written DIRECTORIES of part files
         pat = f"{f}/*.parquet" if os.path.isdir(f) else f
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
+    return con
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    # ORACLE_ISOLATE=1: run every query in its OWN python subprocess. At sf1
+    # one replay exceeding the memory cap poisons the duckdb allocator for
+    # the remainder of the PROCESS (even fresh connections then fail on 2 KB
+    # allocations), so certification runs isolate per query; the default
+    # in-process mode stays for the fast sf0.01 loop.
+    if os.environ.get("ORACLE_ISOLATE") == "1" and only is None:
+        import subprocess
+        env = dict(os.environ); env.pop("ORACLE_ISOLATE")
+        n_ok = n_bad = 0
+        for name in sorted(oracle):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sf_dir, out_dir, name],
+                capture_output=True, text=True, env=env)
+            line = next((l for l in p.stdout.splitlines() if l.startswith(name)),
+                        f"{name:28s} SUBPROCESS DIED rc={p.returncode}: "
+                        f"{(p.stderr or '').strip().splitlines()[-1:]}")
+            print(line, flush=True)
+            if line.split()[1:2] == ["OK"]:
+                n_ok += 1
+            else:
+                n_bad += 1
+        print(f"\n{n_ok} OK / {n_bad} BAD")
+        sys.exit(1 if n_bad else 0)
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         spark_path = f"{out_dir}/{name}"
         if not os.path.isdir(spark_path):
             print(f"{name:28s} MISSING spark output")
             n_bad += 1
             continue
+        con = connect(sf_dir)
         try:
             d = canon(con.execute(sql).df())
         except Exception as e:
             print(f"{name:28s} ORACLE FAIL: {e}")
             n_bad += 1
+            con.close()
             continue
+        con.close()
         s = canon(pd.read_parquet(spark_path))
         r = eq(d, s)
-        print(f"{name:28s} {r}")
+        print(f"{name:28s} {r}", flush=True)
         if r == "OK":
             n_ok += 1
         else:
