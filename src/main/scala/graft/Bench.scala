@@ -175,8 +175,14 @@ object Bench {
     // canonical artifact; the stdout line is the driver-facing summary.
     println(jsonLine)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
+    // failed list bounded to 10 names + a count (r14 review): an unbounded
+    // list inside the fixed suffix would blow the 2000-char tail exactly in
+    // a mass-failure run — the one where the failed set IS the signal. The
+    // complete list is always in the full line above and in bench_out.json.
+    val failedCompact = failed.take(10).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val fixed =
-      s""","n_queries":${results.size},"full":"bench_out.json","failed":$failedJson,"sf":$sfJson,"loadavg1":$load1}"""
+      s""","n_queries":${results.size},"full":"bench_out.json","n_failed":${failed.size},"failed":$failedCompact,"sf":$sfJson,"loadavg1":$load1}"""
     val head =
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":{"""
     val budget = 1700 - fixed.length - head.length

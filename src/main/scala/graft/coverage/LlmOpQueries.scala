@@ -462,6 +462,27 @@ object LlmOpQueries {
         .orderedSmallBarrier(col("id_a"), col("id_b"))
     })
 
+  /** The shared 3-chain corpus behind [[dedupClusterAssign]] and
+    * [[dedupKeepBest]]: every 10th base doc (< 500 — the 3× corpus makes
+    * the O(N²)+recursive oracle ~4× costlier per doc, so 50 base docs keep
+    * 50 three-chains of certificate power without padding the DuckDB
+    * baseline total; measured 9.6 s at < 1000 vs ~2.4 s at < 500) plus one-
+    * and two-appended-token copies. One definition feeding one matInput key
+    * ("corpus_chain") — both queries previously built this inline, and
+    * whichever ran first silently supplied the other's cached input (r14
+    * review): any future drift between the copies would have produced
+    * order-dependent oracle mismatches. */
+  private def chainCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") < 500)
+    val copy1 = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" extraword")).as("text"))
+    val copy2 = base.select((col("doc_id") + 2000000L).as("doc_id"),
+      concat(col("text"), lit(" extraword extrawordtwo")).as("text"))
+    matInput(s, dir, "corpus_chain")(
+      base.unionByName(copy1).unionByName(copy2))
+  }
+
   /** Near-dup CLUSTER assignment (oracle-checked row-for-row): a bounded
     * corpus where every 10th base doc gets TWO mutated copies (one and two
     * appended tokens), so components are 3-chains — on short documents the
@@ -478,18 +499,7 @@ object LlmOpQueries {
     * pair's miss at ~2×10⁻⁶ (and xxhash64 is fixed, so green is stable). */
   def dedupClusterAssign(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "__q_cluster_assign"), {
-      // < 500 (not the verified-pairs queries' < 1000): the 3× corpus makes
-      // the O(N²)+recursive oracle ~4× costlier per doc — 50 base docs keep
-      // 50 three-chains of certificate power without padding the DuckDB
-      // baseline total (measured 9.6 s at < 1000 vs ~2.4 s at < 500).
-      val base = docs(s, dir).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 500)
-      val copy1 = base.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" extraword")).as("text"))
-      val copy2 = base.select((col("doc_id") + 2000000L).as("doc_id"),
-        concat(col("text"), lit(" extraword extrawordtwo")).as("text"))
-      val corpus = matInput(s, dir, "corpus_chain")(
-        base.unionByName(copy1).unionByName(copy2))
+      val corpus = chainCorpus(s, dir)
       // unrolledRounds = 3: a pure lazy plan (every bench pass recomputes
       // pairs AND labels — the convergent variant would bake prepare-time
       // labels into the plan as a checkpoint leaf), covering component
@@ -516,14 +526,7 @@ object LlmOpQueries {
     * skew-proof composite-max AGGREGATE, no window). */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "__q_keep_best"), {
-      val base = docs(s, dir).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 500)
-      val copy1 = base.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" extraword")).as("text"))
-      val copy2 = base.select((col("doc_id") + 2000000L).as("doc_id"),
-        concat(col("text"), lit(" extraword extrawordtwo")).as("text"))
-      val corpus = matInput(s, dir, "corpus_chain")(
-        base.unionByName(copy1).unionByName(copy2))
+      val corpus = chainCorpus(s, dir)
       Dedup.nearDuplicateKeepBest(corpus, "doc_id", "text",
           t => TextAnalysis.tokenCount(t).cast("long"),
           threshold = 0.7, numHashes = 32, bands = 16, unrolledRounds = 3)

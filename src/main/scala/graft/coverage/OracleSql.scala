@@ -2365,9 +2365,13 @@ object OracleSql {
     // Replays Mixing.temperatureWeights(alpha = 0.5) bit-for-bit: sqrt is
     // IEEE correctly-rounded in both engines, and the normalizer folds in
     // lang-sorted order (list_reduce's seedless left fold equals Spark's
-    // 0.0-seeded aggregate exactly: 0.0 + x == x).
+    // 0.0-seeded aggregate exactly: 0.0 + x == x). WHERE lang IS NOT NULL
+    // mirrors the operator's r14 null-group exclusion contract — without it
+    // a regenerated corpus with one null-lang doc would add a row AND shift
+    // every share through the Z normalizer (latent hash flip, r14 review).
     "samp_temperature_weights" ->
-      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY lang),
         |s0 AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS N FROM c),
         |s1 AS (SELECT s0.N,
         |         list_reduce(

@@ -451,6 +451,16 @@ object Multimodal {
       .toDF()
   }
 
+  /** 8×8-grid cell index along one axis, in LONG arithmetic: `p * 8`
+    * overflows Int once a dimension reaches 2^28, and inside [[aHash64]]
+    * the resulting negative index would throw and be silently declined to
+    * None by the NonFatal catch — exactly on the 2^30-pixel panoramas the
+    * BigInt comparison threshold exists for (r13 advice). Package-private
+    * so the spec can pin the overflow regime without allocating a
+    * 2^28-wide frame. */
+  private[multimodal] def cellAxis(p: Int, extent: Int): Int =
+    (p.toLong * 8 / extent).toInt
+
   /**
    * 64-bit perceptual average-hash (aHash) of a LOSSLESS raster payload —
    * the image near-duplicate key of a multimodal training pipeline (the
@@ -477,16 +487,6 @@ object Multimodal {
    * either dimension leave the uncovered cells' bits 0 (cellCount 0 never
    * exceeds anything).
    */
-  /** 8×8-grid cell index along one axis, in LONG arithmetic: `p * 8`
-    * overflows Int once a dimension reaches 2^28, and inside [[aHash64]]
-    * the resulting negative index would throw and be silently declined to
-    * None by the NonFatal catch — exactly on the 2^30-pixel panoramas the
-    * BigInt comparison threshold exists for (r13 advice). Package-private
-    * so the spec can pin the overflow regime without allocating a
-    * 2^28-wide frame. */
-  private[multimodal] def cellAxis(p: Int, extent: Int): Int =
-    (p.toLong * 8 / extent).toInt
-
   def aHash64(content: Array[Byte]): Option[Long] = {
     if (content == null || content.length < 8 || isJpeg(content)) return None
     try {

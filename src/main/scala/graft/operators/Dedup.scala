@@ -724,7 +724,9 @@ object Dedup {
    * and let a pathological 10⁸-copy cluster pin a 100 TB job. The composite
    * max key `struct(score, -id, id)` encodes both orderings in ONE max
    * (score DESC via max, id ASC via the negated id; the negation is safe —
-   * document ids are non-negative by the house fixture/loader contract).
+   * document ids are non-negative by the house fixture/loader contract,
+   * and a loud require rejects non-numeric id columns, whose negation
+   * would null-coerce and silently invert the tie-break to id DESC).
    * NULL scores lose to every non-null score under struct-max (Spark and
    * ANSI MAX agree: nulls sort lowest within a struct comparison), so an
    * all-null-score cluster degrades to the min-id keeper rather than
@@ -733,7 +735,17 @@ object Dedup {
    * intended.
    */
   def keepBestPerCluster(clustered: DataFrame, idCol: String,
-                         clusterCol: String, scoreCol: String): DataFrame =
+                         clusterCol: String, scoreCol: String): DataFrame = {
+    // the composite-max key negates the id for the ASC tie-break; on a
+    // non-numeric id the UnaryMinus null-coerces (or throws under ANSI) and
+    // the tie-break silently inverts to id DESC — fail loudly instead (r14
+    // review, same guard as dedupByUrl's keepBestBy mode).
+    require(clustered.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBestPerCluster: the (score DESC, id ASC) tie-break requires a " +
+        s"numeric id column; $idCol is " +
+        s"${clustered.schema(idCol).dataType.simpleString} — pre-map it to " +
+        s"a numeric surrogate")
     clustered
       .groupBy(col(clusterCol))
       .agg(count(lit(1)).as("n_members"),
@@ -741,6 +753,7 @@ object Dedup {
           col(idCol).as("i"))).as("__best"))
       .select(col(clusterCol), col("n_members"),
         col("__best.i").as("keeper_id"), col("__best.s").as("keeper_score"))
+  }
 
   /**
    * [[nearDuplicateClusters]] + [[keepBestPerCluster]] fused: cluster the

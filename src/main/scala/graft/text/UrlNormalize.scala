@@ -152,8 +152,20 @@ object UrlNormalize {
     require(clashes.isEmpty,
       s"dedupByUrl: column(s) ${clashes.distinct.mkString(", ")} collide " +
         s"with the output schema (${reserved.mkString(", ")}) — rename them")
-    keepBestBy.foreach(sc => require(df.columns.contains(sc),
-      s"dedupByUrl: keepBestBy column $sc is not an input column"))
+    keepBestBy.foreach { sc =>
+      require(df.columns.contains(sc),
+        s"dedupByUrl: keepBestBy column $sc is not an input column")
+      // the composite-max key negates the id for the ASC tie-break; on a
+      // non-numeric id the UnaryMinus null-coerces (or throws under ANSI)
+      // and the tie-break silently inverts — fail loudly instead (r14
+      // review). The default min(struct) path keeps supporting string ids.
+      require(df.schema(idCol).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"dedupByUrl: keepBestBy requires a numeric id column for the " +
+          s"(score DESC, id ASC) tie-break; $idCol is " +
+          s"${df.schema(idCol).dataType.simpleString} — pre-map it to a " +
+          s"numeric surrogate or use the default min-id policy")
+    }
     val canon = df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
     val row = struct((idCol +: carryCols).map(col): _*)
     val agged = keepBestBy match {

@@ -98,10 +98,14 @@ object SkewAB {
       "nodetect" -> (() => agg(targetedNoDetect)),
       "blanket" -> (() => agg(graft.operators.SkewJoin.saltedJoin(
         skewedFact, "l_orderkey", dim, "o_orderkey", saltFactor = 4))),
-      "plain" -> (() => agg(skewedFact.join(dim,
-        skewedFact("l_orderkey") === dim("o_orderkey")))),
-      "plainshj" -> (() => agg(skewedFact.join(dim.hint("shuffle_hash"),
-        skewedFact("l_orderkey") === dim("o_orderkey"))))
+      "plain" -> (() => {
+        val f = skewedFact; val d = dim
+        agg(f.join(d, f("l_orderkey") === d("o_orderkey")))
+      }),
+      "plainshj" -> (() => {
+        val f = skewedFact; val d = dim.hint("shuffle_hash")
+        agg(f.join(d, f("l_orderkey") === d("o_orderkey")))
+      })
     )
 
     def run(df: DataFrame): Unit =

@@ -53,6 +53,20 @@ class DedupSpec extends SparkSuite {
     assert(got(4L) === ((2L, 41L, Some(0.1))))
   }
 
+  test("keepBestPerCluster rejects a non-numeric id column loudly") {
+    val s = spark
+    import s.implicits._
+    // negating a string id null-coerces (or throws under ANSI) and would
+    // silently invert the documented id-ASC tie-break to id DESC (r14
+    // review) — the operator must refuse, not guess
+    val clustered = Seq(("a", 1L, 0.2), ("b", 1L, 0.2))
+      .toDF("doc_id", "cluster_id", "score")
+    val e = intercept[IllegalArgumentException](
+      Dedup.keepBestPerCluster(clustered, "doc_id", "cluster_id", "score"))
+    assert(e.getMessage.contains("numeric") &&
+      e.getMessage.contains("doc_id"), e.getMessage)
+  }
+
   test("nearDuplicateKeepBest keeps the best-quality member per component") {
     // docs 1/2/3 cluster (exact + near dup); score = text length makes doc 3
     // (two chars longer: today→tonight) the quality keeper — NOT the min-id

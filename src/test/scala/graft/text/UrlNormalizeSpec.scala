@@ -171,6 +171,15 @@ class UrlNormalizeSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       UrlNormalize.dedupByUrl(df, "url", "id", keepBestBy = Some("nope")))
     assert(e.getMessage.contains("nope"))
+    // non-numeric id + keepBestBy fails loudly too (r14 review: the negated
+    // string id would null-coerce and invert the id-ASC tie-break); the
+    // default min-id policy keeps accepting string ids
+    val sdf = df.withColumn("id", concat(lit("doc-"), col("id")))
+    val e2 = intercept[IllegalArgumentException](
+      UrlNormalize.dedupByUrl(sdf, "url", "id", Seq("tag"),
+        keepBestBy = Some("score")))
+    assert(e2.getMessage.contains("numeric"), e2.getMessage)
+    assert(UrlNormalize.dedupByUrl(sdf, "url", "id").count() === 2L)
   }
 
   test("plan shape: dedupByUrl keepBestBy stays ONE exchange, no Window") {
