@@ -55,9 +55,19 @@ def connect(sf_dir):
     OOMed instead of spilling; cap below host RAM so the pyarrow side of
     the compare keeps headroom.
     """
-    con = duckdb.connect()
+    # ORACLE_DISK=<path>: back the connection with an on-disk database —
+    # in-memory connections restrict which operators may spill, and the sf1
+    # banded-minhash replay exhausts the allocator in-memory at every cap
+    # tried (88-100GB, solo, order-preservation off; r14).
+    disk = os.environ.get("ORACLE_DISK")
+    con = duckdb.connect(disk) if disk else duckdb.connect()
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '48GB')}'")
+    # canon() sorts every result before hashing, so result order is
+    # irrelevant — and preserving insertion order forces DuckDB to buffer
+    # whole intermediate pipelines, which is what pushed the sf1 banded-
+    # minhash replay past the cap into hard allocator failure (r14).
+    con.execute("SET preserve_insertion_order=false")
     thr = os.environ.get("ORACLE_THREADS")
     if thr:
         con.execute(f"SET threads={int(thr)}")
@@ -66,7 +76,10 @@ def connect(sf_dir):
         # driver testdata tables are single files; ScaleUp-generated sets
         # (sf1 certification) are Spark-written DIRECTORIES of part files
         pat = f"{f}/*.parquet" if os.path.isdir(f) else f
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
+        # OR REPLACE: with ORACLE_DISK the views persist in the scratch DB
+        # across per-stage child processes (tools/staged_cte.py isolate mode)
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
     return con
 
 def main():
