@@ -141,16 +141,18 @@ object LlmOpQueries {
   /** Stopword/punct quality ratios (oracle-checked; single-division doubles). */
   def tQualityScore(s: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
-    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    val nStop = graft.expressions.SketchExpressions
+      .count_in_set(toks, TextAnalysis.stopwords)
     docs(s, dir).select(
       col("doc_id"),
       // tokenCount, not bare size (r11 review): tokens("") is [""], so the
       // unguarded count reads 1 where the oracle's CASE emits 0 — a latent
       // hash flip on any regenerated corpus containing one blank doc
       TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-      size(filter(toks, t => array_contains(stopArr, t))).as("n_stopwords"),
-      (size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
-        size(toks)).as("stopword_ratio"))
+      // count_in_set (r14): one-pass twin of size(filter(array_contains)) —
+      // pinned equivalent in ShinglesExprSpec; same value, same nulls
+      nStop.as("n_stopwords"),
+      (nStop.cast("double") / size(toks)).as("stopword_ratio"))
       .orderBy("doc_id")
   }
 
@@ -503,8 +505,9 @@ object LlmOpQueries {
       // unrolledRounds = 3: a pure lazy plan (every bench pass recomputes
       // pairs AND labels — the convergent variant would bake prepare-time
       // labels into the plan as a checkpoint leaf), covering component
-      // diameters ≤ ~8 with the chain corpus at diameter 2; a deeper
-      // natural chain would surface as an oracle mismatch, not silence.
+      // diameters ≤ 4 (rounds + 1, linear hash-min unrolling — r14) with
+      // the chain corpus at diameter 2; a deeper natural chain would
+      // surface as an oracle mismatch, not silence.
       Dedup.nearDuplicateClusters(corpus, "doc_id", "text",
           threshold = 0.7, numHashes = 32, bands = 16, unrolledRounds = 3)
         .withColumn("is_keeper", col("cluster_id") === col("doc_id"))

@@ -831,8 +831,195 @@ case class NormalizeVectorExpr(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * k-token shingles of an `array<string>` token column in ONE imperative
+ * pass — bit-identical to the declarative formulation
+ * `array_distinct(transform(sequence(1, greatest(size(toks)-(k-1), 1)),
+ * i => concat_ws(" ", slice(toks, i, k))))` that
+ * [[graft.operators.Dedup.shinglesOfTokensHof]] keeps for the equivalence
+ * spec (ShinglesExprSpec pins both on the corner fixtures).
+ *
+ * Why (r14 optimization round): shingling is the shared leading cost of
+ * every sketch query — MicroAB measured the HOF chain at 0.6 s of the 0.8 s
+ * tokens→shingles step over the 55k-doc corpus (vs ~0.05 s for the md5/
+ * xxhash64 hashing it feeds), because each of the ~n shingles pays an
+ * interpreted lambda walk, a `slice` array allocation, and a generic
+ * `concat_ws` dispatch, then `array_distinct` re-walks the result. One
+ * imperative loop with a LinkedHashSet does the same work in O(total
+ * bytes).
+ *
+ * Semantics replicated exactly, including the documented short-doc
+ * fallback (fewer than k tokens ⇒ ONE truncated shingle — the whole text)
+ * and the degenerate inputs: a NULL token array and an empty token array
+ * both yield `[""]` (the HOF chain's `greatest(null/−k, 1)` + null-skipping
+ * `concat_ws` produce exactly that), and NULL elements are skipped by
+ * `UTF8String.concatWs` just as `concat_ws` skips them. First-occurrence
+ * order is preserved (`array_distinct` semantics).
+ */
+case class ShinglesOfTokensExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  require(k >= 1, s"shingles_of_tokens: k must be >= 1, got $k")
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // never null: degenerate inputs produce [""], mirroring the HOF chain
+  // (greatest(_, 1) keeps the sequence non-empty even for null/short input)
+  override def nullable: Boolean = false
+  override def prettyName: String = "shingles_of_tokens"
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val v = child.eval(input)
+    if (v == null)
+      return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = math.max(n - (k - 1), 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + k, n)
+      val parts = new Array[UTF8String](math.max(end - i, 0))
+      var j = i
+      while (j < end) {
+        parts(j - i) = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
+        j += 1
+      }
+      // concatWs COPIES bytes, so results never alias a reused row buffer
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * POSITIONAL n-grams of an `array<string>` token column in one pass — the
+ * non-distinct sibling of [[ShinglesOfTokensExpr]], covering the two HOF
+ * formulations the operators used (both pinned equivalent in
+ * ShinglesExprSpec):
+ *
+ *  - `emitShortDoc = true` — [[graft.text.TextAnalysis.repetitionMetricsOfTokens]]'
+ *    gram stream: `transform(sequence(1, greatest(size-(n-1), 1)),
+ *    i => concat_ws(" ", slice(toks, i, n)))` — a doc shorter than n emits
+ *    its whole text as one truncated gram; null/empty input yields [""].
+ *  - `emitShortDoc = false` — [[graft.operators.Dedup.exciseDuplicateSpans]]'
+ *    positional grams: `when(size >= n, transform(sequence(0, size-n),
+ *    i => concat_ws(" ", slice(toks, i+1, n)))).otherwise(empty)` — exact
+ *    n-token resolution only; short/null docs emit NOTHING (a report can be
+ *    inclusive, a cut cannot — see that operator's scaladoc).
+ *
+ * Element order is position order, so `posexplode` positions are the gram
+ * start indices, exactly as with the HOF form.
+ */
+case class NgramsOfTokensExpr(child: Expression, n: Int, emitShortDoc: Boolean)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  require(n >= 1, s"ngrams_of_tokens: n must be >= 1, got $n")
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "ngrams_of_tokens"
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val v = child.eval(input)
+    if (v == null)
+      return if (emitShortDoc)
+        new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+      else new GenericArrayData(Array.empty[Any])
+    val arr = v.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n && !emitShortDoc) return new GenericArrayData(Array.empty[Any])
+    val m = math.max(len - (n - 1), 1)
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + n, len)
+      val parts = new Array[UTF8String](math.max(end - i, 0))
+      var j = i
+      while (j < end) {
+        parts(j - i) = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Count of array<string> elements contained in a literal string set — the
+ * one-pass twin of `size(filter(toks, tk => array_contains(array(lits…),
+ * tk)))`, which pays an interpreted lambda plus a linear array_contains
+ * scan per token. Used for the stopword counts on the quality/filter hot
+ * paths. NULL input → NULL (like size(null)); NULL elements don't count
+ * (array_contains(_, null) is never true).
+ */
+case class CountInSetExpr(child: Expression, items: Seq[String])
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val set = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](items.size * 2)
+    items.foreach(i => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(i)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < len) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column wrapper: k-token shingles of an array<string> token column
+    * (one-pass twin of the declarative formulation — see
+    * [[ShinglesOfTokensExpr]]). */
+  def shingles_of_tokens(toks: Column, k: Int): Column =
+    ColumnBridge.column(ShinglesOfTokensExpr(ColumnBridge.expression(toks), k))
+
+  /** Column wrapper: positional (non-distinct) n-grams of an array<string>
+    * token column — see [[NgramsOfTokensExpr]] for the two short-doc
+    * conventions. */
+  def ngrams_of_tokens(toks: Column, n: Int, emitShortDoc: Boolean): Column =
+    ColumnBridge.column(
+      NgramsOfTokensExpr(ColumnBridge.expression(toks), n, emitShortDoc))
+
+  /** Column wrapper: count of token-array elements in a literal string set. */
+  def count_in_set(toks: Column, items: Seq[String]): Column =
+    ColumnBridge.column(CountInSetExpr(ColumnBridge.expression(toks), items))
 
   /** Column wrapper: OPH MinHash signature of an array<long> hash column. */
   def minhash_signature(hashes: Column, numHashes: Int): Column =

@@ -92,21 +92,39 @@ object ConnectedComponents {
    * repeated passes need) and composes like any other DataFrame.
    *
    * Correct only when every component's diameter is covered: init reaches
-   * direct neighbours and each round at least doubles the reached radius
-   * (hash-min step + pointer jump), so `rounds` handles diameters up to
-   * 2^rounds on chains and far more on denser components. Near-dup cluster graphs
-   * (diameter ≤ ~3) are covered by the default with a wide margin; for
-   * unknown graphs use [[components]], which detects its own fixpoint.
+   * direct neighbours and each hash-min round extends the reached radius by
+   * one, so `rounds` handles diameters up to rounds + 1 on chains and far
+   * more on denser components. Near-dup cluster graphs (diameter ≤ ~3) are
+   * covered by the default with margin; for unknown graphs use
+   * [[components]], which detects its own fixpoint.
    *
-   * The plan tree references the edge input ~4^rounds times (Catalyst trees,
-   * not DAGs), so `edges` should be a leaf — a table or a persisted frame —
-   * and `rounds` small; both hold for its intended callers.
+   * r14 optimization — hash-min only, NO pointer jump here: the jump is a
+   * self-join, so each unrolled level referenced its own hash-min table
+   * twice and the logical tree duplicated every earlier round 2× per level
+   * — 2^rounds copies of the whole upstream pair-pipeline subtree. Catalyst
+   * re-analyzes and re-canonicalizes that tree on EVERY execution (the
+   * driver-side second measured on dedup_cluster_assign: ~0.95 s of a 2.2 s
+   * pass spent outside all jobs), and exchange reuse does not collapse the
+   * duplicated aggregates. Dropping the jump makes the tree linear in
+   * `rounds` (each round references only `sym` and the previous labels,
+   * once each). The doubling matters for LARGE unknown diameters, which are
+   * exactly what [[components]] (checkpoint-truncated lineage, convergence
+   * detection) is for; a caller needing unrolled diameter-9+ coverage pays
+   * rounds = diameter − 1 linear rounds, still a smaller plan than the
+   * exponential jump tree.
+   *
+   * `stage`: materializer applied to the symmetrized edge list, which every
+   * round references (the callers pass [[Dedup.persistTracked]], the same
+   * per-pass-reset CTE idiom every sketch frame uses) so it computes once
+   * per execution, not once per round. Default `identity` keeps the plan
+   * persistence-free.
    */
   def componentsUnrolled(edges: DataFrame, srcCol: String, dstCol: String,
-                         rounds: Int = 3): DataFrame = {
-    require(rounds >= 1 && rounds <= 8, "rounds in [1,8] — see scaladoc")
-    val sym = symmetrize(edges, srcCol, dstCol)
-    (1 to rounds).foldLeft(initLabels(sym))((l, _) => round(sym, l))
+                         rounds: Int = 3,
+                         stage: DataFrame => DataFrame = identity): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds in [1,16] — see scaladoc")
+    val sym = stage(symmetrize(edges, srcCol, dstCol))
+    (1 to rounds).foldLeft(initLabels(sym))((l, _) => hashMin(sym, l))
   }
 
   private def symmetrize(edges: DataFrame, srcCol: String,
@@ -164,15 +182,21 @@ object ConnectedComponents {
     * both children. The join shape is equivalent — every node appears as a
     * `v` by construction (self-loops), so the inner join drops nobody. */
   private def round(sym: DataFrame, labels: DataFrame): DataFrame = {
-    val hashMin = sym
-      .join(labels.withColumnRenamed("id", "v"), Seq("v"))
-      .groupBy(col("u").as("id")).agg(min("label").as("label"))
+    val hashMin = this.hashMin(sym, labels)
     hashMin.as("a")
       .join(hashMin.select(col("id").as("label"), col("label").as("ll")),
         Seq("label"), "left")
       .select(col("id"),
         least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
   }
+
+  /** Hash-min alone: label(u) := min over N(u)∪{u} of label(v) — the
+    * self-loops fold u's own label into the one aggregate. Radius grows by
+    * one per application; the unrolled variant chains these directly (each
+    * references `labels` exactly once, keeping the plan linear). */
+  private def hashMin(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym.join(labels.withColumnRenamed("id", "v"), Seq("v"))
+      .groupBy(col("u").as("id")).agg(min("label").as("label"))
 
   /** Monotone convergence witness: labels only decrease, so an unchanged
     * sum means no label changed. Decimal — a long overflows at planet scale. */

@@ -219,8 +219,16 @@ object Dedup {
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         explode(shinglesOfTokens(col("__toks"), n)).as("__g"))
-    val grams = gramsRaw.select(col(idCol),
-      (if (hashGrams) xxhash64(col("__g")) else col("__g")).as("gram"))
+    // The gram stream feeds TWO consumers (the cross-doc census and the
+    // per-doc re-join), and nothing upstream is materialized — without
+    // staging, the whole tokenize → shingle → explode → hash pipeline
+    // re-executes per consumer, i.e. the corpus is scanned and re-tokenized
+    // twice per run (r14 measurement: ~30% of the query). Same
+    // persistTracked CTE idiom as [[exciseDuplicateSpans]]'s toks frame; in
+    // hashGrams mode the cached rows are (id, long) — far narrower than the
+    // documents they derive from.
+    val grams = persistTracked(gramsRaw.select(col(idCol),
+      (if (hashGrams) xxhash64(col("__g")) else col("__g")).as("gram")))
     // a gram is a cross-document duplicate iff it occurs under ≥2 distinct
     // ids; grams are per-doc distinct, so plain count == distinct-doc count
     val dupGrams = grams.groupBy(col("gram"))
@@ -274,10 +282,8 @@ object Dedup {
     // none (sequence() would count DOWN on a negative span — guard it out)
     val posGrams = toks
       .select(col(idCol), posexplode(
-        when(size(col("__toks")) >= n,
-          transform(sequence(lit(0), size(col("__toks")) - n),
-            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))))
+        graft.expressions.SketchExpressions.ngrams_of_tokens(
+          col("__toks"), n, emitShortDoc = false)))
       .withColumnRenamed("pos", "__gpos")
       .withColumn("__gram",
         if (hashGrams) xxhash64(col("col")) else col("col"))
@@ -334,6 +340,16 @@ object Dedup {
    * keeps multi-referenced non-cheap aliases staged.
    */
   def shinglesOfTokens(toks: Column, k: Int = 3): Column =
+    graft.expressions.SketchExpressions.shingles_of_tokens(toks, k)
+
+  /** The declarative formulation [[shinglesOfTokens]] replaced in r14 —
+    * kept as the equivalence oracle for ShinglesExprSpec: the one-pass
+    * expression must stay bit-identical to this chain (which the DuckDB
+    * oracles replay in SQL). The HOF chain pays an interpreted lambda +
+    * slice allocation + generic concat_ws per shingle plus an
+    * array_distinct re-walk — measured as the leading cost of every sketch
+    * query (MicroAB, r14). */
+  private[graft] def shinglesOfTokensHof(toks: Column, k: Int = 3): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(k)))))
@@ -682,9 +698,9 @@ object Dedup {
    * returned frame re-read its checkpointed labels. A positive value uses
    * [[ConnectedComponents.componentsUnrolled]] instead: a pure lazy plan
    * (every execution recomputes everything — what benchmark passes must
-   * measure) that is correct for component diameters ≤ ~2^rounds; the pair
+   * measure) that is correct for component diameters ≤ rounds + 1; the pair
    * frame is persisted (and cache-reset-tracked) because the unrolled plan
-   * tree references it many times.
+   * tree references it once per round.
    */
   def nearDuplicateClusters(
       df: DataFrame, idCol: String, textCol: String,
@@ -696,8 +712,12 @@ object Dedup {
       numHashes, bands, maxBucketSize)
     val comp =
       if (unrolledRounds > 0)
+        // stage = persistTracked: the symmetrized edge list materializes
+        // once per execution instead of once per round — see
+        // componentsUnrolled's scaladoc. Same per-pass-reset honesty
+        // contract as every sketch frame.
         ConnectedComponents.componentsUnrolled(persistTracked(pairs),
-          "id_a", "id_b", unrolledRounds)
+          "id_a", "id_b", unrolledRounds, persistTracked)
       else ConnectedComponents.components(pairs, "id_a", "id_b")
     df.select(col(idCol))
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")

@@ -42,8 +42,8 @@ object TextAnalysis {
     * decision disagree). */
   def stopwordRatioOf(toks: Column, nToks: Column): Column =
     when(nToks > 0,
-      size(filter(toks, tk => array_contains(
-        array(stopwords.map(lit): _*), tk))).cast("double") / nToks)
+      graft.expressions.SketchExpressions.count_in_set(toks, stopwords)
+        .cast("double") / nToks)
       .otherwise(0.0)
 
   /**
@@ -112,11 +112,12 @@ object TextAnalysis {
    * 64-bit hash over 3-token shingles (a 1-permutation MinHash). Two documents
    * sharing their rarest shingle collide; robust to small edits at the ends.
    */
-  def fingerprintOfTokens(toks: Column): Column = {
-    val shingleIdx = sequence(lit(1), greatest(size(toks) - 2, lit(1)))
-    val sh = transform(shingleIdx, i => concat_ws(" ", slice(toks, i, lit(3))))
-    array_min(transform(sh, x => xxhash64(x)))
-  }
+  def fingerprintOfTokens(toks: Column): Column =
+    // one-pass shingles (r14); the min is invariant to the expression's
+    // array_distinct semantics — duplicate shingles share a hash
+    array_min(transform(
+      graft.expressions.SketchExpressions.shingles_of_tokens(toks, 3),
+      x => xxhash64(x)))
 
   /** Convenience for tiny frames. For scale, stage `tokens(text)` into its
     * own column first (see [[graft.operators.Dedup.shinglesOfTokens]]). */
@@ -147,9 +148,8 @@ object TextAnalysis {
     // (e.g. gopherRecipe's __toks) is never captured by the drop below
     val staged = df
       .withColumn("__rm_toks", toks)
-      .withColumn("__rm_grams", transform(
-        sequence(lit(1), greatest(size(col("__rm_toks")) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(col("__rm_toks"), i, lit(n)))))
+      .withColumn("__rm_grams", graft.expressions.SketchExpressions
+        .ngrams_of_tokens(col("__rm_toks"), n, emitShortDoc = true))
       .withColumn("__rm_gmap",
         graft.expressions.SketchExpressions.term_counts(col("__rm_grams")))
       .withColumn("__rm_gcounts", map_values(col("__rm_gmap")))
