@@ -1001,8 +1001,123 @@ case class CountInSetExpr(child: Expression, items: Seq[String])
     copy(child = newChild)
 }
 
+/**
+ * Engine-portable 60-bit md5 hash of every element of an `array<string>`
+ * column in one pass — the array-level twin of
+ * `transform(arr, x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))`
+ * ([[graft.operators.Dedup.portableHash60]] under a transform). The value
+ * of the first 15 hex digits of the md5 equals the first 8 digest bytes
+ * read big-endian, unsigned-shifted right by 4 — pure long arithmetic
+ * instead of hex-string rendering + generic radix conversion per element
+ * (and no interpreted lambda walk). NULL elements stay NULL (md5(null) is
+ * null through the chain); pinned against the conv chain in
+ * ShinglesExprSpec.
+ */
+case class PortableHash60ArrayExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "portable_hash60_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+        out(i) = v >>> 4 // first 15 hex digits, non-negative, < 2^60
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * MinHash band-key strings of an `array<long>` signature in one pass — the
+ * twin of `transform(sequence(0, bands-1), b => concat_ws(",",
+ * slice(sig, b*rowsPerBand+1, rowsPerBand)))` inside
+ * [[graft.operators.Dedup]]'s band stream, which re-rendered every slot
+ * through a generic cast + concat_ws per band per reference (the band
+ * stream is consumed three times per LSH execution). Decimal rendering is
+ * `Long.toString` — exactly the long→string cast concat_ws applies. NULL
+ * slots are skipped like concat_ws skips null inputs; a NULL signature
+ * yields `bands` empty strings (slice(null) → null → concat_ws → ""),
+ * keeping posexplode row counts identical.
+ */
+case class MinhashBandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  require(bands >= 1 && rowsPerBand >= 1,
+    s"minhash_band_keys: bands and rowsPerBand must be >= 1, got $bands/$rowsPerBand")
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "minhash_band_keys"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val v = child.eval(input)
+    val out = new Array[Any](bands)
+    if (v == null) {
+      var b = 0
+      while (b < bands) { out(b) = UTF8String.EMPTY_UTF8; b += 1 }
+      return new GenericArrayData(out)
+    }
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sb = new java.lang.StringBuilder(rowsPerBand * 20)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var j = b * rowsPerBand
+      val end = math.min(j + rowsPerBand, n)
+      var first = true
+      while (j < end) {
+        if (!arr.isNullAt(j)) { // concat_ws skips nulls
+          if (!first) sb.append(',')
+          sb.append(arr.getLong(j))
+          first = false
+        }
+        j += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column wrapper: per-element portable 60-bit md5 hash of an
+    * array<string> column — see [[PortableHash60ArrayExpr]]. */
+  def portable_hash60_array(arr: Column): Column =
+    ColumnBridge.column(PortableHash60ArrayExpr(ColumnBridge.expression(arr)))
+
+  /** Column wrapper: MinHash band-key strings of an array<long> signature —
+    * see [[MinhashBandKeysExpr]]. */
+  def minhash_band_keys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    ColumnBridge.column(
+      MinhashBandKeysExpr(ColumnBridge.expression(sig), bands, rowsPerBand))
 
   /** Column wrapper: k-token shingles of an array<string> token column
     * (one-pass twin of the declarative formulation — see

@@ -391,15 +391,19 @@ object Dedup {
                        portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val bandKey: (Column, Column) => Column =
-      if (portable) (c, _) => c else (c, b) => xxhash64(c, b)
-    sig.select(col("id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => bandKey(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+    // Band-key strings via one imperative pass (r14) — the transform +
+    // slice + concat_ws chain re-rendered every slot per band per
+    // reference, and this stream is consumed three times per execution
+    // (bucket census + self-join a/b). Key values are identical
+    // (ShinglesExprSpec pin); in default mode the xxhash64 moves AFTER the
+    // posexplode, hashing the same (key-string, band-index) pair.
+    val exploded = sig.select(col("id"),
+      posexplode(graft.expressions.SketchExpressions.minhash_band_keys(
+        col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    if (portable) exploded.withColumnRenamed("col", "band_hash")
+    else exploded.select(col("id"), col("band"),
+      xxhash64(col("col"), col("band")).as("band_hash"))
   }
 
   def minhashCandidatePairs(
@@ -415,6 +419,12 @@ object Dedup {
     val sig = persistTracked(
       sketchFrame(df, idCol, textCol, numHashes).select(col("id"), col("sig")))
 
+    // NOT staged (r14 A/B): the band stream is referenced three times per
+    // execution (bucket census + self-join a/b), but each reference is a
+    // cheap posexplode over the CACHED sig frame — staging it showed no
+    // gain (same-window probes within noise) while adding a cache write
+    // that serializes ahead of consumers that otherwise pipeline, plus a
+    // tracked frame every bench reset re-persists.
     val banded = pruneFullBuckets(bandRows(sig, numHashes, bands),
       Seq("band", "band_hash"), maxBucketSize)
 
@@ -493,8 +503,10 @@ object Dedup {
    * once instead of once per entry point. Callers persist it themselves
    * ([[persistTracked]]) since it feeds multiple consumers.
    *
-   * `shingleHash` is the per-shingle 64-bit hash feeding the signature —
-   * xxhash64 by default, [[portableHash60]] for the oracle-replayable md5
+   * `hashShingles` maps the shingle ARRAY to its 64-bit hash array —
+   * per-element xxhash64 by default,
+   * [[graft.expressions.PortableHash60ArrayExpr]] (value-identical to
+   * per-element [[portableHash60]]) for the oracle-replayable md5
    * variants. This is the ONLY construction of the tokenize→shingle→minhash
    * chain; every entry point (including the portable ones) goes through it
    * so a staging change can never silently diverge the replayed sketch
@@ -503,12 +515,13 @@ object Dedup {
    */
   def sketchFrame(df: DataFrame, idCol: String, textCol: String,
                   numHashes: Int = 64,
-                  shingleHash: Column => Column = xxhash64(_)): DataFrame =
+                  hashShingles: Column => Column =
+                    sh => transform(sh, x => xxhash64(x))): DataFrame =
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
       .select(col("id"), col("sh"),
         graft.expressions.SketchExpressions.minhash_signature(
-          transform(col("sh"), shingleHash), numHashes).as("sig",
+          hashShingles(col("sh")), numHashes).as("sig",
           // stamped so the consuming entry points can fail fast on a
           // numHashes mismatch: slicing a 32-slot signature as 64 would
           // make half the band keys constant-empty — every document
@@ -556,9 +569,15 @@ object Dedup {
     val sig = precomputedSketch.map(requireSketchHashes(_, numHashes))
       .getOrElse(persistTracked(
         if (portableHashing)
-          sketchFrame(df, idCol, textCol, numHashes, portableHash60(_))
+          // array-level portable hasher (r14): one pass, no per-element
+          // lambda walk or hex/radix string round-trip — value-identical to
+          // transform(_, portableHash60) (ShinglesExprSpec pin)
+          sketchFrame(df, idCol, textCol, numHashes,
+            graft.expressions.SketchExpressions.portable_hash60_array)
         else sketchFrame(df, idCol, textCol, numHashes)))
 
+    // not staged — same A/B as minhashCandidatePairs: recompute from the
+    // cached sig frame beats a serializing cache write
     val banded = pruneFullBuckets(
       bandRows(sig, numHashes, bands, portableHashing),
       Seq("band", "band_hash"), maxBucketSize)
@@ -643,8 +662,14 @@ object Dedup {
     // bucket would have carried is only found if the pair collides in some
     // other, healthy band — true recall loss only where every shared band
     // was degenerate.
+    // The convenience-built index is staged (r14): pruneFullBuckets
+    // references its input twice (census + probe side), and the inline
+    // bandIndex carries the WHOLE corpus sketch — unstaged, the corpus was
+    // re-sketched once per reference. A caller-supplied corpusBands is a
+    // table/persisted frame already and is left untouched.
     val corpusIdx = pruneFullBuckets(
-      corpusBands.getOrElse(bandIndex(corpus, idCol, textCol, numHashes, bands)),
+      corpusBands.getOrElse(persistTracked(
+        bandIndex(corpus, idCol, textCol, numHashes, bands))),
       Seq("band", "band_hash"), maxBucketSize)
 
     val candidates = incBands.as("n")
@@ -707,7 +732,21 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 256,
-      unrolledRounds: Int = 0): DataFrame = {
+      unrolledRounds: Int = 0): DataFrame =
+    assignClusters(df.select(col(idCol)), df, idCol, textCol, threshold,
+      numHashes, bands, maxBucketSize, unrolledRounds)
+      .select(col(idCol), col("cluster_id"))
+
+  /** Shared label-attach step: LSH pairs → components → `base` rows (which
+    * must carry `idCol`, plus any rider columns — keep-best rides its score
+    * here so the corpus is scanned once, not once for ids and once for
+    * scores) left-joined to the (small) label table; unlabeled rows become
+    * their own singleton cluster. */
+  private def assignClusters(
+      base: DataFrame,
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int, bands: Int,
+      maxBucketSize: Int, unrolledRounds: Int): DataFrame = {
     val pairs = nearDuplicatePairs(df, idCol, textCol, threshold,
       numHashes, bands, maxBucketSize)
     val comp =
@@ -719,10 +758,10 @@ object Dedup {
         ConnectedComponents.componentsUnrolled(persistTracked(pairs),
           "id_a", "id_b", unrolledRounds, persistTracked)
       else ConnectedComponents.components(pairs, "id_a", "id_b")
-    df.select(col(idCol))
+    base
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("label"), col(idCol)).as("cluster_id"))
+      .withColumn("cluster_id", coalesce(col("label"), col(idCol)))
+      .drop("label")
   }
 
   /**
@@ -778,9 +817,10 @@ object Dedup {
   /**
    * [[nearDuplicateClusters]] + [[keepBestPerCluster]] fused: cluster the
    * corpus, score every member with `scoreOf(textCol)`, return the
-   * per-cluster keep decision. One extra join against the (tiny) label
-   * table; the corpus text is scanned once for scoring — scores never
-   * shuffle with the LSH band traffic.
+   * per-cluster keep decision. The score rides the SAME corpus scan that
+   * feeds the label join (r14 — the previous form scanned the corpus a
+   * second time for scores and re-joined on the id); scores never shuffle
+   * with the LSH band traffic either way.
    */
   def nearDuplicateKeepBest(
       df: DataFrame, idCol: String, textCol: String,
@@ -789,11 +829,10 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 256,
       unrolledRounds: Int = 0): DataFrame = {
-    val clustered = nearDuplicateClusters(df, idCol, textCol, threshold,
-      numHashes, bands, maxBucketSize, unrolledRounds)
-    val scored = clustered.join(
+    val scored = assignClusters(
       df.select(col(idCol), scoreOf(col(textCol)).as("__kb_score")),
-      Seq(idCol))
+      df, idCol, textCol, threshold, numHashes, bands, maxBucketSize,
+      unrolledRounds)
     keepBestPerCluster(scored, idCol, "cluster_id", "__kb_score")
   }
 

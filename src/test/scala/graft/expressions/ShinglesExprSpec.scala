@@ -106,6 +106,41 @@ class ShinglesExprSpec extends SparkSuite {
     assert(fast(5L).isEmpty) // null array → null count, like size(null)
   }
 
+  test("portable_hash60_array ≡ per-element conv(substring(md5)) chain") {
+    val toksDf = corpus.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.shinglesOfTokens(col("toks"), 3).as("sh"))
+    val fast = toksDf.select(col("doc_id"),
+      graft.expressions.SketchExpressions.portable_hash60_array(col("sh")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = toksDf.select(col("doc_id"),
+      transform(col("sh"), x => Dedup.portableHash60(x)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast == hof)
+    // and a hand-checked value: md5("abc") = 900150983cd24fb0d6963f7d28e17f72
+    // → first 15 hex digits 0x900150983cd24fb >>> nothing further
+    val one = spark.sql("select 1").select(
+      graft.expressions.SketchExpressions.portable_hash60_array(
+        array(lit("abc"))).getItem(0)).collect().head.getLong(0)
+    assert(one == java.lang.Long.parseLong("900150983cd24fb", 16))
+  }
+
+  test("minhash_band_keys ≡ transform(sequence, concat_ws(slice)) twin") {
+    val sigDf = corpus.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.shinglesOfTokens(col("toks"), 3).as("sh"))
+      .select(col("doc_id"),
+        graft.expressions.SketchExpressions.minhash_signature(
+          graft.expressions.SketchExpressions.portable_hash60_array(col("sh")), 32).as("sig"))
+    val bands = 8; val rpb = 4
+    val fast = sigDf.select(col("doc_id"),
+      graft.expressions.SketchExpressions.minhash_band_keys(col("sig"), bands, rpb).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val hof = sigDf.select(col("doc_id"),
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb)))).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fast == hof)
+  }
+
   test("null ELEMENTS inside the token array are skipped like concat_ws") {
     val s = spark
     import s.implicits._
