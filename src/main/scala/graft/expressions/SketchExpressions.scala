@@ -1001,6 +1001,283 @@ case class CountInSetExpr(child: Expression, items: Seq[String])
     copy(child = newChild)
 }
 
+/** Thread-local MD5 instance shared by the md5-hashing expressions:
+  * `MessageDigest` is stateful (NOT thread-safe, so a plain lazy val would
+  * be wrong), and `getInstance` per row is avoidable provider-lookup
+  * overhead on the sketch hot paths (r14 advice). Spark's
+  * one-task-one-thread execution model makes ThreadLocal reuse safe; the
+  * instance is reset before every hand-out. */
+private[expressions] object Md5Local {
+  private val local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def get(): java.security.MessageDigest = {
+    val md = local.get()
+    md.reset()
+    md
+  }
+}
+
+/**
+ * One-pass whitespace tokenizer — bit-identical to
+ * `split(trim(lower(text)), "\\s+")`, the [[graft.text.TextAnalysis.tokens]]
+ * chain every text/sketch path starts from (kept there as `tokensHof` for
+ * the equivalence spec; the DuckDB oracles replay this tokenization in SQL,
+ * so the semantics below are pinned operator by operator, and
+ * TokensExprSpec fuzzes the equivalence over adversarial whitespace):
+ *
+ *  - `lower` is `CollationSupport.Lower.exec(v, collationId, useICU)` with
+ *    `useICU = spark.sql.icu.caseMappings.enabled` resolved lazily per
+ *    expression instance — exactly what the `Lower` expression does. The
+ *    fast path below applies plain ASCII `A–Z`+32 lowering only to
+ *    FULL-ASCII strings, where the JVM and ICU case mappings agree
+ *    byte-for-byte; any non-ASCII byte bails to the verbatim
+ *    `CollationSupport` call (ICU can change byte LENGTH there — İ → i̇).
+ *  - `trim` strips 0x20 SPACES only (`UTF8String.trim()`), never other
+ *    whitespace — a leading tab survives the trim, and Java split then
+ *    emits a leading "" field.
+ *  - `split(s, "\\s+")` is `java.lang.String.split` with limit −1
+ *    (`UTF8String.split` delegates to it): fields between MAXIMAL runs of
+ *    the six ASCII `\s` chars `[ \t\n\x0B\f\r]`; a positive-width match at
+ *    position 0 yields a leading "" field; limit −1 keeps the trailing ""
+ *    field; no match returns the input itself, so "" → [""] and an
+ *    all-whitespace remainder → ["", ""]. Every `\s` char is a single
+ *    UTF-8 byte and continuation bytes are ≥ 0x80, so a byte-level scan is
+ *    exact even inside multi-byte text; Unicode whitespace (NBSP, U+2028,
+ *    U+3000, NEL, …) is NOT `\s` in default Java regex mode and is treated
+ *    as token bytes, matching the regex.
+ *
+ * Why (r15, guide §4): the chain pays a lowercase copy, a UTF-16
+ * `toString`, a regex-engine scan, and a per-field String→UTF8String
+ * re-encode for EVERY row of EVERY text query — measured as the leading
+ * remaining per-row scalar after the r14 shingle work. This expression is
+ * one byte scan with per-token byte copies (ASCII lowering fused into the
+ * copy on the fast path).
+ */
+case class WhitespaceTokensExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] =
+    Seq(StringType)
+  // containsNull stays TRUE to mirror split()'s ArrayType(StringType) even
+  // though no null element is ever produced — a drop-in swap must not
+  // change the schema downstream operators resolve against
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "tokens_ws"
+
+  // resolved lazily from the session conf, exactly like Lower's useICU
+  @transient private lazy val useICU: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.getConf(
+      org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+  @transient private lazy val collationId: Int = child.dataType match {
+    case st: StringType => st.collationId
+    case _ => 0
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) {
+      if (s.getByte(i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) fastAscii(s, n) else slow(s)
+  }
+
+  /** FULL-ASCII path: lower + trim + split fused into one scan over the
+    * input's own bytes; A–Z lowering happens during the per-token copy. */
+  private def fastAscii(s: UTF8String, n: Int): GenericArrayData = {
+    // trim(): 0x20 spaces only, both ends
+    var from = 0
+    while (from < n && s.getByte(from) == 0x20) from += 1
+    var until = n
+    while (until > from && s.getByte(until - 1) == 0x20) until -= 1
+    if (from >= until)
+      return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    val out = new java.util.ArrayList[AnyRef](8)
+    var start = from
+    var i = from
+    while (i < until) {
+      if (isWs(s.getByte(i))) {
+        out.add(tokenOf(s, start, i)) // "" exactly when the range starts with ws
+        i += 1
+        while (i < until && isWs(s.getByte(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    out.add(tokenOf(s, start, until)) // trailing field; "" when range ends with ws
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  private def tokenOf(s: UTF8String, from: Int, until: Int): UTF8String = {
+    if (until == from) return UTF8String.EMPTY_UTF8
+    val b = new Array[Byte](until - from)
+    var k = 0
+    while (k < b.length) {
+      val c = s.getByte(from + k)
+      b(k) = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+      k += 1
+    }
+    UTF8String.fromBytes(b)
+  }
+
+  /** Non-ASCII path: the verbatim Lower + trim calls, then the same exact
+    * byte-split (see scaladoc for why byte-level splitting is exact). The
+    * split slices wrap `b` without copying: `lowered` is always a fresh
+    * private buffer here (a non-ASCII input never takes UTF8String's
+    * return-this ASCII shortcut), never a reused scan/row buffer. */
+  private def slow(s0: UTF8String): GenericArrayData = {
+    val lowered = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+      .exec(s0, collationId, useICU)
+    val b = lowered.trim().getBytes
+    val n = b.length
+    if (n == 0)
+      return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    val out = new java.util.ArrayList[AnyRef](8)
+    var start = 0
+    var i = 0
+    while (i < n) {
+      if (isWs(b(i))) {
+        out.add(if (i == start) UTF8String.EMPTY_UTF8
+          else UTF8String.fromBytes(b, start, i - start))
+        i += 1
+        while (i < n && isWs(b(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    out.add(if (start == n) UTF8String.EMPTY_UTF8
+      else UTF8String.fromBytes(b, start, n - start))
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Per-element xxhash64 of an `array<string>` column in one pass — the
+ * array-level twin of `transform(arr, x => xxhash64(x))`, which pays an
+ * interpreted lambda-tree walk per element (higher-order functions never
+ * codegen). Value-identical by construction: each element's UTF-8 bytes go
+ * through the same `XxHash64Function` with the same default seed 42 the
+ * `xxhash64` expression uses; a NULL element hashes to the seed itself
+ * (hash expressions are null-TOLERANT — `xxhash64(null)` is 42, not null),
+ * so the output array never contains nulls, exactly like the transform.
+ * Pinned against the HOF form in TokensExprSpec.
+ */
+case class XxHash64ArrayExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "xxhash64_array"
+
+  private val seed = 42L // xxhash64's literal default
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) out(i) = seed
+      else {
+        // the same call XxHash64.eval makes per element
+        out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(arr.getUTF8String(i), StringType, seed)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Fused tokens→md5→SimHash-chunks: one pass over an `array<string>` token
+ * column, md5-digesting each element and voting with the digest NIBBLES
+ * directly — bit-identical to
+ * `simhash_hex_chunks(transform(toks, t => md5(t)))` (hex digit `d` of the
+ * md5 hex string IS nibble `d` of the digest: byte `i` supplies digit `2i`
+ * from its high nibble and digit `2i+1` from its low nibble), without the
+ * interpreted per-token lambda, the 32-char hex rendering, or the hex
+ * re-parse. NULL elements cast no votes and do not count toward the
+ * majority denominator, exactly as `md5(null)` → null is skipped by
+ * [[SimHashHexChunksExpr]]. Pinned against the chained form in
+ * TokensExprSpec; [[SimHashHexChunksExpr]] stays — the DuckDB oracle
+ * replays ITS hex-digit contract, and the certified values are equal.
+ */
+case class SimHashMd5ChunksExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_md5_chunks"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // counts(d*4 + b) = votes for bit b of hex digit d — same layout as
+    // SimHashHexChunksExpr, filled from digest nibbles instead of hex chars
+    val counts = new Array[Int](128)
+    val md = Md5Local.get()
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = md.digest(arr.getUTF8String(i).getBytes) // digest() resets md
+        m += 1
+        var bi = 0
+        while (bi < 16) {
+          val hi = (d(bi) >> 4) & 0xF // hex digit 2*bi
+          val lo = d(bi) & 0xF        // hex digit 2*bi + 1
+          val base = bi * 8
+          counts(base) += hi & 1
+          counts(base + 1) += (hi >> 1) & 1
+          counts(base + 2) += (hi >> 2) & 1
+          counts(base + 3) += (hi >> 3) & 1
+          counts(base + 4) += lo & 1
+          counts(base + 5) += (lo >> 1) & 1
+          counts(base + 6) += (lo >> 2) & 1
+          counts(base + 7) += (lo >> 3) & 1
+          bi += 1
+        }
+      }
+      i += 1
+    }
+    // identical chunk assembly to SimHashHexChunksExpr
+    val chunks = new Array[Long](8)
+    var c = 0
+    while (c < 8) {
+      var value = 0L
+      var j = 0
+      while (j < 16) {
+        val digit = 4 * c + (3 - j / 4)
+        if (2 * counts(digit * 4 + (j % 4)) > m) value |= (1L << j)
+        j += 1
+      }
+      chunks(c) = value
+      c += 1
+    }
+    new GenericArrayData(chunks)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /**
  * Engine-portable 60-bit md5 hash of every element of an `array<string>`
  * column in one pass — the array-level twin of
@@ -1025,11 +1302,12 @@ case class PortableHash60ArrayExpr(child: Expression)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = new Array[Any](n)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // ThreadLocal, not getInstance-per-row (r14 advice): provider lookup on
+    // the portable-sketch hot path; digest() leaves the instance reset
+    val md = Md5Local.get()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        md.reset()
         val d = md.digest(arr.getUTF8String(i).getBytes)
         var v = 0L
         var j = 0
@@ -1107,6 +1385,22 @@ case class MinhashBandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
 
 object SketchExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column wrapper: one-pass whitespace tokenizer, bit-identical to
+    * `split(trim(lower(text)), "\\s+")` — see [[WhitespaceTokensExpr]]. */
+  def tokens_ws(text: Column): Column =
+    ColumnBridge.column(WhitespaceTokensExpr(ColumnBridge.expression(text)))
+
+  /** Column wrapper: per-element xxhash64 (seed 42) of an array<string>
+    * column — the one-pass twin of `transform(arr, x => xxhash64(x))`. */
+  def xxhash64_array(arr: Column): Column =
+    ColumnBridge.column(XxHash64ArrayExpr(ColumnBridge.expression(arr)))
+
+  /** Column wrapper: fused per-token md5 → portable 128-bit SimHash chunk
+    * values — the one-pass twin of
+    * `simhash_hex_chunks(transform(toks, md5))`. */
+  def simhash_md5_chunks(toks: Column): Column =
+    ColumnBridge.column(SimHashMd5ChunksExpr(ColumnBridge.expression(toks)))
 
   /** Column wrapper: per-element portable 60-bit md5 hash of an
     * array<string> column — see [[PortableHash60ArrayExpr]]. */

@@ -367,7 +367,7 @@ object Dedup {
    */
   def minhashSignatureOfShingles(sh: Column, numHashes: Int = 64): Column =
     graft.expressions.SketchExpressions.minhash_signature(
-      transform(sh, x => xxhash64(x)), numHashes)
+      graft.expressions.SketchExpressions.xxhash64_array(sh), numHashes)
 
   /** MinHash signature from raw text (convenience; one shingle pass). */
   def minhashSignature(text: Column, numHashes: Int = 64): Column =
@@ -516,7 +516,7 @@ object Dedup {
   def sketchFrame(df: DataFrame, idCol: String, textCol: String,
                   numHashes: Int = 64,
                   hashShingles: Column => Column =
-                    sh => transform(sh, x => xxhash64(x))): DataFrame =
+                    graft.expressions.SketchExpressions.xxhash64_array): DataFrame =
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), shinglesOfTokens(col("toks")).as("sh"))
       .select(col("id"), col("sh"),
@@ -848,7 +848,8 @@ object Dedup {
 
   /** DISTINCT token hashes (set semantics) for [[simhashOfHashes]]. */
   def tokenHashes(text: Column): Column =
-    transform(array_distinct(tokens(text)), t => xxhash64(t))
+    graft.expressions.SketchExpressions.xxhash64_array(
+      array_distinct(tokens(text)))
 
   /** Token hashes WITH repeats — term-frequency-weighted bit votes. On
     * small-vocab corpora the distinct-token sets of unrelated documents
@@ -857,7 +858,7 @@ object Dedup {
     * the frequency profile, which still separates documents (round-1
     * verdict finding: SimHash precision weak on tiny vocabularies). */
   def tokenHashesTf(text: Column): Column =
-    transform(tokens(text), t => xxhash64(t))
+    graft.expressions.SketchExpressions.xxhash64_array(tokens(text))
 
   def simhash(text: Column): Column = simhashOfHashes(tokenHashes(text))
 
@@ -898,8 +899,12 @@ object Dedup {
       // DuckDB oracle replays chunks, buckets, pairs, and Hamming exactly.
       val sk = persistTracked(
         df.select(col(idCol).as("id"),
-          graft.expressions.SketchExpressions.simhash_hex_chunks(
-            transform(tokens(col(textCol)), t => md5(t))).as("skc")))
+          // fused tokens→md5→chunks (r15): one pass, no interpreted
+          // per-token md5 lambda or hex round-trip — bit-identical to
+          // simhash_hex_chunks(transform(tokens, md5)) (TokensExprSpec pin;
+          // the oracle replays the hex-digit contract and stays green)
+          graft.expressions.SketchExpressions.simhash_md5_chunks(
+            tokens(col(textCol))).as("skc")))
       val chunked0 = sk
         .select(col("id"), col("skc"), posexplode(col("skc")))
         .withColumnRenamed("pos", "chunk")
@@ -953,7 +958,8 @@ object Dedup {
       df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
         .select(col("id"), shinglesOfTokens(col("toks")).as("sh"),
           graft.expressions.SketchExpressions.simhash128(
-            transform(col("toks"), t => xxhash64(t))).as("sk")))
+            graft.expressions.SketchExpressions.xxhash64_array(
+              col("toks"))).as("sk")))
     val chunked = simhashChunks(sk.select(col("id"), col("sk")), maxBucketSize)
     val candidates = bucketSelfPairs(chunked, Seq("chunk", "chunk_val"))
     val shOnly = sk.select(col("id"), col("sh"))

@@ -11,8 +11,22 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
-  /** Whitespace tokens of the lower-cased text. */
-  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+  /** Whitespace tokens of the lower-cased text — one imperative pass
+    * ([[graft.expressions.WhitespaceTokensExpr]], r15), bit-identical to the
+    * `split(trim(lower(text)), "\\s+")` chain kept below as [[tokensHof]]
+    * (TokensExprSpec pins the equivalence over adversarial whitespace; the
+    * DuckDB oracles replay the chain's semantics in SQL). */
+  def tokens(text: Column): Column =
+    graft.expressions.SketchExpressions.tokens_ws(text)
+
+  /** The operator chain [[tokens]] replaced in r15 — kept as the equivalence
+    * oracle for TokensExprSpec: the one-pass expression must stay
+    * bit-identical to this chain, whose semantics every external replay
+    * (DuckDB oracle SQL) implements. The chain pays a lowercase copy, a
+    * UTF-16 toString, a regex-engine scan and a per-field re-encode per row
+    * — measured r14/r15 as the leading per-row scalar on every text path. */
+  private[graft] def tokensHof(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
 
   /** Whitespace token count of a precomputed token array (blank/null text
     * → 0: `tokens("")` is the single-element `[""]`, so the text-side guard
@@ -113,11 +127,11 @@ object TextAnalysis {
    * sharing their rarest shingle collide; robust to small edits at the ends.
    */
   def fingerprintOfTokens(toks: Column): Column =
-    // one-pass shingles (r14); the min is invariant to the expression's
-    // array_distinct semantics — duplicate shingles share a hash
-    array_min(transform(
-      graft.expressions.SketchExpressions.shingles_of_tokens(toks, 3),
-      x => xxhash64(x)))
+    // one-pass shingles (r14) + one-pass xxhash64 array (r15; the transform
+    // lambda evaluated interpreted per shingle); the min is invariant to the
+    // expression's array_distinct semantics — duplicate shingles share a hash
+    array_min(graft.expressions.SketchExpressions.xxhash64_array(
+      graft.expressions.SketchExpressions.shingles_of_tokens(toks, 3)))
 
   /** Convenience for tiny frames. For scale, stage `tokens(text)` into its
     * own column first (see [[graft.operators.Dedup.shinglesOfTokens]]). */
