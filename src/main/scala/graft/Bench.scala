@@ -176,8 +176,13 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // cpus + shuffle width stamped into the line (r14 verdict item 2): the
+    // driver's low-core run could not VERIFY that SPARK_GRAFT_CPUS takes
+    // effect (every sf0.1 ratio ≈ 1 — fixed-cost-bound rows) and flagged
+    // suspect_cpus_ignored; the stamp plus the x_scaling_probe row make the
+    // parallelism signal checkable from the parsed line alone.
     val jsonLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":$sfJson,"loadavg1":$load1}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":${cpus.toInt},"shuffle_partitions":${shufflePartitions.toInt},"queries":$qs,"failed":$failedJson,"sf":$sfJson,"loadavg1":$load1}"""
     // The driver records only the LAST 2000 characters of stdout and tries
     // to parse one JSON line out of that tail (BENCH_r01..r13 all carry
     // `"tail": <2000 chars>, "parsed": null` — the full 128-query line is
@@ -200,7 +205,7 @@ object Bench {
     val fixed =
       s""","n_queries":${results.size},"full":"bench_out.json","n_failed":${failed.size},"failed":$failedCompact,"sf":$sfJson,"loadavg1":$load1}"""
     val head =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":{"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","cpus":${cpus.toInt},"shuffle_partitions":${shufflePartitions.toInt},"queries":{"""
     val budget = 1700 - fixed.length - head.length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0

@@ -1692,4 +1692,38 @@ object LlmOpQueries {
         sum(element_at(col("feature"), 1).cast("double")).as("f0_sum_unchecked"))
       .drop("f0_sum_unchecked") // exercised, not asserted (float sum order)
       .orderedSmallBarrier(col("media_type"))
+
+  /**
+   * CPU-scaling probe (r15, r14 verdict item 2): the driver's low-core bench
+   * run compared 8-vs-32-core timings and found every ratio ≈ 1 — at sf0.1
+   * the declared queries are bounded by FIXED per-query costs (job
+   * scheduling, broadcast builds, host CPU steal), so the scaling block
+   * could not demonstrate that `SPARK_GRAFT_CPUS` takes effect and flagged
+   * `suspect_cpus_ignored`. This row exists to make parallelism measurable:
+   * a fixed ~10 core-seconds of embarrassingly parallel, whole-stage-codegen
+   * CPU work (2048 chained-index md5 hashes per document — hashing only
+   * (doc_id, i), so the cost is calibrated, skew-free, and independent of
+   * text length), with a one-row deterministic checksum the DuckDB oracle
+   * replays digit-for-digit (strpos arithmetic = Spark's conv()). Low-core
+   * runs take ~#cores-proportionally longer — the ratio the driver's
+   * scaling check needs; at 100 TB the same shape is a plain scan-speed
+   * map, so nothing here is local-mode-tuned.
+   */
+  def xScalingProbe(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("i").cast("string"))), 1, 4), 16, 10).cast("long")
+    docs(s, dir).select(col("doc_id"))
+      // spread the hash stage over EVERY core: the cached docs table is
+      // repartitioned to the (≤16) shuffle width, which would cap the
+      // probe's parallelism below SPARK_GRAFT_CPUS — the exact signal this
+      // row exists to expose. The shuffle moves only the (tiny) id column;
+      // placement never affects the result (one order-invariant aggregate
+      // over deterministic per-(doc_id, i) values).
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(sequence(lit(1), lit(2048))).as("i"))
+      .select(h.as("h"))
+      .agg(count(lit(1)).as("n_hashes"),
+        sum(col("h")).as("checksum"),   // < 2^16 per row: no overflow at any SF
+        max(col("h")).as("max_h"))
+  }
 }

@@ -2427,6 +2427,22 @@ object OracleSql {
       """SELECT count(DISTINCT md5(text)) AS n_after_dedup
         |FROM (SELECT doc_id, text FROM documents
         |      UNION ALL
-        |      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+        |      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin,
+
+    // Replays the CPU-scaling probe digit-for-digit: md5 of "doc_id:i" per
+    // (document, 1..2048), value of the first 4 hex chars via strpos
+    // arithmetic (the engine-portable form of Spark's conv), then the
+    // one-row checksum. BIGINT casts per the HUGEINT-sum house rule.
+    "x_scaling_probe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_hashes,
+        |       CAST(sum(h) AS BIGINT) AS checksum,
+        |       CAST(max(h) AS BIGINT) AS max_h
+        |FROM (
+        |  SELECT CAST((strpos('0123456789abcdef', substring(k,1,1))-1)*4096
+        |             +(strpos('0123456789abcdef', substring(k,2,1))-1)*256
+        |             +(strpos('0123456789abcdef', substring(k,3,1))-1)*16
+        |             +(strpos('0123456789abcdef', substring(k,4,1))-1) AS BIGINT) AS h
+        |  FROM (SELECT md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(g.i AS VARCHAR)) AS k
+        |        FROM documents d, generate_series(1, 2048) AS g(i)))""".stripMargin
   )
 }
