@@ -502,14 +502,20 @@ object LlmOpQueries {
   def dedupClusterAssign(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((s, dir, "__q_cluster_assign"), {
       val corpus = chainCorpus(s, dir)
-      // unrolledRounds = 3: a pure lazy plan (every bench pass recomputes
-      // pairs AND labels — the convergent variant would bake prepare-time
-      // labels into the plan as a checkpoint leaf), covering component
-      // diameters ≤ 4 (rounds + 1, linear hash-min unrolling — r14) with
-      // the chain corpus at diameter 2; a deeper natural chain would
-      // surface as an oracle mismatch, not silence.
+      // unrolledRounds = 2 (3 in r14, narrowed r15 per the verdict's plan-
+      // size item): a pure lazy plan (every bench pass recomputes pairs AND
+      // labels — the convergent variant would bake prepare-time labels into
+      // the plan as a checkpoint leaf), covering component diameters ≤ 3
+      // (rounds + 1, linear hash-min unrolling) with the chain corpus at
+      // diameter 2. Every unrolled round inlines one more reference to the
+      // whole pair pipeline for Catalyst to re-analyze PER EXECUTION
+      // (~0.1 s/round driver-side at sf0.1, growing with plan size); the
+      // margin-1 bound is pinned by ConnectedComponentsSpec (rounds = k
+      // does NOT cover diameter k+2, loud assertConverged path), and a
+      // deeper natural chain would surface as an oracle mismatch, not
+      // silence — the DuckDB oracle recomputes the exact closure.
       Dedup.nearDuplicateClusters(corpus, "doc_id", "text",
-          threshold = 0.7, numHashes = 32, bands = 16, unrolledRounds = 3)
+          threshold = 0.7, numHashes = 32, bands = 16, unrolledRounds = 2)
         .withColumn("is_keeper", col("cluster_id") === col("doc_id"))
         .orderBy("doc_id")
     })
@@ -532,7 +538,8 @@ object LlmOpQueries {
       val corpus = chainCorpus(s, dir)
       Dedup.nearDuplicateKeepBest(corpus, "doc_id", "text",
           t => TextAnalysis.tokenCount(t).cast("long"),
-          threshold = 0.7, numHashes = 32, bands = 16, unrolledRounds = 3)
+          // rounds = 2, same margin argument as dedupClusterAssign above
+          threshold = 0.7, numHashes = 32, bands = 16, unrolledRounds = 2)
         .orderedSmallBarrier(col("cluster_id"))
     })
 

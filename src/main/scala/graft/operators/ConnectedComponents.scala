@@ -121,10 +121,30 @@ object ConnectedComponents {
    */
   def componentsUnrolled(edges: DataFrame, srcCol: String, dstCol: String,
                          rounds: Int = 3,
-                         stage: DataFrame => DataFrame = identity): DataFrame = {
+                         stage: DataFrame => DataFrame = identity,
+                         assertConverged: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 16, "rounds in [1,16] — see scaladoc")
     val sym = stage(symmetrize(edges, srcCol, dstCol))
-    (1 to rounds).foldLeft(initLabels(sym))((l, _) => hashMin(sym, l))
+    val labels = (1 to rounds).foldLeft(initLabels(sym))((l, _) => hashMin(sym, l))
+    if (!assertConverged) labels
+    else {
+      // Loud-coverage debug mode (r14 advice: the rounds+1 coverage bound is
+      // SILENT — a caller sized under the old pointer-jump contract gets
+      // split clusters, not an error): one extra hash-min acts as a lazily
+      // evaluated convergence witness; any node whose label still moves
+      // raises at execution time instead of under-merging quietly. Costs a
+      // full extra round — a diagnostic mode, not the default.
+      // ConnectedComponentsSpec pins the loud path on a diameter-(rounds+2)
+      // chain and the quiet pass on covered graphs.
+      val next = hashMin(sym, labels).withColumnRenamed("label", "__next")
+      labels.join(next, Seq("id"))
+        .select(col("id"),
+          when(col("label") =!= col("__next"), raise_error(concat(
+            lit(s"componentsUnrolled: labels still changing after $rounds " +
+              s"rounds (component diameter exceeds ${rounds + 1}) — node "),
+            col("id").cast("string"))))
+            .otherwise(col("label")).as("label"))
+    }
   }
 
   private def symmetrize(edges: DataFrame, srcCol: String,
@@ -147,20 +167,29 @@ object ConnectedComponents {
           s"${dt.catalogString} — map ids to longs before clustering " +
           "(a silent cast would null every label and un-cluster everything)")
     }
-    // Propagation below only follows u←v, so both directions must exist.
-    // No distinct() on the edges — duplicate edges only re-send the same
-    // min, and deduping would cost an extra shuffle of the whole edge list.
-    // One SELF-LOOP per distinct node rides along (the distinct is one
-    // node-sized shuffle, paid once — sym is persisted or a leaf in every
-    // caller): with u←u present, the per-round neighbour aggregate
-    // min_{v∈N(u)∪{u}} label(v) IS the hash-min — the separate
-    // labels⋈nbrMin join (one more exchange of the label table per round)
-    // disappears.
+    // Propagation below only follows u←v, so both directions must exist,
+    // and SELF-LOOPS ride along so the per-round neighbour aggregate
+    // min_{v∈N(u)∪{u}} label(v) IS the hash-min (no separate labels⋈nbrMin
+    // join). ONE reference to the edge plan, via a 4-way explode per edge
+    // (r15): the previous union-of-unions + node-distinct referenced the
+    // edge plan FOUR times, so every `sym` reference in an unrolled plan
+    // inlined the whole upstream pair pipeline ×4 — the driver-side
+    // re-analysis of that tree was ~0.5 s of every cluster_assign/keep_best
+    // execution (StageProf non-job wall). The explode emits (u,v), (v,u),
+    // (u,u), (v,v) in a single generator pass; self-loops now repeat per
+    // edge OCCURRENCE rather than once per node, which is harmless — like
+    // duplicate edges, they only re-send the same min into an idempotent
+    // aggregate — and the node-distinct SHUFFLE disappears outright
+    // (guide §2.4). ConnectedComponentsSpec pins label equality with
+    // union-find on mixed/duplicate/chain graphs for both entry points.
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
-    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-    sym.unionByName(
-      sym.select(col("u")).distinct().select(col("u"), col("u").as("v")))
+    e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")),
+        struct(col("u"), col("u").as("v")),
+        struct(col("v").as("u"), col("v").as("v")))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
   }
 
   /** Round 0 fused into initialization: label(u) = min over N(u)∪{u} —

@@ -63,6 +63,42 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(unrolled == run(edges))
   }
 
+  test("unrolled rounds=2 covers diameter 3 (the r15 declared-query setting)") {
+    val edges = Seq((20L, 21L), (21L, 22L), (22L, 23L)) // diameter-3 path
+    val unrolled = collectLabels(
+      ConnectedComponents.componentsUnrolled(toDf(edges), "src", "dst", rounds = 2))
+    assert(unrolled == unionFind(edges))
+  }
+
+  test("unrolled rounds=k does NOT cover diameter k+2 (the silent boundary, pinned)") {
+    // r14 advice: the coverage guarantee weakened from ~2^rounds (with the
+    // pointer jump) to rounds+1 (hash-min only) under the same parameter —
+    // pin that the NEW bound is tight so the suite documents it: a
+    // diameter-5 chain under rounds=3 under-merges (labels ≠ union-find).
+    val edges = (0L to 4L).map(i => (i, i + 1)) // diameter-5 path, nodes 0..5
+    val unrolled = collectLabels(
+      ConnectedComponents.componentsUnrolled(toDf(edges), "src", "dst", rounds = 3))
+    assert(unrolled != unionFind(edges),
+      "rounds=3 unexpectedly covered diameter 5 — tighten the spec if the bound improved")
+    // node 5 is rounds+1 = 4 hops from 0: it must still carry a non-0 label
+    assert(unrolled(5L) != 0L)
+  }
+
+  test("assertConverged raises loudly where plain unrolling under-merges silently") {
+    val edges = (0L to 4L).map(i => (i, i + 1)) // diameter 5 > rounds+1 = 4
+    val df = ConnectedComponents.componentsUnrolled(toDf(edges), "src", "dst",
+      rounds = 3, assertConverged = true)
+    val e = intercept[Exception](df.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("labels still changing")), e.toString)
+    // and on a COVERED graph the assert mode passes with identical labels
+    val covered = Seq((1L, 2L), (2L, 3L)) // diameter 2 ≤ rounds+1
+    val loud = collectLabels(ConnectedComponents.componentsUnrolled(
+      toDf(covered), "src", "dst", rounds = 3, assertConverged = true))
+    assert(loud == unionFind(covered))
+  }
+
   test("duplicate and self edges are harmless") {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L))
     val labels = run(edges)
