@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -102,13 +103,23 @@ object SkewJoin {
       .sample(withReplacement = false, sampleFraction, seed = 42L)
     // Detection pays ONE scan of the large side (r11 review): the sample
     // total derives from the grouped counts (sum(__c) == count(*) of the
-    // sample), so both consumers share the identical groupBy subplan and
-    // physical planning reuses its exchange — a separate count() subquery
-    // was a second full sample scan with nothing shared.
+    // sample), so both consumers share the identical groupBy subplan.
     val grouped = sampled.groupBy("__k").agg(count(lit(1)).as("__c"))
-    val total = grouped.agg(sum(col("__c")).as("__n"))
+    // ONE detection job, not two (r15, r14 verdict item 4): the previous
+    // total-as-crossJoin(broadcast(agg)) form nested a broadcast build
+    // inside the hot-list broadcast build — sample scan → total broadcast →
+    // hot broadcast → main join, three SERIALIZED driver barriers, measured
+    // as ~half the query's isolated floor (SkewAB ladder: targeted 0.52 s
+    // vs detection-free 0.28 s). The sample total is instead an unpartitioned
+    // window sum over the GROUPED counts — per-key rows of a bounded sample,
+    // a few thousand rows on one task — so the whole hot-key list builds in
+    // the one job that broadcasts it. Same counts, same threshold, same hot
+    // set; and salting any subset of keys is result-preserving anyway
+    // (SkewJoinSpec + the SkewAB machine-check pin result equality).
     val hot = grouped
-      .crossJoin(broadcast(total))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("__c") >= greatest(col("__n") * hotShare, lit(2.0)))
       .select(col("__k"), lit(1).as("__hot"))
 
