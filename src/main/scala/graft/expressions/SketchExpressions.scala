@@ -970,6 +970,16 @@ case class NgramsOfTokensExpr(child: Expression, n: Int, emitShortDoc: Boolean)
  * scan per token. Used for the stopword counts on the quality/filter hot
  * paths. NULL input → NULL (like size(null)); NULL elements don't count
  * (array_contains(_, null) is never true).
+ *
+ * Config sensitivity (r14 advice): the NULL-input equivalence holds under
+ * `spark.sql.legacy.sizeOfNull = false` (the Spark 3.1+/ANSI default this
+ * engine runs with everywhere — bench, verify, tests); a session running
+ * with legacy size-of-null semantics gets `size(null) = -1` from the HOF
+ * chain while this expression stays NULL. No caller feeds null token
+ * arrays (the tokenizer maps null text to null BEFORE the count, and every
+ * consumer guards on the text side), so the divergence is unreachable in
+ * the declared queries — but don't swap this in for the HOF form in a
+ * legacy-configured session.
  */
 case class CountInSetExpr(child: Expression, items: Seq[String])
     extends UnaryExpression with CodegenFallback with ExpectsInputTypes {

@@ -26,18 +26,10 @@ object MicroAB {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // same construction as LlmOpQueries.nearDupCorpus10x, materialized
-    val d = spark.read.parquet(s"$sfDir/documents.parquet")
-      .repartition(16).select("doc_id", "text")
-    val mutated = d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" extraword")).as("text"))
-    val replicas = (0 until 10).map { r =>
-      d.unionByName(mutated).select(
-        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
-        concat(col("text"), lit(s" r$r")).as("text"))
-    }.reduce(_ unionByName _)
-    val corpus = replicas.persist()
+    // the CANONICAL corpus builder (r14 advice: the hand-rolled copy here
+    // had already drifted — suffix concat vs the per-token rewrite — so the
+    // tool was measuring a different workload than the declared queries)
+    val corpus = graft.coverage.LlmOpQueries.nearDupCorpus10x(spark, sfDir)
     println(s"corpus rows: ${corpus.count()}")
 
     def run(df: DataFrame): Unit =
