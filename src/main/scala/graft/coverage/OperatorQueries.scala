@@ -457,8 +457,16 @@ object OperatorQueries {
       .select(col("c_custkey") +: attrs.map(col): _*)
       .unionByName(cust.filter(col("c_custkey") % 13 === 0)
         .select((col("c_custkey") + 1000000L).as("c_custkey") +: attrs.map(col): _*))
-    val s1 = ScdMerge.scd2Apply(init, b1, "c_custkey", attrs,
-      lit("2024-02-01 00:00:00"))
+    // staged (r15): scd2Apply slices its `current` input TWICE (open +
+    // history), so chaining two merges re-executed the ENTIRE first merge —
+    // full-outer join, explode and all — once per slice on every run (the
+    // identical exchange was reused, but the post-shuffle join ran per
+    // consumer). Same per-pass-reset CTE idiom as the sketch frames; at
+    // scale this is the difference between N and 2^N merge executions for
+    // an N-batch chain.
+    val s1 = graft.operators.Dedup.persistTracked(
+      ScdMerge.scd2Apply(init, b1, "c_custkey", attrs,
+        lit("2024-02-01 00:00:00")))
     val b2 = cust
       .filter(col("c_custkey") % 5 === 0 || col("c_custkey") % 14 === 0)
       .withColumn("c_acctbal",
